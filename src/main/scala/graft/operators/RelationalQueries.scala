@@ -1,0 +1,412 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.model.{RouteSection, TimeSlot}
+
+/** One verifiable operator: a DataFrame build plus (when SQL-expressible)
+  * an ANSI-SQL oracle DuckDB runs on the same parquet tables. */
+final case class QueryDef(build: (SparkSession, String) => DataFrame,
+                          oracle: Option[String])
+
+/** Relational operator battery over the driver's synthetic tables.
+  *
+  * Each query maps one operator family from SURVEY.md §2 onto the
+  * TPC-H-ish schema so the DuckDB oracle can verify it. Numeric outputs
+  * follow strict cross-engine determinism rules:
+  *   - sums of doubles go through exact DECIMAL arithmetic, then cast to
+  *     double (both engines produce the identical decimal, hence the
+  *     identical double);
+  *   - averages are expressed as exact-decimal-sum-cast-to-double divided
+  *     by a BIGINT count (one IEEE division, identical on both engines);
+  *   - every output is deterministically ordered.
+  */
+object RelationalQueries {
+
+  /** sum(CAST(x AS DECIMAL(18,4))) cast back to double — exact and
+    * order-insensitive, unlike a double sum. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  val registry: Map[String, QueryDef] = Map(
+
+    // ── A1/F1/F11: filtered scan + groupBy aggregation (pricing summary) ──
+    "q01_pricing_summary" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ── A2: global min/max aggregation ──
+    "q02_event_minmax" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .agg(min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+          count(lit(1)).as("n")),
+      Some("SELECT MIN(ts) AS min_ts, MAX(ts) AS max_ts, COUNT(*) AS n FROM events")),
+
+    // ── W6: top-k by sort (autocomplete-style) ──
+    "q03_top_customers" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(10),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin)),
+
+    // ── A10: distinct + count ──
+    "q04_segments" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n FROM customer
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ── J6/J8: multi-way join through dims (broadcast the small sides) ──
+    "q05_regional_revenue" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+        val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ── J1: broadcast hash join against a dimension ──
+    "q06_brand_volume" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity"))
+        val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ── F6-style left-anti join ──
+    "q07_customers_without_orders" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ── F7-style left-semi join ──
+    "q08_priority_large_orders" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val big = Tables.lineitem(s, d)
+          .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+        o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── W2: dedup-to-latest via row_number (last-wins upsert semantics) ──
+    "q09_latest_event_per_user" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, event_id, value FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |    ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    // ── A1: tumbling time-bucket aggregation ──
+    "q10_hourly_counts" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("bucket"), col("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin)),
+
+    // ── W1: forward-fill (gap-fill projection) via last(ignoreNulls) ──
+    "q11_forward_fill" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("v", when(col("value") >= 10, col("value")))
+          .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+          .select(col("event_id"), col("user_id"), col("v_filled"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  LAST_VALUE(CASE WHEN value >= 10 THEN value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ── J3/J4: stop-pair-style self-join on a shared key with index theta ──
+    "q12_lineitem_pairs" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        val l1 = li.select(col("l_orderkey"), col("l_linenumber").as("ln1"),
+          col("l_returnflag").as("rf_s"), col("l_quantity").as("q1"))
+        val l2 = li.select(col("l_orderkey"), col("l_linenumber").as("ln2"),
+          col("l_returnflag").as("rf_e"), col("l_quantity").as("q2"))
+        l1.join(l2, Seq("l_orderkey"))
+          .filter(col("ln1") < col("ln2"))
+          .groupBy(col("rf_s"), col("rf_e"))
+          .agg(count(lit(1)).as("n_pairs"), dsum(col("q2") - col("q1")).as("qty_drift"))
+          .orderBy(col("rf_s"), col("rf_e"))
+      },
+      Some("""SELECT l1.l_returnflag AS rf_s, l2.l_returnflag AS rf_e,
+             |  COUNT(*) AS n_pairs,
+             |  CAST(SUM(CAST(l2.l_quantity - l1.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_drift
+             |FROM lineitem l1 JOIN lineitem l2
+             |  ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
+             |GROUP BY 1, 2 ORDER BY rf_s, rf_e""".stripMargin)),
+
+    // ── J9/W3: as-of predecessor via lag ──
+    "q13_event_gaps" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .groupBy(col("event_type"))
+          .agg(count(col("gap_us")).as("n_gaps"), sum(col("gap_us")).as("sum_gap_us"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(gap_us) AS n_gaps,
+             |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us FROM (
+             |  SELECT event_type, epoch_us(ts) - LAG(epoch_us(ts), 1)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events) t
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── session windows from gaps (lag + cumulative flag) ──
+    "q14_sessions" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("is_new", when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(col("is_new")).as("n_sessions"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(is_new) AS BIGINT) AS n_sessions FROM (
+             |  SELECT user_id, CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             |      OR LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |    THEN 1 ELSE 0 END AS is_new
+             |  FROM events) t
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ── A9 analogue: ROLLUP over the grouping hierarchy ──
+    "q15_rollup" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ── J11: precision fallback ladder (left joins + coalesce cascade) ──
+    "q16_precision_ladder" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_linenumber"))
+        val specific = li.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_spec"),
+            count(lit(1)).as("n_spec"))
+          .filter(col("n_spec") >= 2)
+        val semi = li.groupBy(col("l_partkey"))
+          .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_semi"))
+        val general = li.agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_gen"))
+        val requests = li.filter(col("l_linenumber") === 1)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        requests
+          .join(specific, Seq("l_partkey", "l_suppkey"), "left")
+          .join(semi, Seq("l_partkey"), "left")
+          .crossJoin(broadcast(general))
+          .select(col("l_partkey"), col("l_suppkey"),
+            coalesce(col("avg_spec"), col("avg_semi"), col("avg_gen")).as("predicted_qty"),
+            when(col("avg_spec").isNotNull, lit(0))
+              .when(col("avg_semi").isNotNull, lit(2))
+              .otherwise(lit(5)).as("precision_type"))
+          .orderBy(col("l_partkey"), col("l_suppkey"))
+      },
+      Some("""WITH specific AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_spec
+             |  FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |semi_t AS (
+             |  SELECT l_partkey,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_semi
+             |  FROM lineitem GROUP BY 1),
+             |general AS (
+             |  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_gen
+             |  FROM lineitem),
+             |requests AS (
+             |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_linenumber = 1)
+             |SELECT r.l_partkey, r.l_suppkey,
+             |  COALESCE(s.avg_spec, m.avg_semi, g.avg_gen) AS predicted_qty,
+             |  CASE WHEN s.avg_spec IS NOT NULL THEN 0
+             |       WHEN m.avg_semi IS NOT NULL THEN 2 ELSE 5 END AS precision_type
+             |FROM requests r
+             |LEFT JOIN specific s ON r.l_partkey = s.l_partkey AND r.l_suppkey = s.l_suppkey
+             |LEFT JOIN semi_t m ON r.l_partkey = m.l_partkey
+             |CROSS JOIN general g
+             |ORDER BY r.l_partkey, r.l_suppkey""".stripMargin)),
+
+    // ── C5: TimeSlot taxonomy as a pure CASE expression ──
+    "q17_timeslots" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(TimeSlot.slotIdColumn(col("ts")).as("slot_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("slot_id")),
+      Some {
+        // DuckDB: isodow 1=Mon..7=Sun -> wd0 = isodow-1; same CASE chain.
+        val cases = TimeSlot.Slots.map { t =>
+          val day =
+            if (t.minWeekday <= t.maxWeekday) s"(isodow(ts)-1 BETWEEN ${t.minWeekday} AND ${t.maxWeekday})"
+            else s"(isodow(ts)-1 >= ${t.minWeekday} OR isodow(ts)-1 <= ${t.maxWeekday})"
+          val hour =
+            if (t.minHour <= t.maxHour) s"(hour(ts) >= ${t.minHour} AND hour(ts) < ${t.maxHour})"
+            else s"(hour(ts) >= ${t.minHour} OR hour(ts) < ${t.maxHour})"
+          s"WHEN $day AND $hour THEN ${t.id}"
+        }.mkString(" ")
+        s"""SELECT CASE $cases ELSE 12 END AS slot_id, COUNT(*) AS n
+           |FROM events GROUP BY 1 ORDER BY slot_id""".stripMargin
+      }),
+
+    // ── C6: RouteSection rule over per-group positions ──
+    "q18_route_sections" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"))
+          .withColumn("stop_count", count(lit(1)).over(w).cast("int"))
+          .withColumn("section",
+            RouteSection.sectionColumn(col("l_linenumber") - 1, col("stop_count")))
+          .groupBy(col("section")).agg(count(lit(1)).as("n"))
+          .orderBy(col("section"))
+      },
+      Some("""SELECT CASE
+             |    WHEN l_linenumber - 1 < LEAST(5, stop_count // 3) THEN 0
+             |    WHEN stop_count - (l_linenumber - 1) <= LEAST(5, stop_count // 3) THEN 2
+             |    ELSE 1 END AS section, COUNT(*) AS n
+             |FROM (SELECT l_orderkey, l_linenumber,
+             |        CAST(COUNT(*) OVER (PARTITION BY l_orderkey) AS INT) AS stop_count
+             |      FROM lineitem) t
+             |GROUP BY 1 ORDER BY section""".stripMargin)),
+
+    // ── F2/F3: threshold filter + 12 s-style bucket rounding ──
+    "q19_value_histogram" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .filter(col("value").between(-3000, 3000))
+        .groupBy((floor(col("value") / 12) * 12).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")),
+      Some("""SELECT CAST(FLOOR(value / 12) * 12 AS BIGINT) AS bucket, COUNT(*) AS n
+             |FROM events WHERE value BETWEEN -3000 AND 3000
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ── C12/J7: haversine geo-radius filter on synthesized coordinates ──
+    "q20_geo_radius" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .withColumn("lat", ((col("c_custkey") * 7) % 120 - 60).cast("double") + lit(0.25))
+          .withColumn("lon", ((col("c_custkey") * 13) % 300 - 150).cast("double") + lit(0.5))
+        val dist = graft.functions.Geo.haversineMeters(
+          col("lat"), col("lon"), lit(10.0), lit(20.0))
+        c.filter(dist < 3000000.0)
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey, COUNT(*) AS n FROM (
+             |  SELECT c_nationkey,
+             |    2 * 6371000.0 * ASIN(SQRT(
+             |      POW(SIN(RADIANS(10.0 - lat) / 2), 2) +
+             |      COS(RADIANS(lat)) * COS(RADIANS(10.0)) *
+             |      POW(SIN(RADIANS(20.0 - lon) / 2), 2))) AS dist
+             |  FROM (SELECT c_nationkey,
+             |          CAST((c_custkey * 7) % 120 - 60 AS DOUBLE) + 0.25 AS lat,
+             |          CAST((c_custkey * 13) % 300 - 150 AS DOUBLE) + 0.5 AS lon
+             |        FROM customer) t0) t
+             |WHERE dist < 3000000.0
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // ── C7/C15: exact interpolated quantiles (curve x_at_y analogues) ──
+    "q21_quantiles" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.1)").as("p10"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  quantile_cont(value, 0.1) AS p10,
+             |  quantile_cont(value, 0.5) AS p50,
+             |  quantile_cont(value, 0.9) AS p90,
+             |  quantile_cont(value, 0.99) AS p99
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}

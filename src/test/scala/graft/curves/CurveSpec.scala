@@ -1,0 +1,164 @@
+package graft.curves
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+class CurveSpec extends AnyFunSuite with graft.GenSampling {
+
+  test("makeCurve: hand-computed unweighted ECDF") {
+    // values 10,20,30,40: equal weight 1, cum = 1/4, 2/4, 3/4, 4/4;
+    // first y pinned to 0, last to 1 (curve_utils.rs:90-92)
+    val Some((c, sumW)) = Curve.makeCurve(Seq(10f, 20f, 30f, 40f), None)
+    assert(sumW == 4.0f)
+    assert(c.points == Vector((10f, 0.0f), (20f, 0.5f), (30f, 0.75f), (40f, 1.0f)))
+  }
+
+  test("makeCurve: duplicate x keeps first-occurrence cumulative weight") {
+    // sorted: 1,2,2,3 -> point at 2 has cum=2/4 (first occurrence only)
+    val Some((c, _)) = Curve.makeCurve(Seq(2f, 1f, 3f, 2f), None)
+    assert(c.points == Vector((1f, 0.0f), (2f, 0.5f), (3f, 1.0f)))
+  }
+
+  test("makeCurve: leading 0.0 emits no point (reference last_x quirk)") {
+    val Some((c, _)) = Curve.makeCurve(Seq(0f, 5f, 9f), None)
+    // 0.0 == initial last_x, so only 5 and 9 become points
+    assert(c.points.map(_._1) == Vector(5f, 9f))
+  }
+
+  test("makeCurve: fewer than 2 distinct points fails") {
+    assert(Curve.makeCurve(Seq(7f, 7f, 7f), None).isEmpty)
+    assert(Curve.makeCurve(Seq.empty[Float], None).isEmpty)
+  }
+
+  test("weight: triangular focus window") {
+    assert(Curve.weight(5f, None, 0f, 10f) == 1.0f)
+    assert(Curve.weight(-1f, None, 0f, 10f) == 0.0f)
+    assert(Curve.weight(5f, Some(5f), 0f, 10f) == 1.0f)
+    assert(Curve.weight(2.5f, Some(5f), 0f, 10f) == 0.5f)
+    assert(Curve.weight(7.5f, Some(5f), 0f, 10f) == 0.5f)
+  }
+
+  test("yAtX / xAtY: interpolation and bounds") {
+    val c = Curve(Vector((0f, 0f), (10f, 0.5f), (20f, 1f)))
+    assert(c.yAtX(-5f) == 0f && c.yAtX(25f) == 1f)
+    assert(c.yAtX(5f) == 0.25f)
+    assert(c.xAtY(0.25f) == 5f)
+    assert(c.xAtY(0f) == 0f && c.xAtY(1f) == 20f)
+    assert(c.xAtY(0.75f) == 15f)
+  }
+
+  test("simplify preserves epsilon accuracy and endpoints") {
+    val n = 101
+    val pts = (0 until n).map { i =>
+      val x = i.toFloat
+      (x, math.min(1.0, math.max(0.0, (x / 100.0) + 0.001 * math.sin(x))).toFloat)
+    }.toVector
+    val c = Curve(pts.updated(0, (0f, 0f)).updated(n - 1, (100f, 1f)))
+    val s = c.simplify(0.01f)
+    assert(s.points.length < c.points.length)
+    assert(s.minX == c.minX && s.maxX == c.maxX)
+    (0 to 100).foreach { i =>
+      assert(math.abs(s.yAtX(i.toFloat) - c.yAtX(i.toFloat)) <= 0.0101f)
+    }
+  }
+
+  test("average: pointwise mean on union grid") {
+    val a = Curve(Vector((0f, 0f), (10f, 1f)))
+    val b = Curve(Vector((0f, 0f), (20f, 1f)))
+    val avg = Curve.average(Seq(a, b))
+    // at x=10: a=1.0, b=0.5 -> 0.75
+    assert(avg.yAtX(10f) == 0.75f)
+    assert(avg.points.head._2 == 0f && avg.points.last._2 == 1f)
+  }
+
+  test("convolution: mass ends at 1, support approximately sums") {
+    val f = Curve(Vector((100f, 0f), (160f, 1f)))
+    val g = Curve(Vector((30f, 0f), (90f, 1f)))
+    val conv = Curve.convolve(f, g)
+    assert(conv.points.last._2 == 1.0f)
+    assert(conv.points.head._2 == 0.0f)
+    // support should cover roughly [130, 250]
+    assert(conv.minX <= 150f && conv.maxX >= 230f)
+  }
+
+  test("transferProbability: departure long after arrival -> ~1, before -> ~0") {
+    val arrival = Curve(Vector((0f, 0f), (60f, 1f)))
+    val depLate = Curve(Vector((600f, 0f), (660f, 1f)))
+    val depEarly = Curve(Vector((-600f, 0f), (-540f, 1f)))
+    assert(Curve.transferProbability(arrival, depLate) > 0.99f)
+    assert(Curve.transferProbability(arrival, depEarly) < 0.01f)
+  }
+
+  test("curve set interpolation: clamps and blends") {
+    val c0 = Curve(Vector((0f, 0f), (10f, 1f)))
+    val c1 = Curve(Vector((100f, 0f), (110f, 1f)))
+    val cs = CurveSet(Vector((0f, c0), (100f, c1)))
+    assert(cs.curveAtXWithContinuation(-5f) == c0)
+    assert(cs.curveAtXWithContinuation(200f) == c1)
+    val mid = cs.curveAtXWithContinuation(50f)
+    // halfway blend: y at x=10 is 0.5*1.0 + 0.5*0.0 = 0.5
+    assert(math.abs(mid.yAtX(10f) - 0.5f) < 1e-6f)
+  }
+
+  test("stopPairCurveSet: builds at least one focused curve on spread data") {
+    val rng = new scala.util.Random(42)
+    val pairs = (1 to 500).map { _ =>
+      val s = (rng.nextInt(50) * 12).toFloat
+      (s, s + (rng.nextInt(20) * 12).toFloat)
+    }
+    val Some(csd) = CurveBuilder.stopPairCurveSet(pairs)
+    assert(csd.curveSet.curves.nonEmpty)
+    assert(csd.precisionType == graft.model.PrecisionType.Specific)
+    csd.curveSet.curves.foreach { case (_, c) =>
+      assert(c.points.head._2 == 0.0f && c.points.last._2 == 1.0f)
+      assert(c.maxX >= c.minX + 13.0f)
+    }
+    // foci must be ordered
+    val foci = csd.curveSet.curves.map(_._1)
+    assert(foci == foci.sorted)
+  }
+
+  test("generalDelayCurve: gates below 20 samples") {
+    assert(CurveBuilder.generalDelayCurve((1 to 19).map(_.toFloat)).isEmpty)
+    assert(CurveBuilder.generalDelayCurve((1 to 20).map(_.toFloat)).isDefined)
+  }
+
+  // ── property tests ──
+
+  private val valuesGen: Gen[List[Float]] =
+    Gen.listOfN(50, Gen.choose(-3000, 3000)).map(_.map(v => ((v / 12) * 12).toFloat))
+
+  test("property: makeCurve yields a monotone CDF in [0,1]") {
+    forAllSamples(valuesGen) { vs =>
+      Curve.makeCurve(vs, None).foreach { case (c, _) =>
+        val ys = c.points.map(_._2)
+        val xs = c.points.map(_._1)
+        assert(ys.head == 0.0f && ys.last == 1.0f)
+        assert(ys.zip(ys.tail).forall { case (a, b) => a <= b })
+        assert(xs.zip(xs.tail).forall { case (a, b) => a < b })
+      }
+    }
+  }
+
+  test("property: xAtY is a right inverse of yAtX on strictly increasing parts") {
+    forAllSamples(valuesGen) { vs =>
+      Curve.makeCurve(vs, None).foreach { case (c, _) =>
+        Seq(0.1f, 0.25f, 0.5f, 0.75f, 0.9f).foreach { p =>
+          val x = c.xAtY(p)
+          assert(math.abs(c.yAtX(x) - p) < 1e-3f)
+        }
+      }
+    }
+  }
+
+  test("property: simplify(eps) stays within eps everywhere") {
+    forAllSamples(valuesGen) { vs =>
+      Curve.makeCurve(vs, None).foreach { case (c, _) =>
+        val s = c.simplify(0.05f)
+        c.points.foreach { case (x, y) =>
+          assert(math.abs(s.yAtX(x) - y) <= 0.0501f)
+        }
+      }
+    }
+  }
+}
