@@ -1,0 +1,140 @@
+package graft.gtfs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** GTFS static schedule ingest (reference: whole-schedule load via the
+  * gtfs-structures fork, `src/main.rs:399-404`; our Spark-first form reads
+  * each GTFS CSV with an explicit schema — no inference — and derives the
+  * fork's extra `route_variant` field relationally).
+  *
+  * Schemas carry exactly the columns the reference reads (SURVEY.md §1.1.1,
+  * FIXTURES.md §1). Small dimension tables (routes, stops, calendar) are
+  * broadcast-sized by nature; `stop_times` is the only big table.
+  */
+object GtfsStatic {
+
+  val stopsSchema: StructType = StructType(Seq(
+    StructField("stop_id", StringType, nullable = false),
+    StructField("stop_name", StringType),
+    StructField("stop_lat", DoubleType),
+    StructField("stop_lon", DoubleType)))
+
+  val routesSchema: StructType = StructType(Seq(
+    StructField("route_id", StringType, nullable = false),
+    StructField("agency_id", StringType),
+    StructField("route_short_name", StringType),
+    StructField("route_type", IntegerType)))
+
+  val tripsSchema: StructType = StructType(Seq(
+    StructField("trip_id", StringType, nullable = false),
+    StructField("route_id", StringType, nullable = false),
+    StructField("service_id", StringType),
+    StructField("trip_headsign", StringType),
+    StructField("shape_id", StringType)))
+
+  val stopTimesSchema: StructType = StructType(Seq(
+    StructField("trip_id", StringType, nullable = false),
+    StructField("arrival_time", StringType),
+    StructField("departure_time", StringType),
+    StructField("stop_id", StringType, nullable = false),
+    StructField("stop_sequence", IntegerType, nullable = false)))
+
+  val calendarSchema: StructType = StructType(Seq(
+    StructField("service_id", StringType, nullable = false),
+    StructField("monday", IntegerType), StructField("tuesday", IntegerType),
+    StructField("wednesday", IntegerType), StructField("thursday", IntegerType),
+    StructField("friday", IntegerType), StructField("saturday", IntegerType),
+    StructField("sunday", IntegerType),
+    StructField("start_date", StringType), StructField("end_date", StringType)))
+
+  val calendarDatesSchema: StructType = StructType(Seq(
+    StructField("service_id", StringType, nullable = false),
+    StructField("date", StringType, nullable = false),
+    StructField("exception_type", IntegerType, nullable = false)))
+
+  private def csv(spark: SparkSession, dir: String, file: String, schema: StructType,
+                  required: Boolean = true): DataFrame = {
+    val path = s"$dir/$file"
+    if (!required && !new java.io.File(path).exists())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.option("header", "true").schema(schema).csv(path)
+  }
+
+  /** A loaded schedule: the five core tables plus the derived
+    * trip -> route_variant mapping. */
+  final case class Schedule(stops: DataFrame, routes: DataFrame, trips: DataFrame,
+                            stopTimes: DataFrame, calendar: DataFrame,
+                            calendarDates: DataFrame) {
+    /** trips enriched with route_variant (see [[routeVariants]]). */
+    lazy val tripsWithVariant: DataFrame =
+      trips.join(routeVariants(trips, stopTimes), Seq("trip_id"))
+  }
+
+  def read(spark: SparkSession, dir: String): Schedule = Schedule(
+    stops = csv(spark, dir, "stops.txt", stopsSchema),
+    routes = csv(spark, dir, "routes.txt", routesSchema),
+    trips = csv(spark, dir, "trips.txt", tripsSchema),
+    stopTimes = csv(spark, dir, "stop_times.txt", stopTimesSchema),
+    calendar = csv(spark, dir, "calendar.txt", calendarSchema, required = false),
+    calendarDates = csv(spark, dir, "calendar_dates.txt", calendarDatesSchema, required = false))
+
+  /** Derive `route_variant`: one id per distinct ordered stop_id sequence
+    * within a route (the reference gets this from its forked gtfs-structures
+    * crate; usage at `src/analyser/specific_curves.rs:123`). Deterministic
+    * across runs and cluster layouts because it is a content hash of
+    * (route_id, ordered stop sequence), not a rank — variants keyed this way
+    * can be persisted and re-derived stably.
+    *
+    * Returns (trip_id, route_variant LongType). One shuffle: the groupBy on
+    * trip_id; the stop-sequence ordering happens inside `array_sort` on the
+    * collected per-trip list, so no global sort is needed.
+    */
+  def routeVariants(trips: DataFrame, stopTimes: DataFrame): DataFrame = {
+    val seqPerTrip = stopTimes
+      .select(col("trip_id"), struct(col("stop_sequence"), col("stop_id")).as("s"))
+      .groupBy("trip_id")
+      .agg(array_sort(collect_list(col("s"))).as("stops_sorted"))
+      .select(col("trip_id"),
+        concat_ws("", transform(col("stops_sorted"), _.getField("stop_id"))).as("stop_seq_key"))
+    trips.select(col("trip_id"), col("route_id"))
+      .join(seqPerTrip, Seq("trip_id"))
+      // abs() keeps it in the positive u64-like range the reference uses
+      .select(col("trip_id"),
+        abs(xxhash64(col("route_id"), col("stop_seq_key"))).as("route_variant"))
+  }
+
+  /** Which service_ids run on a given date (reference `trips_for_date` via
+    * gtfs-structures; calendar weekday bit + date range, then
+    * calendar_dates exceptions: 1 = added, 2 = removed). */
+  def serviceIdsForDate(schedule: Schedule, date: java.time.LocalDate): DataFrame = {
+    val d8 = date.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    val weekdayCol = date.getDayOfWeek match {
+      case java.time.DayOfWeek.MONDAY => "monday"
+      case java.time.DayOfWeek.TUESDAY => "tuesday"
+      case java.time.DayOfWeek.WEDNESDAY => "wednesday"
+      case java.time.DayOfWeek.THURSDAY => "thursday"
+      case java.time.DayOfWeek.FRIDAY => "friday"
+      case java.time.DayOfWeek.SATURDAY => "saturday"
+      case java.time.DayOfWeek.SUNDAY => "sunday"
+    }
+    val base = schedule.calendar
+      .filter(col(weekdayCol) === 1 &&
+        col("start_date") <= d8 && col("end_date") >= d8)
+      .select("service_id")
+    val added = schedule.calendarDates
+      .filter(col("date") === d8 && col("exception_type") === 1)
+      .select("service_id")
+    val removed = schedule.calendarDates
+      .filter(col("date") === d8 && col("exception_type") === 2)
+      .select("service_id")
+    base.union(added).distinct()
+      .join(removed, Seq("service_id"), "left_anti")
+  }
+
+  /** Trips running on a date (used by scheduled predictions,
+    * `src/importer/scheduled_predictions_importer.rs:115-139`). */
+  def tripsForDate(schedule: Schedule, date: java.time.LocalDate): DataFrame =
+    schedule.trips.join(broadcast(serviceIdsForDate(schedule, date)), Seq("service_id"), "left_semi")
+}
