@@ -1,0 +1,291 @@
+package graft.analyse
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.curves.{Curve, CurveBuilder}
+import graft.model.{EventType, GtfsTime, PrecisionType, RouteSection, TimeSlot}
+import graft.gtfs.GtfsStatic
+
+/** Curve rows as stored in the normalized statistics tables (FIXTURES.md §3 —
+  * the relational replacement for the reference's nested `DelayStatistics`
+  * tree, `src/types/types.md:1-27`). */
+final case class CurvePoint(x: Float, y: Float)
+final case class FocusCurve(focus: Float, points: Seq[CurvePoint])
+
+final case class GeneralCurveRow(route_id: String, route_variant: Long,
+    stop_index: Int, event_type: Int, time_slot_id: Int,
+    precision_type: Int, sample_size: Int, points: Seq[CurvePoint])
+
+final case class CurveSetRow(route_id: String, route_variant: Long,
+    start_stop_index: Int, end_stop_index: Int, time_slot_id: Int,
+    event_type: Int, precision_type: Int, sample_size: Int,
+    curves: Seq[FocusCurve])
+
+final case class VariantSectionCurve(route_type: Int, route_section: Int,
+    time_slot_id: Int, event_type: Int, route_variant: Long,
+    sample_size: Int, points: Seq[CurvePoint])
+
+final case class DefaultCurveRow(route_type: Int, route_section: Int,
+    time_slot_id: Int, event_type: Int, precision_type: Int,
+    sample_size: Int, points: Seq[CurvePoint])
+
+/** The `analyse` pipeline (reference `src/analyser/` — SURVEY.md §3.2),
+  * re-expressed as one declarative Spark job per output table instead of the
+  * reference's per-route driver loops:
+  *
+  *   records ⋈ schedule stop lists → gap-filled projections (W1)
+  *     → groupBy (variant, stop, slot, event)         → general curves (A8)
+  *     → self-join on vehicle → groupBy stop pairs    → curve sets (J3+A7)
+  *     → groupBy (route_type, section, slot, event)   → default hierarchy (A9)
+  *
+  * Scale notes: every aggregation is keyed by (route_variant, …) so the
+  * shuffle partitions by variant — the natural unit of locality; the
+  * stop-pair self-join is equi-keyed on the vehicle (trip_id, start date,
+  * start time) so Spark executes it as a shuffled hash join co-partitioned
+  * with the upstream window, and group sizes are bounded by samples-per-
+  * vehicle-per-stop-pair, never by route size. Curve construction itself is
+  * group-local pure Scala (`CurveBuilder`).
+  */
+object DelayAnalysis {
+
+  import org.apache.spark.sql.Encoders
+
+  /** Per-trip scheduled stop list with dense stop_index, stop count and
+    * scheduled event seconds. */
+  def scheduleStops(schedule: GtfsStatic.Schedule): DataFrame = {
+    val w = Window.partitionBy(col("trip_id")).orderBy(col("stop_sequence"))
+    val wc = Window.partitionBy(col("trip_id"))
+    schedule.stopTimes
+      .withColumn("stop_index", row_number().over(w) - 1)
+      .withColumn("stop_count", count(lit(1)).over(wc).cast("int"))
+      .withColumn("arrival_secs", GtfsTime.timeToSecondsColumn(col("arrival_time")))
+      .withColumn("departure_secs", GtfsTime.timeToSecondsColumn(col("departure_time")))
+      .select("trip_id", "stop_sequence", "stop_index", "stop_count",
+        "arrival_secs", "departure_secs")
+  }
+
+  /** W1 gap-fill (reference `compute_projections_for_route_variant`,
+    * `src/analyser/specific_curves.rs:158-252`): right-join each vehicle's
+    * records onto its scheduled stop list, then carry the last seen delays
+    * forward with a frame-spec window. Adds the scheduled event instant and
+    * its TimeSlot id per event type. */
+  def projectedRecords(records: DataFrame, schedule: GtfsStatic.Schedule): DataFrame = {
+    val stops = scheduleStops(schedule)
+    val vehicles = records
+      .select("source", "route_id", "route_variant", "trip_id",
+        "trip_start_date", "trip_start_time")
+      .distinct()
+    val grid = vehicles.join(stops, Seq("trip_id"))
+    val obs = records.select(col("trip_id"), col("trip_start_date"),
+      col("trip_start_time"), col("stop_sequence"),
+      col("delay_arrival"), col("delay_departure"))
+    val vehicleW = Window
+      .partitionBy(col("trip_id"), col("trip_start_date"), col("trip_start_time"))
+      .orderBy(col("stop_index"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(obs, Seq("trip_id", "trip_start_date", "trip_start_time", "stop_sequence"), "left")
+      .withColumn("delay_arrival", last(col("delay_arrival"), ignoreNulls = true).over(vehicleW))
+      .withColumn("delay_departure", last(col("delay_departure"), ignoreNulls = true).over(vehicleW))
+      // service-day midnight + scheduled seconds: >24h stop times land on
+      // the following day (the C4 noon-minus-12h rule degenerates to this
+      // under the session's fixed UTC zone)
+      .withColumn("arrival_instant",
+        GtfsTime.instantColumn(col("trip_start_date"), col("arrival_secs")))
+      .withColumn("departure_instant",
+        GtfsTime.instantColumn(col("trip_start_date"), col("departure_secs")))
+      .withColumn("arrival_slot", TimeSlot.slotIdColumn(col("arrival_instant")))
+      .withColumn("departure_slot", TimeSlot.slotIdColumn(col("departure_instant")))
+  }
+
+  /** Long-format (event_type, delay, slot) view of the projections: one row
+    * per event type per stop visit, delays thresholded (F2) and rounded to
+    * 12 s (F3) exactly as the curve builders expect. */
+  private def eventLong(projected: DataFrame): DataFrame = {
+    val arr = projected.select(col("source"), col("route_id"), col("route_variant"),
+      col("trip_id"), col("trip_start_date"), col("trip_start_time"),
+      col("stop_index"), col("stop_count"),
+      lit(EventType.Arrival).as("event_type"),
+      col("delay_arrival").as("delay"), col("arrival_slot").as("time_slot_id"))
+    val dep = projected.select(col("source"), col("route_id"), col("route_variant"),
+      col("trip_id"), col("trip_start_date"), col("trip_start_time"),
+      col("stop_index"), col("stop_count"),
+      lit(EventType.Departure).as("event_type"),
+      col("delay_departure").as("delay"), col("departure_slot").as("time_slot_id"))
+    arr.unionByName(dep)
+      .filter(col("delay").isNotNull && abs(col("delay")) < CurveBuilder.DelayThreshold)
+      .withColumn("delay", ((col("delay") / 12).cast("int") * 12))
+  }
+
+  /** Duplicate every event row into its matched slot AND the DEFAULT slot
+    * (the reference computes curves per slot plus the catch-all,
+    * `src/analyser/specific_curves.rs:274-276`). */
+  private def withDefaultSlot(events: DataFrame): DataFrame =
+    events.withColumn("time_slot_id",
+      explode(array(col("time_slot_id"), lit(TimeSlot.Default.id))))
+
+  /** A8: general per-stop delay curves — `groupBy(variant, stop, event,
+    * slot)`, ≥20 samples, unfocused make_curve, simplify(0.01),
+    * SemiSpecific. */
+  def generalDelayCurves(projected: DataFrame): DataFrame = {
+    val spark = projected.sparkSession
+    import spark.implicits._
+    withDefaultSlot(eventLong(projected))
+      .select(col("route_id"), col("route_variant"), col("stop_index"),
+        col("event_type"), col("time_slot_id"), col("delay").cast("float").as("delay"))
+      .as[(String, Long, Int, Int, Int, Float)]
+      .groupByKey { case (rid, rv, si, et, slot, _) => (rid, rv, si, et, slot) }
+      .flatMapGroups((key: (String, Long, Int, Int, Int),
+                      rows: Iterator[(String, Long, Int, Int, Int, Float)]) => {
+        val (rid, rv, si, et, slot) = key
+        val delays = rows.map(_._6).toSeq
+        CurveBuilder.generalDelayCurve(delays).map { cd =>
+          GeneralCurveRow(rid, rv, si, et, slot, cd.precisionType, cd.sampleSize,
+            cd.curve.points.map(p => CurvePoint(p._1, p._2)))
+        }
+      }).toDF()
+  }
+
+  /** J3 + A7: stop-pair curve sets. The self-join is equi-keyed on the
+    * vehicle; the theta condition end > start only multiplies within a
+    * vehicle's own stop list (bounded by route length, not data volume). */
+  def stopPairCurveSets(projected: DataFrame): DataFrame = {
+    val spark = projected.sparkSession
+    import spark.implicits._
+    val vehicleKey = Seq("route_id", "route_variant", "trip_id",
+      "trip_start_date", "trip_start_time")
+    val start = projected
+      .filter(col("delay_departure").isNotNull &&
+        abs(col("delay_departure")) < CurveBuilder.DelayThreshold)
+      .select(vehicleKey.map(col) :+
+        col("stop_index").as("start_idx") :+
+        ((col("delay_departure") / 12).cast("int") * 12).cast("float").as("start_delay") :+
+        col("departure_slot").as("time_slot_id"): _*)
+    val endArr = projected
+      .filter(col("delay_arrival").isNotNull &&
+        abs(col("delay_arrival")) < CurveBuilder.DelayThreshold)
+      .select(vehicleKey.map(col) :+ col("stop_index").as("end_idx") :+
+        lit(EventType.Arrival).as("event_type") :+
+        ((col("delay_arrival") / 12).cast("int") * 12).cast("float").as("end_delay"): _*)
+    val endDep = projected
+      .filter(col("delay_departure").isNotNull &&
+        abs(col("delay_departure")) < CurveBuilder.DelayThreshold)
+      .select(vehicleKey.map(col) :+ col("stop_index").as("end_idx") :+
+        lit(EventType.Departure).as("event_type") :+
+        ((col("delay_departure") / 12).cast("int") * 12).cast("float").as("end_delay"): _*)
+    val pairs = start
+      .join(endArr.unionByName(endDep), vehicleKey)
+      .filter(col("end_idx") > col("start_idx"))
+      .withColumn("time_slot_id",
+        explode(array(col("time_slot_id"), lit(TimeSlot.Default.id))))
+      .select(col("route_id"), col("route_variant"), col("start_idx"),
+        col("end_idx"), col("time_slot_id"), col("event_type"),
+        col("start_delay"), col("end_delay"))
+    pairs
+      .as[(String, Long, Int, Int, Int, Int, Float, Float)]
+      .groupByKey { case (rid, rv, s, e, slot, et, _, _) => (rid, rv, s, e, slot, et) }
+      .flatMapGroups((key: (String, Long, Int, Int, Int, Int),
+                      rows: Iterator[(String, Long, Int, Int, Int, Int, Float, Float)]) => {
+        val (rid, rv, s, e, slot, et) = key
+        val ps = rows.map(r => (r._7, r._8)).toSeq
+        if (ps.length <= 20) Iterator.empty // F9 gate, reference `:337`
+        else CurveBuilder.stopPairCurveSet(ps).iterator.map { csd =>
+          CurveSetRow(rid, rv, s, e, slot, et, csd.precisionType, csd.sampleSize,
+            csd.curveSet.curves.map { case (f, c) =>
+              FocusCurve(f, c.points.map(p => CurvePoint(p._1, p._2)))
+            })
+        }
+      }).toDF()
+  }
+
+  /** A9: the default-curve hierarchy with its three-level fallback cascade
+    * (reference `src/analyser/default_curves.rs:42-248`):
+    *
+    *  1. leaf: per (route_type, section, slot, event, variant) build a curve
+    *     from that variant's section delays (≥10 samples, simplify 0.001);
+    *  2. General: average the per-variant curves of each (type, section,
+    *     slot, event) cell;
+    *  3. FallbackGeneral: empty cells take the average of ALL the route
+    *     type's curves for that event type;
+    *  4. SuperGeneral: still-empty cells take the global average.
+    *
+    * The cascade is a cross of the observed dimension values left-joined
+    * through the three levels with coalesce — no driver loops. */
+  def defaultCurves(projected: DataFrame, routes: DataFrame): DataFrame = {
+    val spark = projected.sparkSession
+    import spark.implicits._
+    val events = withDefaultSlot(eventLong(projected))
+      .join(broadcast(routes.select(col("route_id"), col("route_type"))), Seq("route_id"))
+      .withColumn("route_section",
+        RouteSection.sectionColumn(col("stop_index"), col("stop_count")))
+
+    // 1. per-variant section curves
+    val variantCurves = events
+      .select(col("route_type"), col("route_section"), col("time_slot_id"),
+        col("event_type"), col("route_variant"), col("delay").cast("float").as("delay"))
+      .as[(Int, Int, Int, Int, Long, Float)]
+      .groupByKey { case (rt, sec, slot, et, rv, _) => (rt, sec, slot, et, rv) }
+      .flatMapGroups((key: (Int, Int, Int, Int, Long),
+                      rows: Iterator[(Int, Int, Int, Int, Long, Float)]) => {
+        val (rt, sec, slot, et, rv) = key
+        CurveBuilder.defaultCurve(rows.map(_._6).toSeq).map { cd =>
+          VariantSectionCurve(rt, sec, slot, et, rv, cd.sampleSize,
+            cd.curve.points.map(p => CurvePoint(p._1, p._2)))
+        }
+      })
+      .cache()
+
+    def avgCurves(rows: Iterator[VariantSectionCurve]): (Seq[CurvePoint], Int, Int) = {
+      val cs = rows.toSeq
+      val curves = cs.map(v => Curve(v.points.map(p => (p.x, p.y)).toVector))
+      val avg = Curve.average(curves)
+      (avg.points.map(p => CurvePoint(p._1, p._2)), cs.map(_.sample_size).sum / cs.length, cs.length)
+    }
+
+    // 2. General per cell
+    val general = variantCurves
+      .groupByKey(v => (v.route_type, v.route_section, v.time_slot_id, v.event_type))
+      .mapGroups((key: (Int, Int, Int, Int), rows: Iterator[VariantSectionCurve]) => {
+        val (pts, n, _) = avgCurves(rows)
+        DefaultCurveRow(key._1, key._2, key._3, key._4, PrecisionType.General, n, pts)
+      }).toDF()
+
+    // 3. per (route_type, event_type) fallback pool
+    val pool = variantCurves
+      .groupByKey(v => (v.route_type, v.event_type))
+      .mapGroups((key: (Int, Int), rows: Iterator[VariantSectionCurve]) => {
+        val (pts, n, _) = avgCurves(rows)
+        (key._1, key._2, n, pts)
+      }).toDF("route_type", "event_type", "pool_n", "pool_points")
+
+    // 4. global fallback
+    val globalRow = variantCurves
+      .groupByKey(_ => 0)
+      .mapGroups((_: Int, rows: Iterator[VariantSectionCurve]) => {
+        val (pts, n, _) = avgCurves(rows)
+        (n, pts)
+      }).toDF("global_n", "global_points")
+
+    // full key grid: observed route types × 3 sections × 12 slots × 2 events
+    val sections = Seq(RouteSection.Beginning, RouteSection.Middle, RouteSection.End)
+      .toDF("route_section")
+    val slots = TimeSlot.SlotsWithDefault.map(_.id).toDF("time_slot_id")
+    val eventTypes = EventType.Types.toDF("event_type")
+    val grid = variantCurves.toDF().select("route_type").distinct()
+      .crossJoin(broadcast(sections))
+      .crossJoin(broadcast(slots))
+      .crossJoin(broadcast(eventTypes))
+
+    grid
+      .join(general, Seq("route_type", "route_section", "time_slot_id", "event_type"), "left")
+      .join(broadcast(pool), Seq("route_type", "event_type"), "left")
+      .crossJoin(broadcast(globalRow))
+      .select(col("route_type"), col("route_section"), col("time_slot_id"), col("event_type"),
+        when(col("points").isNotNull, col("precision_type"))
+          .when(col("pool_points").isNotNull, lit(PrecisionType.FallbackGeneral))
+          .otherwise(lit(PrecisionType.SuperGeneral)).as("precision_type"),
+        coalesce(col("sample_size"), col("pool_n"), col("global_n")).as("sample_size"),
+        coalesce(col("points"), col("pool_points"), col("global_points")).as("points"))
+  }
+}
