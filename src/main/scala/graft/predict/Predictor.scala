@@ -1,0 +1,133 @@
+package graft.predict
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.analyse.CurvePoint
+import graft.curves.{Curve, CurveSet}
+import graft.model.{PrecisionType, RouteSection, TimeSlot}
+
+/** The predictor (reference `src/predictor/mod.rs:178-335` — SURVEY.md §3.3)
+  * in its set-oriented form: a requests DataFrame is resolved through the
+  * precision ladder as a cascade of left joins + coalesce, mass-producing
+  * the `predictions` table in one job (the reference walks its in-memory
+  * statistics tree per request; our ladder IS the join cascade, so Spark
+  * distributes it).
+  *
+  * Ladder (reference `src/types/mod.rs:64-72`):
+  *   Specific          — curve set hit at (variant, start, end, slot) with an
+  *                       initial-delay basis
+  *   FallbackSpecific  — same but only the DEFAULT time slot had a curve set
+  *   SemiSpecific      — per-stop general delay curve (no basis available)
+  *   General/FallbackGeneral/SuperGeeneral — the default-curve table row
+  *                       (its own precision_type encodes which cascade level
+  *                       filled the cell).
+  */
+object Predictor {
+
+  /** Interpolate a curve set at the request's initial delay (reference
+    * `curve_at_x_with_continuation`, `src/predictor/mod.rs:324`). Runs as a
+    * scalar UDF over the curve-set array column. */
+  private val continuationUdf = udf(
+    (curves: Seq[org.apache.spark.sql.Row], x: Float) => {
+      val cs = CurveSet(curves.map { r =>
+        val focus = r.getFloat(0)
+        val pts = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+          .map(p => (p.getFloat(0), p.getFloat(1))).toVector
+        (focus, Curve(pts))
+      }.toVector)
+      cs.curveAtXWithContinuation(x).points.map(p => CurvePoint(p._1, p._2))
+    })
+
+  /** Resolve requests through the full ladder.
+    *
+    * Expected request columns: route_id, route_variant, trip_id,
+    * trip_start_date, trip_start_time, stop_sequence, stop_index,
+    * stop_count, stop_id, event_type, event_instant (timestamp), plus
+    * nullable start_index / initial_delay (the prediction basis).
+    *
+    * Curve tables are the outputs of `DelayAnalysis`; `routes` supplies
+    * route_type for the default path.
+    */
+  def resolve(requests: DataFrame, generalCurves: DataFrame, curveSets: DataFrame,
+              defaultCurves: DataFrame, routes: DataFrame): DataFrame = {
+    val slotCol = TimeSlot.slotIdColumn(col("event_instant"))
+
+    def csSide(suffix: String) = curveSets.select(
+      col("route_id").as(s"rid$suffix"), col("route_variant").as(s"rv$suffix"),
+      col("start_stop_index").as(s"sidx$suffix"),
+      col("end_stop_index").as(s"eidx$suffix"),
+      col("time_slot_id").as(s"slot$suffix"), col("event_type").as(s"et$suffix"),
+      col("curves").as(s"curves$suffix"), col("sample_size").as(s"n$suffix"))
+
+    def csJoinKey(suffix: String): Column =
+      col(s"rid$suffix") === col("route_id") &&
+        col(s"rv$suffix") === col("route_variant") &&
+        col(s"sidx$suffix") === col("start_index") &&
+        col(s"eidx$suffix") === col("stop_index") &&
+        col(s"et$suffix") === col("event_type")
+
+    val gen = generalCurves
+      .filter(col("time_slot_id") === TimeSlot.Default.id)
+      .select(col("route_id"), col("route_variant"), col("stop_index"),
+        col("event_type"), col("points").as("gen_points"),
+        col("sample_size").as("gen_n"))
+
+    val dflt = defaultCurves.select(
+      col("route_type"), col("route_section"), col("time_slot_id").as("d_slot"),
+      col("event_type"), col("points").as("d_points"),
+      col("sample_size").as("d_n"), col("precision_type").as("d_precision"))
+
+    val withSlot = requests
+      .withColumn("time_slot_id", slotCol)
+      .withColumn("route_section",
+        RouteSection.sectionColumn(col("stop_index"), col("stop_count")))
+      .join(broadcast(routes.select(col("route_id"), col("route_type"))),
+        Seq("route_id"), "left")
+
+    val resolved = withSlot
+      // Specific: exact slot curve set (only meaningful with a basis)
+      .join(csSide("1"), csJoinKey("1") && col("slot1") === col("time_slot_id"), "left")
+      // FallbackSpecific: DEFAULT-slot curve set
+      .join(csSide("2").filter(col("slot2") === TimeSlot.Default.id),
+        csJoinKey("2"), "left")
+      // SemiSpecific: per-stop general curve
+      .join(gen, Seq("route_id", "route_variant", "stop_index", "event_type"), "left")
+      // default path: every (type, section, slot, event) cell exists via the cascade
+      .join(broadcast(dflt.withColumnRenamed("route_type", "d_rt")
+          .withColumnRenamed("route_section", "d_sec")
+          .withColumnRenamed("event_type", "d_et")),
+        col("d_rt") === col("route_type") && col("d_sec") === col("route_section") &&
+          col("d_slot") === col("time_slot_id") && col("d_et") === col("event_type"),
+        "left")
+
+    val hasBasis = col("initial_delay").isNotNull
+    val specificCurve = when(hasBasis && col("curves1").isNotNull,
+      continuationUdf(col("curves1"), col("initial_delay").cast("float")))
+    val fallbackCurve = when(hasBasis && col("curves2").isNotNull,
+      continuationUdf(col("curves2"), col("initial_delay").cast("float")))
+
+    resolved.select(
+      col("route_id"), col("route_variant"), col("trip_id"),
+      col("trip_start_date"), col("trip_start_time"),
+      col("stop_sequence"), col("stop_id"), col("event_type"),
+      col("event_instant"), col("time_slot_id"),
+      coalesce(specificCurve, fallbackCurve, col("gen_points"), col("d_points"))
+        .as("prediction_curve"),
+      when(hasBasis && col("curves1").isNotNull, lit(PrecisionType.Specific))
+        .when(hasBasis && col("curves2").isNotNull, lit(PrecisionType.FallbackSpecific))
+        .when(col("gen_points").isNotNull, lit(PrecisionType.SemiSpecific))
+        .otherwise(col("d_precision")).as("precision_type"),
+      coalesce(
+        when(hasBasis && col("curves1").isNotNull, col("n1")),
+        when(hasBasis && col("curves2").isNotNull, col("n2")),
+        col("gen_n"), col("d_n")).as("sample_size"))
+      .filter(col("prediction_curve").isNotNull)
+      // prediction_min/max: scheduled instant shifted by the curve support
+      .withColumn("prediction_min",
+        timestamp_add("SECOND", element_at(col("prediction_curve"), 1)("x").cast("int"),
+          col("event_instant")))
+      .withColumn("prediction_max",
+        timestamp_add("SECOND", element_at(col("prediction_curve"), -1)("x").cast("int"),
+          col("event_instant")))
+  }
+}

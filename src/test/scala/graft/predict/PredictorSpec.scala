@@ -1,0 +1,95 @@
+package graft.predict
+
+import graft.SparkSpec
+import graft.analyse.DelayAnalysis
+import graft.gtfs.GtfsStatic
+import graft.model.{EventType, PrecisionType}
+import org.apache.spark.sql.functions._
+import java.sql.{Date, Timestamp}
+
+/** Ladder resolution over curves built from the same synthetic records as
+  * DelayAnalysisSpec (40 runs of tA1, delays 12i at stop 1, +24 at stop 2,
+  * +48 at stop 4). */
+class PredictorSpec extends SparkSpec {
+
+  private lazy val schedule = GtfsStatic.read(spark, "fixtures/gtfs_tiny")
+
+  private lazy val records = {
+    import spark.implicits._
+    val rows = (0 until 40).flatMap { i =>
+      val d = 12 * (i % 40)
+      val day = java.time.LocalDate.of(2024, 3, 4).plusDays(7 * (i / 5) + i % 5)
+      Seq(
+        ("src", "rA", "tA1", Date.valueOf(day), 8 * 3600, 1, "s1", new Timestamp(1000L), None, Some(d)),
+        ("src", "rA", "tA1", Date.valueOf(day), 8 * 3600, 2, "s2", new Timestamp(1000L), Some(d + 24), Some(d + 24)),
+        ("src", "rA", "tA1", Date.valueOf(day), 8 * 3600, 4, "s4", new Timestamp(1000L), Some(d + 48), None))
+    }
+    val df = rows.toDF("source", "route_id", "trip_id", "trip_start_date",
+      "trip_start_time", "stop_sequence", "stop_id", "time_of_recording",
+      "delay_arrival", "delay_departure")
+    df.join(GtfsStatic.routeVariants(schedule.trips, schedule.stopTimes), Seq("trip_id")).cache()
+  }
+
+  private lazy val projected = DelayAnalysis.projectedRecords(records, schedule).cache()
+  private lazy val general = DelayAnalysis.generalDelayCurves(projected).cache()
+  private lazy val curveSets = DelayAnalysis.stopPairCurveSets(projected).cache()
+  private lazy val defaults = DelayAnalysis.defaultCurves(projected, schedule.routes).cache()
+
+  private lazy val variantA = records.select("route_variant").distinct()
+    .collect().head.getLong(0)
+
+  /** One request row; event_instant 2024-03-08 (Fri) 08:20 -> slot 3. */
+  private def request(routeId: String, variant: Long, stopIdx: Int,
+                      startIdx: Option[Int], initialDelay: Option[Int],
+                      instant: String = "2024-03-08 08:20:00") = {
+    import spark.implicits._
+    Seq((routeId, variant, "tA1", Date.valueOf("2024-03-08"), 8 * 3600,
+      stopIdx + 1, stopIdx, 4, "s4", EventType.Arrival,
+      Timestamp.valueOf(instant), startIdx, initialDelay))
+      .toDF("route_id", "route_variant", "trip_id", "trip_start_date",
+        "trip_start_time", "stop_sequence", "stop_index", "stop_count",
+        "stop_id", "event_type", "event_instant", "start_index", "initial_delay")
+  }
+
+  private def resolve(req: org.apache.spark.sql.DataFrame) =
+    Predictor.resolve(req, general, curveSets, defaults, schedule.routes)
+      .collect().head
+
+  test("Specific: slot-exact curve-set hit with a basis") {
+    val r = resolve(request("rA", variantA, 3, Some(0), Some(120)))
+    assert(r.getAs[Int]("precision_type") == PrecisionType.Specific)
+    val pts = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("prediction_curve")
+    assert(pts.nonEmpty)
+    // end delay distribution near initial+48: support must contain it
+    assert(pts.head.getFloat(0) <= 168f && pts.last.getFloat(0) >= 168f)
+    assert(r.getAs[Timestamp]("prediction_min").before(r.getAs[Timestamp]("prediction_max")))
+  }
+
+  test("FallbackSpecific: DEFAULT-slot retry when the slot has no curve set") {
+    // Sunday 08:20 -> slot 9, which has no curves (all data is weekday)
+    val r = resolve(request("rA", variantA, 3, Some(0), Some(120),
+      instant = "2024-03-10 08:20:00"))
+    assert(r.getAs[Int]("precision_type") == PrecisionType.FallbackSpecific)
+  }
+
+  test("SemiSpecific: no basis -> per-stop general curve") {
+    val r = resolve(request("rA", variantA, 1, None, None))
+    assert(r.getAs[Int]("precision_type") == PrecisionType.SemiSpecific)
+    assert(r.getAs[Int]("sample_size") == 40)
+  }
+
+  test("default path: unknown variant falls to the default-curve table") {
+    val r = resolve(request("rA", variant = 999L, stopIdx = 3, None, None))
+    assert(Set(PrecisionType.General, PrecisionType.FallbackGeneral)
+      .contains(r.getAs[Int]("precision_type")))
+  }
+
+  test("set-oriented: a batch of mixed requests resolves in one pass") {
+    val reqs = request("rA", variantA, 3, Some(0), Some(120))
+      .union(request("rA", variantA, 1, None, None))
+      .union(request("rA", 999L, 3, None, None))
+    val out = Predictor.resolve(reqs, general, curveSets, defaults, schedule.routes)
+    assert(out.count() == 3)
+    assert(out.select("precision_type").collect().map(_.getInt(0)).toSet.size == 3)
+  }
+}
