@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Training-data-pipeline battery #2: deduplication (exact was q22;
+  * here MinHash-LSH, SimHash, n-gram Jaccard), similarity search,
+  * as-of joins, text analysis (language-ID, fingerprinting, quality,
+  * tokenization). All hot-path logic is native Catalyst expressions
+  * (split / transform / aggregate / zip_with / xxhash64) — no Scala UDFs,
+  * so everything stays inside whole-stage codegen.
+  *
+  * Oracle notes: queries whose semantics are exactly expressible in
+  * DuckDB SQL carry an oracle; MinHash/SimHash use Spark's xxhash64
+  * (not reproducible in DuckDB) and are verified by planted-duplicate
+  * ScalaTest specs instead (DedupSpec).
+  */
+object DedupQueries {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Polynomial 31-base hash of the 8-gram starting at 1-based position i —
+    * identical arithmetic on both engines (all-BIGINT, mod 1e9+7). */
+  private def gramHash(text: Column, i: Column): Column = {
+    val terms = (0 until 8).map { k =>
+      ascii(text.substr(i + lit(k), lit(1))).cast("long") * lit(math.pow(31, k).toLong)
+    }
+    terms.reduce(_ + _) % lit(1000000007L)
+  }
+
+  private def gramHashSql(k: Int): String =
+    s"ascii(substr(text,i+$k,1))*CAST(${math.pow(31, k).toLong} AS BIGINT)"
+
+  val registry: Map[String, QueryDef] = Map(
+
+    // ── J9/J10-style as-of join: latest order at each event's as-of date ──
+    "q28_asof_join" -> QueryDef(
+      (s, d) => {
+        val req = Tables.events(s, d).select(col("event_id"), col("user_id"),
+          date_add(to_date(lit("1995-01-01")), (col("event_id") % 2400).cast("int")).as("as_of"))
+        val o = Tables.orders(s, d).select(col("o_custkey"),
+          col("o_orderkey"), col("o_orderdate"))
+        val w = Window.partitionBy(col("event_id"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        req.join(o, col("o_custkey") === col("user_id") &&
+            to_date(col("o_orderdate")) <= col("as_of"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_id"), col("o_orderkey"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH req AS (SELECT event_id, user_id,
+             |    DATE '1995-01-01' + INTERVAL (event_id % 2400) DAY AS as_of FROM events),
+             |j AS (SELECT event_id, o_orderkey, ROW_NUMBER() OVER (PARTITION BY event_id
+             |        ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+             |      FROM req JOIN orders ON o_custkey = user_id
+             |        AND CAST(o_orderdate AS DATE) <= CAST(as_of AS DATE))
+             |SELECT event_id, o_orderkey FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
+    // ── n-gram (token-set) Jaccard near-dup, source-blocked self-join ──
+    "q29_jaccard_pairs" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), array_distinct(tokens(col("text"))).as("t"))
+        val a = toks.select(col("source"), col("doc_id").as("id1"), col("t").as("t1"))
+        val b = toks.select(col("source"), col("doc_id").as("id2"), col("t").as("t2"))
+        a.join(b, Seq("source")).filter(col("id1") < col("id2"))
+          .withColumn("jac",
+            size(array_intersect(col("t1"), col("t2"))).cast("double") /
+              size(array_union(col("t1"), col("t2"))))
+          .filter(col("jac") >= 0.4)
+          .select(col("id1"), col("id2"), col("jac"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, source,
+             |    list_distinct(string_split(text, ' ')) AS t FROM documents)
+             |SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |  CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |    / len(list_distinct(a.t || b.t)) AS jac
+             |FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |    / len(list_distinct(a.t || b.t)) >= 0.4
+             |ORDER BY id1, id2""".stripMargin)),
+
+    // ── MinHash + LSH banding near-dup candidates (xxhash64 — no oracle;
+    //    verified by planted duplicates in DedupSpec) ──
+    "q30_minhash_lsh" -> QueryDef(
+      (s, d) => minhashCandidates(Tables.documents(s, d)), None),
+
+    // ── SimHash near-dup candidates, 16-bit-band blocking + hamming cut ──
+    "q31_simhash" -> QueryDef(
+      (s, d) => simhashCandidates(Tables.documents(s, d)), None),
+
+    // ── language-ID: per-lang top-10 token profiles, argmax classification ──
+    "q32_lang_id" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("token"))
+        val freq = tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+        val prof = freq
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))))
+          .filter(col("rn") <= 10)
+          .select(col("lang").as("profile_lang"), col("token"))
+        val hits = tok.join(broadcast(prof), Seq("token"))
+          .groupBy(col("doc_id"), col("profile_lang")).agg(count(lit(1)).as("n"))
+        val best = hits
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("n").desc, col("profile_lang"))))
+          .filter(col("rn") === 1)
+        best.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("profile_lang").as("pred"), col("lang").as("actual"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("pred"), col("actual"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
+             |            FROM documents),
+             |freq AS (SELECT lang, token, COUNT(*) n FROM tok GROUP BY 1, 2),
+             |prof AS (SELECT lang AS profile_lang, token FROM (
+             |    SELECT lang, token, ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY n DESC, token) rn FROM freq) WHERE rn <= 10),
+             |hits AS (SELECT t.doc_id, p.profile_lang, COUNT(*) n
+             |         FROM tok t JOIN prof p USING (token) GROUP BY 1, 2),
+             |best AS (SELECT doc_id, profile_lang, ROW_NUMBER() OVER (
+             |    PARTITION BY doc_id ORDER BY n DESC, profile_lang) rn FROM hits)
+             |SELECT b.profile_lang AS pred, d.lang AS actual, COUNT(*) AS n
+             |FROM best b JOIN documents d USING (doc_id) WHERE rn = 1
+             |GROUP BY 1, 2 ORDER BY pred, actual""".stripMargin)),
+
+    // ── rolling-hash document fingerprint: min polynomial 8-gram hash ──
+    "q33_fingerprint" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_min(transform(sequence(lit(1), length(col("text")) - 7),
+            i => gramHash(col("text"), i))).as("fp"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  list_min(list_transform(generate_series(1, length(text)-7),
+              |    i -> (${(0 until 8).map(gramHashSql).mkString(" + ")})
+              |         % 1000000007)) AS fp
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── quality scoring: stopword ratio + length signals ──
+    "q34_quality_score" -> QueryDef(
+      (s, d) => {
+        val stop = Seq("the", "data", "row", "scan", "join", "query")
+        val t = tokens(col("text"))
+        val nTok = size(t).cast("double")
+        val stopRatio = size(filter(t, x => x.isInCollection(stop))).cast("double") / nTok
+        val avgLen = (length(col("text")) - size(t) + 1).cast("double") / nTok
+        Tables.documents(s, d)
+          .select(col("doc_id"), stopRatio.as("stop_ratio"), avgLen.as("avg_token_len"),
+            (stopRatio * 0.5 + least(nTok / 100.0, lit(1.0)) * 0.5).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text,' '),
+             |      t -> t IN ('the','data','row','scan','join','query'))) AS DOUBLE)
+             |    / len(string_split(text,' ')) AS stop_ratio,
+             |  CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+             |    / len(string_split(text,' ')) AS avg_token_len,
+             |  CAST(len(list_filter(string_split(text,' '),
+             |      t -> t IN ('the','data','row','scan','join','query'))) AS DOUBLE)
+             |    / len(string_split(text,' ')) * 0.5
+             |    + LEAST(len(string_split(text,' ')) / 100.0, 1.0) * 0.5 AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── embedding-cosine near-dup pairs, label-blocked ──
+    "q35_embed_neardup" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("label"), col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val a = e.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"))
+        val b = e.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"))
+        def dot(x: Column, y: Column) =
+          aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+        a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+          .withColumn("cos", dot(col("v1"), col("v2")) /
+            (sqrt(dot(col("v1"), col("v1"))) * sqrt(dot(col("v2"), col("v2")))))
+          .filter(col("cos") > 0.3)
+          .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+             |  ROUND(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             |    / (SQRT(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             |     * SQRT(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             |    / (SQRT(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             |     * SQRT(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) > 0.3
+             |ORDER BY id1, id2""".stripMargin)),
+
+    // ── BPE-ish regex tokenizer: letter runs / digit runs / other symbols ──
+    "q36_tokenizer" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             |    AS BIGINT) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+
+  /** MinHash signatures (16 permutations via seeded xxhash64 over word
+    * 3-shingles), banded 4x4 for LSH; emits candidate pairs per band with
+    * their exact token-Jaccard for verification — the standard
+    * shingle -> minhash -> band -> bucket-join pipeline, all native
+    * expressions. Exposed for DedupSpec. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val shingles = transform(sequence(lit(0), size(t) - 3),
+      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
+    val sigs = (0 until 16).map(k =>
+      array_min(transform(col("shingles"), sh => xxhash64(sh, lit(k)))).as(s"sig$k"))
+    val bands = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * 4 until b * 4 + 4).map(k => col(s"sig$k")): _*).as("bucket")))
+    val banded = docs
+      .select(col("doc_id"), shingles.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id") +: sigs: _*)
+      .select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
+    a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** 64-bit SimHash from token xxhash64 bit votes; candidates share one of
+    * four 16-bit bands (exact-match blocking) and have hamming distance
+    * <= 16. The hamming cut is deliberately loose: for short documents a
+    * single changed token shifts every bit's vote by 2, flipping
+    * O(n / sqrt(n_tokens)) bits, so tight cuts only work on long docs; the
+    * shared-band requirement is what keeps the candidate set small. */
+  def simhashCandidates(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    // per-bit votes: +1 if the token hash has bit j set, else -1
+    val votes = aggregate(t,
+      array_repeat(lit(0L), 64),
+      (acc, tok) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          j => when(call_function("shiftright", xxhash64(tok), j)
+            .bitwiseAND(1) === 1, 1L).otherwise(-1L)),
+        _ + _))
+    val simhash = (0 until 64)
+      .map(j => when(element_at(col("votes"), j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val withSig = docs
+      .select(col("doc_id"), votes.as("votes"))
+      .select(col("doc_id"), simhash.as("simhash"))
+    val bands = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket")))
+    val banded = withSig
+      .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id1"), col("simhash").as("s1"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id2"), col("simhash").as("s2"))
+    a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("hamming") <= 16)
+      .select(col("id1"), col("id2"), col("hamming")).distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+}
