@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.gtfs.{GtfsRt, GtfsStatic, RtIngest}
+
+/** The reference's `import automatic` mode (SURVEY.md §2.8 — a hand-rolled
+  * 5-second directory poller, `src/importer/mod.rs:30,295-460`) as
+  * Structured Streaming:
+  *
+  *   file source (binaryFile) → decode flatMap → broadcast schedule join
+  *     → foreachBatch { last-wins merge into the records table }
+  *     → stateful prediction-basis dedup (flatMapGroupsWithState)
+  *
+  * The reference's `imported/`-dir bookkeeping maps to checkpointing +
+  * `cleanSource=archive`; its `Mutex<HashMap<VehicleIdentifier,
+  * PredictionBasis>>` (`src/importer/mod.rs:42`) maps to per-key group
+  * state with a processing-time TTL standing in for the 12 h cleanup
+  * (`src/importer/mod.rs:27,174-223`).
+  */
+object RtStream {
+
+  /** The last realtime position of a vehicle that predictions were computed
+    * from (reference `PredictionBasis`, `src/types/mod.rs` via
+    * `per_schedule_importer.rs:266-313`). */
+  final case class PredictionBasis(stopSequence: Int, delayDeparture: Option[Int])
+
+  final case class VehicleUpdate(
+      trip_id: String, trip_start_date: String, trip_start_time: String,
+      route_id: String, stop_sequence: Int, delay_departure: Option[Int],
+      time_of_recording: Long)
+
+  /** Work item emitted when a vehicle's basis changes: downstream feeds the
+    * Predictor with (vehicle, basis) requests for all later stops. */
+  final case class PredictionWork(
+      trip_id: String, trip_start_date: String, trip_start_time: String,
+      route_id: String, basis_stop_sequence: Int, basis_delay: Option[Int],
+      time_of_recording: Long)
+
+  /** Streaming decode: one observation row per stop_time_update, exactly
+    * like `RtIngest.readFeeds` but on a stream. */
+  def observations(spark: SparkSession, dir: String): Dataset[RtIngest.RtObservation] = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val msg = GtfsRt.decode(bytes, path)
+        val fileName = path.substring(path.lastIndexOf('/') + 1)
+        for {
+          ts <- msg.headerTimestamp.toSeq
+          tu <- msg.tripUpdates
+          tripId <- tu.trip.tripId.toSeq
+          stu <- tu.stopTimeUpdates
+        } yield RtIngest.RtObservation(fileName, ts, tripId,
+          tu.trip.routeId, tu.trip.startDate, tu.trip.startTime,
+          stu.stopSequence, stu.stopId,
+          stu.arrival.flatMap(_.delay), stu.departure.flatMap(_.delay))
+      }
+  }
+
+  /** Reduce a micro-batch of observations to one latest-position update per
+    * vehicle (the reference takes the last stop_time_update with data,
+    * `per_schedule_importer.rs:266-286`). */
+  def vehicleUpdates(obs: Dataset[RtIngest.RtObservation]): Dataset[VehicleUpdate] = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs
+      .filter(o => o.stop_sequence.isDefined && o.start_date.isDefined && o.start_time.isDefined)
+      .groupByKey(o => (o.trip_id, o.start_date.get, o.start_time.get))
+      .mapGroups((key: (String, String, String), rows: Iterator[RtIngest.RtObservation]) => {
+        val all = rows.toSeq
+        val latestFeed = all.maxBy(_.time_of_recording)
+        val latestPos = all.filter(_.time_of_recording == latestFeed.time_of_recording)
+          .maxBy(_.stop_sequence.get)
+        VehicleUpdate(key._1, key._2, key._3,
+          latestPos.route_id_rt.getOrElse(""),
+          latestPos.stop_sequence.get, latestPos.delay_departure,
+          latestFeed.time_of_recording)
+      })
+  }
+
+  /** Stateful dedup: emit a PredictionWork item only when the vehicle's
+    * basis (stop_sequence, delay) actually changed; state expires after
+    * `ttlMs` of inactivity (the reference's 12 h retention,
+    * `MAX_ESTIMATED_TRIP_DURATION`). Pass ttlMs = 0 to disable expiry
+    * (tests: ProcessingTimeTimeout schedules continuous empty batches,
+    * which keeps processAllAvailable from draining). */
+  def dedupPredictionWork(updates: Dataset[VehicleUpdate],
+                          ttlMs: Long = 12L * 3600 * 1000): Dataset[PredictionWork] = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    updates
+      .groupByKey(u => (u.trip_id, u.trip_start_date, u.trip_start_time))
+      .flatMapGroupsWithState[PredictionBasis, PredictionWork](
+        OutputMode.Update(), timeoutConf)(
+        (key: (String, String, String), rows: Iterator[VehicleUpdate],
+         state: GroupState[PredictionBasis]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val latest = rows.toSeq.maxBy(u => (u.time_of_recording, u.stop_sequence))
+            val basis = PredictionBasis(latest.stop_sequence, latest.delay_departure)
+            val unchanged = state.exists && state.get == basis
+            state.update(basis)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            if (unchanged) Iterator.empty
+            else Iterator.single(PredictionWork(key._1, key._2, key._3,
+              latest.route_id, basis.stopSequence, basis.delayDeparture,
+              latest.time_of_recording))
+          }
+        })
+  }
+
+  /** Batch-side last-wins merge (W2): combine a micro-batch with the
+    * existing records table, keep the newest time_of_recording per logical
+    * key. Used inside foreachBatch; also the batch-mode compaction. */
+  def mergeRecords(existing: DataFrame, batch: DataFrame): DataFrame = {
+    val keyCols = Seq("source", "route_id", "route_variant", "trip_id",
+      "trip_start_date", "trip_start_time", "stop_sequence")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("time_of_recording").desc)
+    existing.unionByName(batch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Wire the full automatic-mode query: decode → records merge into a
+    * parquet table + prediction work stream. Returns the started query.
+    * `trigger` defaults to the reference's 5 s poll cadence. */
+  def start(spark: SparkSession, rtDir: String, schedule: GtfsStatic.Schedule,
+            recordsPath: String, checkpoint: String,
+            source: String = "rt", scheduleFileName: String = "schedule",
+            trigger: org.apache.spark.sql.streaming.Trigger =
+              org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val obs = observations(spark, rtDir)
+    obs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[RtIngest.RtObservation], _: Long) =>
+        val records = RtIngest.records(batch, schedule, source, scheduleFileName)
+        val existing =
+          if (new java.io.File(recordsPath).exists())
+            spark.read.parquet(recordsPath)
+          else records.limit(0)
+        mergeRecords(existing, records)
+          .write.mode("overwrite").parquet(recordsPath + "_tmp")
+        // atomic-ish swap: parquet has no in-place merge; a real deployment
+        // would use a table format with MERGE INTO semantics
+        val tmp = new java.io.File(recordsPath + "_tmp")
+        val dst = new java.io.File(recordsPath)
+        if (dst.exists()) { org.apache.commons.io.FileUtils.deleteDirectory(dst) }
+        tmp.renameTo(dst)
+        ()
+      }
+      .start()
+  }
+}
