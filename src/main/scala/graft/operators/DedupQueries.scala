@@ -33,6 +33,10 @@ object DedupQueries {
   private def gramHashSql(k: Int): String =
     s"ascii(substr(text,i+$k,1))*CAST(${math.pow(31, k).toLong} AS BIGINT)"
 
+  /** +1 when bit j of the hash is set, else -1 (SimHash vote). */
+  private def bitSign(h: Column, j: Int): Column =
+    when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+
   val registry: Map[String, QueryDef] = Map(
 
     // ── J9/J10-style as-of join: latest order at each event's as-of date ──
@@ -171,16 +175,21 @@ object DedupQueries {
     // ── embedding-cosine near-dup pairs, label-blocked ──
     "q35_embed_neardup" -> QueryDef(
       (s, d) => {
+        def dot(x: Column, y: Column) =
+          aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+        // norms are computed once per row BEFORE the self-join: the join
+        // multiplies rows, so per-pair norm recomputation would cost
+        // O(pairs * dim) instead of O(rows * dim)
         val e = Tables.embeddings(s, d)
           .select(col("label"), col("vec_id"),
             transform(col("embedding"), _.cast("double")).as("v"))
-        val a = e.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"))
-        val b = e.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"))
-        def dot(x: Column, y: Column) =
-          aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+          .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+        val a = e.select(col("label"), col("vec_id").as("id1"),
+          col("v").as("v1"), col("norm").as("n1"))
+        val b = e.select(col("label"), col("vec_id").as("id2"),
+          col("v").as("v2"), col("norm").as("n2"))
         a.join(b, Seq("label")).filter(col("id1") < col("id2"))
-          .withColumn("cos", dot(col("v1"), col("v2")) /
-            (sqrt(dot(col("v1"), col("v1"))) * sqrt(dot(col("v2"), col("v2")))))
+          .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
           .filter(col("cos") > 0.3)
           .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
           .orderBy(col("id1"), col("id2"))
@@ -209,23 +218,27 @@ object DedupQueries {
   )
 
   /** MinHash signatures (16 permutations via seeded xxhash64 over word
-    * 3-shingles), banded 4x4 for LSH; emits candidate pairs per band with
-    * their exact token-Jaccard for verification — the standard
-    * shingle -> minhash -> band -> bucket-join pipeline, all native
-    * expressions. Exposed for DedupSpec. */
+    * 3-shingles), banded 4x4 for LSH; the standard shingle -> minhash ->
+    * band -> bucket-join pipeline. Exposed for DedupSpec.
+    *
+    * Shape note: explode + codegen'd hash-aggregate (16 min()s), NOT a
+    * higher-order-function fold — nested HOF lambdas run interpreted and
+    * were ~5x slower; 16 simple min aggregates stay in whole-stage codegen
+    * and scale out through a single doc_id shuffle. */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val shingles = transform(sequence(lit(0), size(t) - 3),
       i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
-    val sigs = (0 until 16).map(k =>
-      array_min(transform(col("shingles"), sh => xxhash64(sh, lit(k)))).as(s"sig$k"))
+    val sigs = docs
+      .filter(size(t) >= 3)
+      .select(col("doc_id"), explode(shingles).as("sh"))
+      .groupBy("doc_id")
+      .agg(min(xxhash64(col("sh"), lit(0))).as("sig0"),
+        (1 until 16).map(k => min(xxhash64(col("sh"), lit(k))).as(s"sig$k")): _*)
     val bands = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         xxhash64((b * 4 until b * 4 + 4).map(k => col(s"sig$k")): _*).as("bucket")))
-    val banded = docs
-      .select(col("doc_id"), shingles.as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id") +: sigs: _*)
+    val banded = sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
@@ -243,20 +256,20 @@ object DedupQueries {
     * shared-band requirement is what keeps the candidate set small. */
   def simhashCandidates(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    // per-bit votes: +1 if the token hash has bit j set, else -1
-    val votes = aggregate(t,
-      array_repeat(lit(0L), 64),
-      (acc, tok) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          j => when(call_function("shiftright", xxhash64(tok), j)
-            .bitwiseAND(1) === 1, 1L).otherwise(-1L)),
-        _ + _))
+    // explode tokens; per-bit votes as 64 codegen'd sum() aggregates over
+    // sign(bit) (the per-row xxhash64 is shared across the 64 aggregates by
+    // subexpression elimination); the signature is assembled from the vote
+    // columns post-aggregation
+    val h = xxhash64(col("tok"))
+    val votes = docs
+      .select(col("doc_id"), explode(t).as("tok"))
+      .groupBy("doc_id")
+      .agg(sum(bitSign(h, 0)).as("v0"),
+        (1 until 64).map(j => sum(bitSign(h, j)).as(s"v$j")): _*)
     val simhash = (0 until 64)
-      .map(j => when(element_at(col("votes"), j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
-    val withSig = docs
-      .select(col("doc_id"), votes.as("votes"))
-      .select(col("doc_id"), simhash.as("simhash"))
+    val withSig = votes.select(col("doc_id"), simhash.as("simhash"))
     val bands = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket")))
