@@ -61,7 +61,7 @@ object DelayAnalysis {
       .withColumn("stop_count", count(lit(1)).over(wc).cast("int"))
       .withColumn("arrival_secs", GtfsTime.timeToSecondsColumn(col("arrival_time")))
       .withColumn("departure_secs", GtfsTime.timeToSecondsColumn(col("departure_time")))
-      .select("trip_id", "stop_sequence", "stop_index", "stop_count",
+      .select("trip_id", "stop_sequence", "stop_id", "stop_index", "stop_count",
         "arrival_secs", "departure_secs")
   }
 
@@ -267,12 +267,17 @@ object DelayAnalysis {
         (n, pts)
       }).toDF("global_n", "global_points")
 
-    // full key grid: observed route types × 3 sections × 12 slots × 2 events
+    // full key grid: (standard GTFS route types ∪ observed) × 3 sections ×
+    // 12 slots × 2 events — the reference iterates ALL route types
+    // (`default_curves.rs:66`), so unseen types get SuperGeneral cells and
+    // every possible lookup key resolves
     val sections = Seq(RouteSection.Beginning, RouteSection.Middle, RouteSection.End)
       .toDF("route_section")
     val slots = TimeSlot.SlotsWithDefault.map(_.id).toDF("time_slot_id")
     val eventTypes = EventType.Types.toDF("event_type")
-    val grid = variantCurves.toDF().select("route_type").distinct()
+    val standardTypes = (0 to 7).toDF("route_type") // GTFS route_type codes
+    val grid = variantCurves.toDF().select("route_type")
+      .union(standardTypes).distinct()
       .crossJoin(broadcast(sections))
       .crossJoin(broadcast(slots))
       .crossJoin(broadcast(eventTypes))

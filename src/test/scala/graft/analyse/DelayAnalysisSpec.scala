@@ -96,14 +96,15 @@ class DelayAnalysisSpec extends SparkSpec {
 
   test("default curves: cascade fills every grid cell with correct precision") {
     val d = DelayAnalysis.defaultCurves(projected, schedule.routes).cache()
-    // grid: 1 observed route_type (3=Bus) x 3 sections x 12 slots x 2 events
-    assert(d.count() == 3 * 12 * 2)
+    // grid: 8 standard route types x 3 sections x 12 slots x 2 events
+    assert(d.count() == 8 * 3 * 12 * 2)
     val byPrecision = d.groupBy("precision_type").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // observed cells are General; everything else falls back to the
-    // (route_type, event) pool — the global SuperGeneral never triggers
-    // because every event type has data somewhere
-    assert(byPrecision.keySet == Set(PrecisionType.General, PrecisionType.FallbackGeneral))
+    // observed (Bus) cells are General, Bus gaps use the (route_type, event)
+    // pool, all other route types drop to the global SuperGeneral
+    assert(byPrecision.keySet == Set(PrecisionType.General,
+      PrecisionType.FallbackGeneral, PrecisionType.SuperGeneral))
+    assert(byPrecision(PrecisionType.SuperGeneral) == 7 * 3 * 12 * 2)
     val general = d.filter(col("precision_type") === PrecisionType.General)
     assert(general.count() >= 4)
     // every returned curve satisfies the CDF invariants
