@@ -9,7 +9,8 @@ object SparkEntry {
 
   /** All operator batteries, merged. */
   private lazy val all: Map[String, QueryDef] =
-    RelationalQueries.registry ++ TextQueries.registry ++ DedupQueries.registry
+    RelationalQueries.registry ++ TextQueries.registry ++
+      DedupQueries.registry ++ MultimodalQueries.registry ++ AnnQueries.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class AnnMultimodalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("IVF ANN with nprobe=1 matches brute force restricted to the probed cell") {
+    val e = Tables.embeddings(spark, sf)
+    val probe = e.orderBy(col("vec_id")).limit(1)
+    val ivf = AnnQueries.ivfSearch(e, probe, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.length == 5)
+    // results sorted by similarity desc
+    assert(ivf.sliding(2).forall(w => w(0)._2 >= w(1)._2))
+    // raising nprobe to all cells == global brute force
+    val full = AnnQueries.ivfSearch(e, probe, k = 5, nprobe = 100)
+      .collect().map(_.getLong(0))
+    val brute = TextQueries.registry("q26_embed_knn").build(spark, sf)
+      .limit(5).collect().map(_.getLong(0))
+    assert(full.toSeq == brute.toSeq)
+  }
+
+  test("centroids: one row per cell, dimension-complete") {
+    val c = AnnQueries.centroids(Tables.embeddings(spark, sf)).collect()
+    assert(c.length == 10)
+    assert(c.forall(_.getAs[scala.collection.Seq[Double]]("centroid").length == 64))
+  }
+
+  test("multimodal stub pipeline: deterministic metadata + feature shape") {
+    val media = MultimodalQueries.mediaTable(spark, sf)
+    val meta = MultimodalQueries.decodeMeta(media).collect()
+    assert(meta.length == media.count())
+    assert(meta.forall(m => m.width >= 64 && m.height >= 64 && m.channels == 3))
+    // deterministic: same input -> same metadata
+    val meta2 = MultimodalQueries.decodeMeta(media).collect()
+    assert(meta.sortBy(_.media_id).toSeq == meta2.sortBy(_.media_id).toSeq)
+    val feats = MultimodalQueries.extractFeatures(media).collect()
+    assert(feats.forall(_.patch_means.length == 16))
+    assert(feats.forall(_.patch_means.forall(v => v >= 0f && v <= 1f)))
+  }
+}
