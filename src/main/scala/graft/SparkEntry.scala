@@ -10,11 +10,14 @@ object SparkEntry {
   /** All operator batteries, merged. */
   private lazy val all: Map[String, QueryDef] =
     RelationalQueries.registry ++ TextQueries.registry ++
-      DedupQueries.registry ++ MultimodalQueries.registry ++ AnnQueries.registry
+      DedupQueries.registry ++ MultimodalQueries.registry ++
+      AnnQueries.registry ++ GtfsPipeline.registry
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the engine's own domain end-to-end — GTFS schedule + 40
+    * realtime feeds → records → curves → scheduled predictions (driver
+    * smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame =
-    all("q05_regional_revenue").build(spark, "/root/testdata/sf0.001")
+    all("q42_gtfs_predictions").build(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
