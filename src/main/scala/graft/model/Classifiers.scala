@@ -148,8 +148,18 @@ object GtfsTime {
 
   /** Absolute instant as a Catalyst expression: service_day (DateType) at
     * noon plus (seconds - 43200). In UTC (session zone) noon-anchored math
-    * degenerates to midnight + seconds, which is what this computes; a
-    * DST-shifting zone would need zone-aware arithmetic at the call site. */
+    * degenerates to midnight + seconds, which is what this computes; for a
+    * DST-shifting agency zone use [[instantColumnZoned]]. */
   def instantColumn(serviceDay: Column, seconds: Column): Column =
     timestamp_add("SECOND", seconds, to_timestamp(serviceDay))
+
+  /** DST-correct C4 (the reference's `date_and_time`, `src/main.rs:418-442`):
+    * the instant is LOCAL NOON of the service day (unambiguous across DST
+    * transitions — the 02:00-03:00 gap/overlap never contains noon) plus
+    * (seconds − 12 h). On the spring-forward day a "08:00:00" stop time is
+    * one wall-clock hour after "07:00:00" but only 3600 real seconds, which
+    * midnight-anchored math gets wrong by an hour. Returns a UTC timestamp. */
+  def instantColumnZoned(serviceDay: Column, seconds: Column, zone: String): Column =
+    timestamp_add("SECOND", seconds - lit(43200),
+      to_utc_timestamp(concat(serviceDay.cast("string"), lit(" 12:00:00")), zone))
 }

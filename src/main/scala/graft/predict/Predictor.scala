@@ -38,6 +38,14 @@ object Predictor {
       cs.curveAtXWithContinuation(x).points.map(p => CurvePoint(p._1, p._2))
     })
 
+  /** C13: the reference serializes prediction curves with at most 120
+    * points (`serialize_compact_limited`, `per_schedule_importer.rs:362`);
+    * we cap via progressive simplification instead of a blob format. */
+  private val capPointsUdf = udf((pts: Seq[org.apache.spark.sql.Row]) => {
+    val c = Curve(pts.map(p => (p.getFloat(0), p.getFloat(1))).toVector)
+    c.capPoints(120).points.map(p => CurvePoint(p._1, p._2))
+  })
+
   /** Resolve requests through the full ladder.
     *
     * Expected request columns: route_id, route_variant, trip_id,
@@ -122,6 +130,7 @@ object Predictor {
         when(hasBasis && col("curves2").isNotNull, col("n2")),
         col("gen_n"), col("d_n")).as("sample_size"))
       .filter(col("prediction_curve").isNotNull)
+      .withColumn("prediction_curve", capPointsUdf(col("prediction_curve")))
       // prediction_min/max: scheduled instant shifted by the curve support
       .withColumn("prediction_min",
         timestamp_add("SECOND", element_at(col("prediction_curve"), 1)("x").cast("int"),

@@ -1,0 +1,59 @@
+package graft.predict
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.gtfs.GtfsStatic
+import graft.model.{EventType, GtfsTime, OriginType}
+
+/** Realtime-basis predictions (reference §3.1 step 7,
+  * `per_schedule_importer.rs:266-366`): whenever a vehicle's prediction
+  * basis changes (RtStream.dedupPredictionWork emits a work item), predict
+  * every LATER stop of that trip for both event types, carrying the basis
+  * (start stop index, departure delay) into the ladder — these resolve
+  * Specific/FallbackSpecific where stop-pair curve sets exist. */
+object RealtimePredictions {
+
+  /** `work`: PredictionWork rows (trip_id, trip_start_date "yyyyMMdd",
+    * trip_start_time "H:MM:SS", route_id, basis_stop_sequence, basis_delay,
+    * time_of_recording). `now` gates trips started more than 12 h ago
+    * (F10, reference `per_schedule_importer.rs:250-253`). */
+  def fromWork(work: DataFrame, schedule: GtfsStatic.Schedule,
+               stats: graft.analyse.StatisticsIO.Statistics,
+               now: java.sql.Timestamp): DataFrame = {
+    val stops = graft.analyse.DelayAnalysis.scheduleStops(schedule)
+    val trips = schedule.tripsWithVariant.select("trip_id", "route_variant")
+    val base = work
+      .withColumn("trip_start_date", to_date(col("trip_start_date"), "yyyyMMdd"))
+      .withColumn("trip_start_time",
+        GtfsTime.timeToSecondsColumn(col("trip_start_time")))
+      // F10: trips that started >12h before `now` get no predictions
+      .filter(GtfsTime.instantColumn(col("trip_start_date"), col("trip_start_time"))
+        >= timestamp_add("HOUR", lit(-12), lit(now)))
+      .join(broadcast(trips), Seq("trip_id"))
+    // basis stop_sequence -> dense stop_index
+    val basisIdx = stops.select(col("trip_id"),
+      col("stop_sequence").as("basis_stop_sequence"),
+      col("stop_index").as("start_index"))
+    val withBasis = base.join(broadcast(basisIdx),
+      Seq("trip_id", "basis_stop_sequence"))
+    // fan out to all later stops x both event types
+    val later = withBasis.join(stops, Seq("trip_id"))
+      .filter(col("stop_index") > col("start_index"))
+    val events = Seq(
+      (EventType.Arrival, "arrival_secs"),
+      (EventType.Departure, "departure_secs")).map { case (et, secsCol) =>
+      later.select(
+        col("route_id"), col("route_variant"), col("trip_id"),
+        col("trip_start_date"), col("trip_start_time"),
+        col("stop_sequence"), col("stop_index"), col("stop_count"), col("stop_id"),
+        lit(et).as("event_type"),
+        GtfsTime.instantColumn(col("trip_start_date"), col(secsCol)).as("event_instant"),
+        col("start_index"),
+        col("basis_delay").as("initial_delay"))
+    }
+    val requests = events.reduce(_ unionByName _)
+    Predictor.resolve(requests, stats.general, stats.curveSets, stats.defaults,
+      schedule.routes)
+      .withColumn("origin_type", lit(OriginType.Realtime))
+  }
+}
