@@ -407,6 +407,31 @@ object RelationalQueries {
              |  quantile_cont(value, 0.5) AS p50,
              |  quantile_cont(value, 0.9) AS p90,
              |  quantile_cont(value, 0.99) AS p99
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── §2.6 set ops: union / intersect / except over key sets ──
+    "q43_set_ops" -> QueryDef(
+      (s, d) => {
+        val bigOrders = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 150000).select(col("o_custkey").as("k"))
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+        val union = bigOrders.union(urgent).distinct()
+          .select(lit("union").as("op"), col("k"))
+        val inter = bigOrders.intersect(urgent)
+          .select(lit("intersect").as("op"), col("k"))
+        val except = bigOrders.except(urgent)
+          .select(lit("except").as("op"), col("k"))
+        union.unionByName(inter).unionByName(except)
+          .groupBy("op").agg(count(lit(1)).as("n"))
+          .orderBy("op")
+      },
+      Some("""WITH big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+             |urgent AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+             |u AS (SELECT 'union' AS op, k FROM (SELECT DISTINCT k FROM (SELECT k FROM big UNION SELECT k FROM urgent))),
+             |i AS (SELECT 'intersect' AS op, k FROM (SELECT k FROM big INTERSECT SELECT k FROM urgent)),
+             |e AS (SELECT 'except' AS op, k FROM (SELECT k FROM big EXCEPT SELECT k FROM urgent))
+             |SELECT op, COUNT(*) AS n FROM (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e)
+             |GROUP BY op ORDER BY op""".stripMargin))
   )
 }
