@@ -88,6 +88,42 @@ object DedupQueries {
              |    / len(list_distinct(a.t || b.t)) >= 0.4
              |ORDER BY id1, id2""".stripMargin)),
 
+    // ── same semantics, inverted-index shape: token-level join computes
+    //    intersections without materializing token arrays per pair — the
+    //    formulation that scales when pairs*tokens outgrows pairs sharing
+    //    tokens. Identical output, identical oracle as q29. ──
+    "q44_jaccard_inverted" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(tokens(col("text")))).as("token"))
+        val sizes = toks.groupBy(col("doc_id").as("sid")).agg(count(lit(1)).as("sz"))
+        val a = toks.select(col("source"), col("token"), col("doc_id").as("id1"))
+        val b = toks.select(col("source"), col("token"), col("doc_id").as("id2"))
+        val inter = a.join(b, Seq("source", "token"))
+          .filter(col("id1") < col("id2"))
+          .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes), col("id1") === col("sid")).drop("sid")
+          .withColumnRenamed("sz", "n1")
+          .join(broadcast(sizes), col("id2") === col("sid")).drop("sid")
+          .withColumnRenamed("sz", "n2")
+          .withColumn("jac", col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")))
+          .filter(col("jac") >= 0.4)
+          .select(col("id1"), col("id2"), col("jac"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, source,
+             |    list_distinct(string_split(text, ' ')) AS t FROM documents)
+             |SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |  CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |    / len(list_distinct(a.t || b.t)) AS jac
+             |FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |    / len(list_distinct(a.t || b.t)) >= 0.4
+             |ORDER BY id1, id2""".stripMargin)),
+
     // ── MinHash + LSH banding near-dup candidates (xxhash64 — no oracle;
     //    verified by planted duplicates in DedupSpec) ──
     "q30_minhash_lsh" -> QueryDef(
