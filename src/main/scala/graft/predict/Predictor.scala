@@ -40,11 +40,16 @@ object Predictor {
 
   /** C13: the reference serializes prediction curves with at most 120
     * points (`serialize_compact_limited`, `per_schedule_importer.rs:362`);
-    * we cap via progressive simplification instead of a blob format. */
+    * we cap via progressive simplification instead of a blob format.
+    *
+    * Marked non-deterministic ON PURPOSE (it is pure): CollapseProject
+    * would otherwise inline this column into prediction_min/max and run the
+    * whole UDF chain (including the curve-set continuation) three times per
+    * row — the flag is the collapse barrier. */
   private val capPointsUdf = udf((pts: Seq[org.apache.spark.sql.Row]) => {
     val c = Curve(pts.map(p => (p.getFloat(0), p.getFloat(1))).toVector)
     c.capPoints(120).points.map(p => CurvePoint(p._1, p._2))
-  })
+  }).asNondeterministic()
 
   /** Resolve requests through the full ladder.
     *
