@@ -17,9 +17,11 @@ object Monitor {
   private def toCurve(pts: Seq[org.apache.spark.sql.Row]): Curve =
     Curve(pts.map(p => (p.getFloat(0), p.getFloat(1))).toVector)
 
-  /** C7: interpolated quantile over a curve column (reference `x_at_y`). */
-  val curveQuantile = udf((pts: Seq[org.apache.spark.sql.Row], p: Float) =>
-    toCurve(pts).xAtY(p))
+  /** C7: interpolated quantile over a curve column (reference `x_at_y`) —
+    * the native codegen expression (graft.functions.CurveXAtY), not a UDF:
+    * this runs once per prediction row in W4/C15/F5. */
+  def curveQuantile(curve: Column, p: Column): Column =
+    graft.functions.CurveFunctions.xAtY(curve, p)
 
   /** C7: CDF evaluation (reference `y_at_x`). */
   val curveCdf = udf((pts: Seq[org.apache.spark.sql.Row], x: Float) =>
