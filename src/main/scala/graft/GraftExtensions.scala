@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.CurveXAtY
+
+/** Session-extension entry point: activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  * Injects the engine's native SQL functions (currently `curve_x_at_y`;
+  * future native curve ops register here). No custom optimizer Rule or
+  * SparkStrategy is injected — SURVEY.md §4 established the built-in
+  * planner covers every reference operator. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("curve_x_at_y"),
+      new ExpressionInfo(classOf[CurveXAtY].getName, "curve_x_at_y"),
+      { exprs: Seq[Expression] => CurveXAtY(exprs(0), exprs(1)) }))
+  }
+}
