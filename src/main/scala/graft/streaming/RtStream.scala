@@ -40,10 +40,16 @@ object RtStream {
 
   /** Streaming decode: one observation row per stop_time_update, exactly
     * like `RtIngest.readFeeds` but on a stream. */
-  def observations(spark: SparkSession, dir: String): Dataset[RtIngest.RtObservation] = {
+  def observations(spark: SparkSession, dir: String,
+                   archiveDir: Option[String] = None): Dataset[RtIngest.RtObservation] = {
     import spark.implicits._
-    spark.readStream
-      .format("binaryFile")
+    val base = spark.readStream.format("binaryFile")
+    // the reference moves processed files to `imported/`
+    // (`src/importer/mod.rs:523-555`); cleanSource=archive is the
+    // streaming-source equivalent
+    val withArchive = archiveDir.fold(base)(a =>
+      base.option("cleanSource", "archive").option("sourceArchiveDir", a))
+    withArchive
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
