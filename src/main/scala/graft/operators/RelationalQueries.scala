@@ -432,6 +432,39 @@ object RelationalQueries {
              |i AS (SELECT 'intersect' AS op, k FROM (SELECT k FROM big INTERSECT SELECT k FROM urgent)),
              |e AS (SELECT 'except' AS op, k FROM (SELECT k FROM big EXCEPT SELECT k FROM urgent))
              |SELECT op, COUNT(*) AS n FROM (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e)
-             |GROUP BY op ORDER BY op""".stripMargin))
+             |GROUP BY op ORDER BY op""".stripMargin)),
+
+    // ── CUBE over two dimensions (grouping-sets family, beyond q15 ROLLUP) ──
+    "q45_cube" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // ── sliding-frame moving average (rows between 2 preceding and current) ──
+    "q46_moving_avg" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-2, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            (sum(col("value").cast("decimal(18,4)")).over(w).cast("double") /
+              count(lit(1)).over(w)).as("mov_avg"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             |    / COUNT(*) OVER w AS mov_avg
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin))
   )
 }
