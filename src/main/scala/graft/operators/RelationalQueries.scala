@@ -465,6 +465,17 @@ object RelationalQueries {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ── HLL approximate distinct — the at-scale cardinality operator.
+    //    Sketch values are engine-specific -> rows-only for the driver;
+    //    ApproxDistinctSpec bounds the error against the exact count. ──
+    "q47_approx_distinct" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+      None)
   )
 }

@@ -161,4 +161,54 @@ class CurveSpec extends AnyFunSuite with graft.GenSampling {
       }
     }
   }
+
+  test("property: convolution of random curves conserves probability mass") {
+    forAllSamples(Gen.zip(valuesGen, valuesGen), n = 30) { case (a, b) =>
+      for {
+        (ca, _) <- Curve.makeCurve(a, None)
+        (cb, _) <- Curve.makeCurve(b.map(v => math.abs(v) + 10f), None)
+      } {
+        val conv = Curve.convolve(ca, cb)
+        val ys = conv.points.map(_._2)
+        assert(ys.head == 0.0f && ys.last == 1.0f)
+        assert(ys.zip(ys.tail).forall { case (p, q) => p <= q })
+        // support starts at/after the sum of the mins, minus grid padding:
+        // step = max(12, span/200*2) <= 120 for ±6000 sums, grid pads 2 steps
+        assert(conv.minX >= ca.minX + cb.minX - 2 * 120 - 12)
+      }
+    }
+  }
+
+  test("property: curve-set continuation is a valid CDF for any query delay") {
+    forAllSamples(Gen.zip(valuesGen, Gen.choose(-600f, 600f)), n = 30) { case (vs, x) =>
+      for {
+        (c1, _) <- Curve.makeCurve(vs, None)
+        (c2, _) <- Curve.makeCurve(vs.map(_ + 120f), None)
+      } {
+        val cs = CurveSet(Vector((0f, c1), (240f, c2)))
+        val blended = cs.curveAtXWithContinuation(x)
+        val ys = blended.points.map(_._2)
+        assert(ys.head == 0.0f && ys.last == 1.0f)
+        assert(ys.zip(ys.tail).forall { case (p, q) => p <= q })
+        // clamping: outside the focus range the member curve is returned
+        if (x <= 0f) assert(blended == c1)
+        if (x >= 240f) assert(blended == c2)
+      }
+    }
+  }
+
+  test("property: transferProbability is a probability and monotone in slack") {
+    forAllSamples(valuesGen, n = 30) { vs =>
+      for ((arr, _) <- Curve.makeCurve(vs, None)) {
+        val depEarly = Curve(Vector((arr.minX - 500f, 0f), (arr.minX - 400f, 1f)))
+        val depLate = Curve(Vector((arr.maxX + 400f, 0f), (arr.maxX + 500f, 1f)))
+        val pEarly = Curve.transferProbability(arr, depEarly)
+        val pLate = Curve.transferProbability(arr, depLate)
+        assert(pEarly >= -1e-4f && pEarly <= 1.0001f)
+        assert(pLate >= -1e-4f && pLate <= 1.0001f)
+        assert(pLate >= pEarly) // more slack never hurts
+        assert(pLate > 0.99f && pEarly < 0.01f)
+      }
+    }
+  }
 }
