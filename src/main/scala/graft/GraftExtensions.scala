@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CurveXAtY
+import graft.functions.{CurveXAtY, CurveYAtX}
 
 /** Session-extension entry point: activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("curve_x_at_y"),
       new ExpressionInfo(classOf[CurveXAtY].getName, "curve_x_at_y"),
       { exprs: Seq[Expression] => CurveXAtY(exprs(0), exprs(1)) }))
+    ext.injectFunction((
+      new FunctionIdentifier("curve_y_at_x"),
+      new ExpressionInfo(classOf[CurveYAtX].getName, "curve_y_at_x"),
+      { exprs: Seq[Expression] => CurveYAtX(exprs(0), exprs(1)) }))
   }
 }

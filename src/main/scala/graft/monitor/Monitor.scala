@@ -23,9 +23,9 @@ object Monitor {
   def curveQuantile(curve: Column, p: Column): Column =
     graft.functions.CurveFunctions.xAtY(curve, p)
 
-  /** C7: CDF evaluation (reference `y_at_x`). */
-  val curveCdf = udf((pts: Seq[org.apache.spark.sql.Row], x: Float) =>
-    toCurve(pts).yAtX(x))
+  /** C7: CDF evaluation (reference `y_at_x`) — native expression. */
+  def curveCdf(curve: Column, x: Column): Column =
+    graft.functions.CurveFunctions.yAtX(curve, x)
 
   /** C15: the 7 fixed quantile markers stored with realtime predictions
     * (reference `src/types/prediction_result.rs:34-48`). */

@@ -21,16 +21,19 @@ class CurveXAtYSpec extends SparkSpec with GenSampling {
     sx.zip(sy).toVector
   }
 
-  test("expression equals pure xAtY across generated curves (codegen path)") {
+  test("expressions equal pure xAtY/yAtX across generated curves") {
     import spark.implicits._
     forAllSamples(Gen.zip(curveGen, Gen.choose(0f, 1f)), n = 60) {
       case (pts, p) if pts.length >= 2 =>
         val curve = Curve(pts)
+        val x = curve.minX + (curve.maxX - curve.minX) * p
         val df = Seq(Tuple1(pts.map(t => CurvePoint(t._1, t._2))))
           .toDF("points")
-          .select(CurveFunctions.xAtY(col("points"), lit(p)).as("x"))
-        assert(df.collect().head.getFloat(0) == curve.xAtY(p),
-          s"mismatch at p=$p for $pts")
+          .select(CurveFunctions.xAtY(col("points"), lit(p)).as("x"),
+            CurveFunctions.yAtX(col("points"), lit(x)).as("y"))
+        val r = df.collect().head
+        assert(r.getFloat(0) == curve.xAtY(p), s"xAtY mismatch at p=$p for $pts")
+        assert(r.getFloat(1) == curve.yAtX(x), s"yAtX mismatch at x=$x for $pts")
       case _ =>
     }
   }
