@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.analyse.StatisticsIO
+import graft.gtfs.GtfsStatic
+import graft.model.{OriginType, PrecisionType}
+import graft.operators.GtfsPipeline
+import graft.predict.RealtimePredictions
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** §3.1 automatic mode end to end: streamed vehicle updates → stateful
+  * basis dedup → prediction work → ladder resolution, against curves
+  * trained from the committed fixtures. */
+class AutomaticModeSpec extends SparkSpec {
+
+  test("streamed updates produce deduped realtime predictions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val schedule = GtfsStatic.read(spark, "fixtures/gtfs_tiny")
+    val stats = StatisticsIO.computeAndSave(GtfsPipeline.records(spark),
+      schedule, Files.createTempDirectory("auto_stats").toString)
+
+    val input = MemoryStream[RtStream.VehicleUpdate]
+    val q = RtStream.dedupPredictionWork(input.toDS(), ttlMs = 0)
+      .writeStream.format("memory").queryName("auto_work")
+      .outputMode("update").start()
+    // three micro-batches: initial basis, identical repeat (deduped),
+    // advanced basis
+    input.addData(
+      RtStream.VehicleUpdate("tA1", "20240315", "08:00:00", "rA", 1, Some(120), 1000L))
+    q.processAllAvailable()
+    input.addData(
+      RtStream.VehicleUpdate("tA1", "20240315", "08:00:00", "rA", 1, Some(120), 1500L))
+    q.processAllAvailable()
+    input.addData(
+      RtStream.VehicleUpdate("tA1", "20240315", "08:00:00", "rA", 2, Some(144), 2000L))
+    q.processAllAvailable()
+    q.stop()
+
+    val work = spark.table("auto_work")
+    assert(work.count() == 2) // basis repeat was deduped
+
+    val preds = RealtimePredictions.fromWork(work, schedule, stats,
+      now = Timestamp.valueOf("2024-03-15 09:00:00")).cache()
+    // work item 1 (basis stop 1): stops 2,3,4 x 2 events;
+    // work item 2 (basis stop 2): stops 3,4 x 2 events
+    assert(preds.count() == 6 + 4)
+    assert(preds.select("origin_type").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(OriginType.Realtime))
+    assert(preds.filter(col("precision_type") === PrecisionType.Specific).count() > 0)
+  }
+}
