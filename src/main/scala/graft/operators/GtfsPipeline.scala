@@ -51,7 +51,10 @@ object GtfsPipeline {
     "q42_gtfs_predictions" -> QueryDef(
       (s, _) => {
         val schedule = GtfsStatic.read(s, s"$fixtureDir/gtfs_tiny")
-        val projected = DelayAnalysis.projectedRecords(records(s), schedule).persist()
+        // records feeds vehicles + observations inside projectedRecords:
+        // persist so the protobuf decode scan runs once, not per branch
+        val recs = records(s).persist()
+        val projected = DelayAnalysis.projectedRecords(recs, schedule).persist()
         val stats = graft.analyse.StatisticsIO.Statistics(
           DelayAnalysis.generalDelayCurves(projected),
           DelayAnalysis.stopPairCurveSets(projected),
