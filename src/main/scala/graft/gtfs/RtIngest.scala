@@ -99,6 +99,28 @@ object RtIngest {
       .drop("rn")
   }
 
+  /** §3.1 steps 3-4 end to end: decode ALL rt files once, as-of match each
+    * file to its schedule (S4), then build records per schedule batch
+    * against that schedule's own trip table and union. The per-schedule
+    * loop is driver-side over a handful of schedule versions (dimension
+    * cardinality); the data path stays one decode scan + one broadcast
+    * join per schedule. */
+  def recordsMultiSchedule(spark: SparkSession, rtDir: String,
+                           schedules: Map[String, GtfsStatic.Schedule],
+                           source: String): DataFrame = {
+    import spark.implicits._
+    val obs = readFeeds(spark, rtDir).cache()
+    val rtFiles = obs.select(col("rt_file")).distinct()
+    val sched = schedules.keys.toSeq.toDF("schedule_file")
+    val assignment = matchFilesToSchedules(rtFiles, sched)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val batches = assignment.groupBy(_._2).map { case (schedFile, m) =>
+      records(obs.filter(col("rt_file").isin(m.keys.toSeq: _*)),
+        schedules(schedFile), source, schedFile)
+    }
+    batches.reduce(_ unionByName _)
+  }
+
   /** S4 as-of matcher: each rt file (date parsed from its name,
     * `src/main.rs:101-121`) belongs to the NEWEST schedule not newer than it
     * (`src/importer/mod.rs:376-460`). Input: one-column DataFrames of file
