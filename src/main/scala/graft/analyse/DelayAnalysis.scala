@@ -129,22 +129,23 @@ object DelayAnalysis {
     * slot)`, ≥20 samples, unfocused make_curve, simplify(0.01),
     * SemiSpecific. */
   def generalDelayCurves(projected: DataFrame): DataFrame = {
-    val spark = projected.sparkSession
-    import spark.implicits._
+    // collect_list + once-per-group scalar, same rationale as the
+    // stop-pair aggregation below
+    val buildUdf = udf((delays: Seq[Float]) =>
+      CurveBuilder.generalDelayCurve(delays).map { cd =>
+        (cd.precisionType, cd.sampleSize,
+          cd.curve.points.map(p => CurvePoint(p._1, p._2)))
+      })
     withDefaultSlot(eventLong(projected))
+      .groupBy(col("route_id"), col("route_variant"), col("stop_index"),
+        col("event_type"), col("time_slot_id"))
+      .agg(collect_list(col("delay").cast("float")).as("delays"))
+      .withColumn("built", buildUdf(col("delays")))
+      .filter(col("built").isNotNull)
       .select(col("route_id"), col("route_variant"), col("stop_index"),
-        col("event_type"), col("time_slot_id"), col("delay").cast("float").as("delay"))
-      .as[(String, Long, Int, Int, Int, Float)]
-      .groupByKey { case (rid, rv, si, et, slot, _) => (rid, rv, si, et, slot) }
-      .flatMapGroups((key: (String, Long, Int, Int, Int),
-                      rows: Iterator[(String, Long, Int, Int, Int, Float)]) => {
-        val (rid, rv, si, et, slot) = key
-        val delays = rows.map(_._6).toSeq
-        CurveBuilder.generalDelayCurve(delays).map { cd =>
-          GeneralCurveRow(rid, rv, si, et, slot, cd.precisionType, cd.sampleSize,
-            cd.curve.points.map(p => CurvePoint(p._1, p._2)))
-        }
-      }).toDF()
+        col("event_type"), col("time_slot_id"),
+        col("built._1").as("precision_type"), col("built._2").as("sample_size"),
+        col("built._3").as("points"))
   }
 
   /** J3 + A7: stop-pair curve sets. The self-join is equi-keyed on the
@@ -182,21 +183,32 @@ object DelayAnalysis {
       .select(col("route_id"), col("route_variant"), col("start_idx"),
         col("end_idx"), col("time_slot_id"), col("event_type"),
         col("start_delay"), col("end_delay"))
+    // group via codegen'd collect_list (ObjectHashAggregate), NOT typed
+    // groupByKey: the Dataset encoder deserializes every pair row into a
+    // Scala tuple, which measured ~2x slower at 38M pair rows (PERF.md);
+    // here only the per-group array crosses into Scala, once per group
+    val buildUdf = udf((ps: Seq[org.apache.spark.sql.Row]) => {
+      if (ps.length <= 20) None // F9 gate, reference `:337`
+      else CurveBuilder.stopPairCurveSet(
+        ps.map(r => (r.getFloat(0), r.getFloat(1)))).map { csd =>
+        (csd.precisionType, csd.sampleSize,
+          csd.curveSet.curves.map { case (f, c) =>
+            FocusCurve(f, c.points.map(p => CurvePoint(p._1, p._2)))
+          })
+      }
+    })
     pairs
-      .as[(String, Long, Int, Int, Int, Int, Float, Float)]
-      .groupByKey { case (rid, rv, s, e, slot, et, _, _) => (rid, rv, s, e, slot, et) }
-      .flatMapGroups((key: (String, Long, Int, Int, Int, Int),
-                      rows: Iterator[(String, Long, Int, Int, Int, Int, Float, Float)]) => {
-        val (rid, rv, s, e, slot, et) = key
-        val ps = rows.map(r => (r._7, r._8)).toSeq
-        if (ps.length <= 20) Iterator.empty // F9 gate, reference `:337`
-        else CurveBuilder.stopPairCurveSet(ps).iterator.map { csd =>
-          CurveSetRow(rid, rv, s, e, slot, et, csd.precisionType, csd.sampleSize,
-            csd.curveSet.curves.map { case (f, c) =>
-              FocusCurve(f, c.points.map(p => CurvePoint(p._1, p._2)))
-            })
-        }
-      }).toDF()
+      .groupBy(col("route_id"), col("route_variant"),
+        col("start_idx").as("start_stop_index"), col("end_idx").as("end_stop_index"),
+        col("time_slot_id"), col("event_type"))
+      .agg(collect_list(struct(col("start_delay"), col("end_delay"))).as("ps"))
+      .withColumn("built", buildUdf(col("ps")))
+      .filter(col("built").isNotNull)
+      .select(col("route_id"), col("route_variant"),
+        col("start_stop_index"), col("end_stop_index"),
+        col("time_slot_id"), col("event_type"),
+        col("built._1").as("precision_type"), col("built._2").as("sample_size"),
+        col("built._3").as("curves"))
   }
 
   /** A9: the default-curve hierarchy with its three-level fallback cascade
