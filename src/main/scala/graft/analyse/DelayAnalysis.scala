@@ -232,20 +232,22 @@ object DelayAnalysis {
       .withColumn("route_section",
         RouteSection.sectionColumn(col("stop_index"), col("stop_count")))
 
-    // 1. per-variant section curves
-    val variantCurves = events
-      .select(col("route_type"), col("route_section"), col("time_slot_id"),
-        col("event_type"), col("route_variant"), col("delay").cast("float").as("delay"))
-      .as[(Int, Int, Int, Int, Long, Float)]
-      .groupByKey { case (rt, sec, slot, et, rv, _) => (rt, sec, slot, et, rv) }
-      .flatMapGroups((key: (Int, Int, Int, Int, Long),
-                      rows: Iterator[(Int, Int, Int, Int, Long, Float)]) => {
-        val (rt, sec, slot, et, rv) = key
-        CurveBuilder.defaultCurve(rows.map(_._6).toSeq).map { cd =>
-          VariantSectionCurve(rt, sec, slot, et, rv, cd.sampleSize,
-            cd.curve.points.map(p => CurvePoint(p._1, p._2)))
-        }
+    // 1. per-variant section curves (collect_list shape — see
+    //    generalDelayCurves for the rationale)
+    val leafUdf = udf((delays: Seq[Float]) =>
+      CurveBuilder.defaultCurve(delays).map { cd =>
+        (cd.sampleSize, cd.curve.points.map(p => CurvePoint(p._1, p._2)))
       })
+    val variantCurves = events
+      .groupBy(col("route_type"), col("route_section"), col("time_slot_id"),
+        col("event_type"), col("route_variant"))
+      .agg(collect_list(col("delay").cast("float")).as("delays"))
+      .withColumn("built", leafUdf(col("delays")))
+      .filter(col("built").isNotNull)
+      .select(col("route_type"), col("route_section"), col("time_slot_id"),
+        col("event_type"), col("route_variant"),
+        col("built._1").as("sample_size"), col("built._2").as("points"))
+      .as[VariantSectionCurve]
       .cache()
 
     def avgCurves(rows: Iterator[VariantSectionCurve]): (Seq[CurvePoint], Int, Int) = {
