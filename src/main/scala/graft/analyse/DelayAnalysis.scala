@@ -100,8 +100,11 @@ object DelayAnalysis {
   }
 
   /** Long-format (event_type, delay, slot) view of the projections: one row
-    * per event type per stop visit, delays thresholded (F2) and rounded to
-    * 12 s (F3) exactly as the curve builders expect. */
+    * per event type per stop visit. Delays stay RAW — the reference's
+    * `generate_delay_curve_data` (`src/analyser/specific_curves.rs:356-369`)
+    * consumes unthresholded, unrounded delays; the ±3000 s threshold (F2)
+    * and 12 s rounding (F3) apply only on the stop-pair path
+    * (`specific_curves.rs:309-320`), which does its own filtering. */
   private def eventLong(projected: DataFrame): DataFrame = {
     val arr = projected.select(col("source"), col("route_id"), col("route_variant"),
       col("trip_id"), col("trip_start_date"), col("trip_start_time"),
@@ -113,9 +116,7 @@ object DelayAnalysis {
       col("stop_index"), col("stop_count"),
       lit(EventType.Departure).as("event_type"),
       col("delay_departure").as("delay"), col("departure_slot").as("time_slot_id"))
-    arr.unionByName(dep)
-      .filter(col("delay").isNotNull && abs(col("delay")) < CurveBuilder.DelayThreshold)
-      .withColumn("delay", ((col("delay") / 12).cast("int") * 12))
+    arr.unionByName(dep).filter(col("delay").isNotNull)
   }
 
   /** Duplicate every event row into its matched slot AND the DEFAULT slot
@@ -214,84 +215,128 @@ object DelayAnalysis {
   /** A9: the default-curve hierarchy with its three-level fallback cascade
     * (reference `src/analyser/default_curves.rs:42-248`):
     *
-    *  1. leaf: per (route_type, section, slot, event, variant) build a curve
-    *     from that variant's section delays (≥10 samples, simplify 0.001);
+    *  1. leaf: per (route_type, section, slot, variant, event) build a curve
+    *     from that variant's RAW section delays (≥10 samples, simplify 0.001,
+    *     `default_curves.rs:145-160`) — raw DB records, NOT the gap-filled
+    *     projections (`default_curves.rs:115-117` queries the records table
+    *     directly), and each record is assigned ONE time slot from its
+    *     scheduled ARRIVAL datetime (departure fallback) for both event
+    *     types (`sort_dbitems_by_timeslot`, `default_curves.rs:353-373`);
     *  2. General: average the per-variant curves of each (type, section,
-    *     slot, event) cell;
+    *     slot, event) cell, then simplify(0.001) (`default_curves.rs:222-226`);
     *  3. FallbackGeneral: empty cells take the average of ALL the route
-    *     type's curves for that event type;
-    *  4. SuperGeneral: still-empty cells take the global average.
+    *     type's leaf curves for that event type, simplify(0.001) (`:231-235`);
+    *  4. SuperGeneral: still-empty cells take the global average over every
+    *     leaf pre-simplified at 0.01, then simplify(0.001) (`:196-208`).
     *
-    * The cascade is a cross of the observed dimension values left-joined
-    * through the three levels with coalesce — no driver loops. */
-  def defaultCurves(projected: DataFrame, routes: DataFrame): DataFrame = {
-    val spark = projected.sparkSession
+    * Grid: the reference's 11 route types × 3 sections × the 11 real time
+    * slots (TIME_SLOTS, no Default — `default_curves.rs:136`) × 2 events.
+    * Every cell is filled by the cascade, so any lookup key over those
+    * dimensions resolves. The cascade is a cross of the dimension values
+    * left-joined through the three levels with coalesce — no driver loops,
+    * and the three averaging levels are codegen'd collect_list aggregations
+    * sharing the one cached leaf table (dimension-sized: #variants × 66
+    * cells at most). */
+  def defaultCurves(records: DataFrame, schedule: GtfsStatic.Schedule,
+                    routes: DataFrame): DataFrame = {
+    val spark = records.sparkSession
     import spark.implicits._
-    val events = withDefaultSlot(eventLong(projected))
+    val stops = scheduleStops(schedule)
+      .select("trip_id", "stop_sequence", "stop_index", "stop_count",
+        "arrival_secs", "departure_secs")
+    val based = records
+      .join(stops, Seq("trip_id", "stop_sequence"))
       .join(broadcast(routes.select(col("route_id"), col("route_type"))), Seq("route_id"))
       .withColumn("route_section",
         RouteSection.sectionColumn(col("stop_index"), col("stop_count")))
+      // one slot per record: scheduled arrival instant, departure fallback
+      .withColumn("time_slot_id", TimeSlot.slotIdColumn(GtfsTime.instantColumn(
+        col("trip_start_date"),
+        coalesce(col("arrival_secs"), col("departure_secs")))))
+    val events = based
+      .select(col("route_type"), col("route_section"), col("time_slot_id"),
+        col("route_variant"),
+        explode(array(
+          struct(lit(EventType.Arrival).as("event_type"),
+            col("delay_arrival").as("delay")),
+          struct(lit(EventType.Departure).as("event_type"),
+            col("delay_departure").as("delay")))).as("e"))
+      .select(col("route_type"), col("route_section"), col("time_slot_id"),
+        col("e.event_type").as("event_type"), col("route_variant"),
+        col("e.delay").as("delay"))
+      .filter(col("delay").isNotNull)
 
-    // 1. per-variant section curves (collect_list shape — see
+    // 1. per-variant leaf curves (collect_list shape — see
     //    generalDelayCurves for the rationale)
     val leafUdf = udf((delays: Seq[Float]) =>
       CurveBuilder.defaultCurve(delays).map { cd =>
         (cd.sampleSize, cd.curve.points.map(p => CurvePoint(p._1, p._2)))
       })
-    val variantCurves = events
+    val leaves = events
       .groupBy(col("route_type"), col("route_section"), col("time_slot_id"),
         col("event_type"), col("route_variant"))
       .agg(collect_list(col("delay").cast("float")).as("delays"))
       .withColumn("built", leafUdf(col("delays")))
       .filter(col("built").isNotNull)
       .select(col("route_type"), col("route_section"), col("time_slot_id"),
-        col("event_type"), col("route_variant"),
+        col("event_type"),
         col("built._1").as("sample_size"), col("built._2").as("points"))
-      .as[VariantSectionCurve]
       .cache()
 
-    def avgCurves(rows: Iterator[VariantSectionCurve]): (Seq[CurvePoint], Int, Int) = {
-      val cs = rows.toSeq
-      val curves = cs.map(v => Curve(v.points.map(p => (p.x, p.y)).toVector))
-      val avg = Curve.average(curves)
-      (avg.points.map(p => CurvePoint(p._1, p._2)), cs.map(_.sample_size).sum / cs.length, cs.length)
-    }
+    // Curve averaging over a collected group: reference CurveData::average
+    // (`src/types/curve_data.rs:21-43` — sample_size = Σ/len, integer div)
+    // followed by the cascade's post-average simplify.
+    def avgUdf(preSimplifyEps: Option[Float], postEps: Float) =
+      udf((rows: Seq[org.apache.spark.sql.Row]) => {
+        val curves = rows.map { r =>
+          val c = Curve(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+            .map(p => (p.getFloat(0), p.getFloat(1))).toVector)
+          preSimplifyEps.fold(c)(c.simplify)
+        }
+        val n = rows.map(_.getInt(0)).sum / rows.length
+        val avg = Curve.average(curves).simplify(postEps)
+        (n, avg.points.map(p => CurvePoint(p._1, p._2)))
+      })
+    val cellStructs = collect_list(struct(col("sample_size"), col("points")))
 
     // 2. General per cell
-    val general = variantCurves
-      .groupByKey(v => (v.route_type, v.route_section, v.time_slot_id, v.event_type))
-      .mapGroups((key: (Int, Int, Int, Int), rows: Iterator[VariantSectionCurve]) => {
-        val (pts, n, _) = avgCurves(rows)
-        DefaultCurveRow(key._1, key._2, key._3, key._4, PrecisionType.General, n, pts)
-      }).toDF()
+    val generalAvg = avgUdf(None, 0.001f)
+    val general = leaves
+      .groupBy(col("route_type"), col("route_section"), col("time_slot_id"),
+        col("event_type"))
+      .agg(cellStructs.as("cs"))
+      .withColumn("a", generalAvg(col("cs")))
+      .select(col("route_type"), col("route_section"), col("time_slot_id"),
+        col("event_type"), col("a._1").as("sample_size"), col("a._2").as("points"))
 
     // 3. per (route_type, event_type) fallback pool
-    val pool = variantCurves
-      .groupByKey(v => (v.route_type, v.event_type))
-      .mapGroups((key: (Int, Int), rows: Iterator[VariantSectionCurve]) => {
-        val (pts, n, _) = avgCurves(rows)
-        (key._1, key._2, n, pts)
-      }).toDF("route_type", "event_type", "pool_n", "pool_points")
+    val pool = leaves
+      .groupBy(col("route_type"), col("event_type"))
+      .agg(cellStructs.as("cs"))
+      .withColumn("a", generalAvg(col("cs")))
+      .select(col("route_type"), col("event_type"),
+        col("a._1").as("pool_n"), col("a._2").as("pool_points"))
 
-    // 4. global fallback
-    val globalRow = variantCurves
-      .groupByKey(_ => 0)
-      .mapGroups((_: Int, rows: Iterator[VariantSectionCurve]) => {
-        val (pts, n, _) = avgCurves(rows)
-        (n, pts)
-      }).toDF("global_n", "global_points")
+    // 4. global fallback: every leaf pre-simplified(0.01), then averaged
+    val superAvg = avgUdf(Some(0.01f), 0.001f)
+    val globalRow = leaves
+      .groupBy()
+      .agg(cellStructs.as("cs"))
+      .withColumn("a", superAvg(col("cs")))
+      .select(col("a._1").as("global_n"), col("a._2").as("global_points"))
 
-    // full key grid: (standard GTFS route types ∪ observed) × 3 sections ×
-    // 12 slots × 2 events — the reference iterates ALL route types
-    // (`default_curves.rs:66`), so unseen types get SuperGeneral cells and
-    // every possible lookup key resolves
+    // full key grid over the reference's 11 route types (`default_curves.rs:
+    // 46-58`; Coach/Air/Taxi carry their canonical extended GTFS codes) plus
+    // any observed code outside that list (our schema keeps raw ints where
+    // the reference's gtfs parser folds extended codes into the enum)
     val sections = Seq(RouteSection.Beginning, RouteSection.Middle, RouteSection.End)
       .toDF("route_section")
-    val slots = TimeSlot.SlotsWithDefault.map(_.id).toDF("time_slot_id")
+    val slots = TimeSlot.Slots.map(_.id).toDF("time_slot_id")
     val eventTypes = EventType.Types.toDF("event_type")
-    val standardTypes = (0 to 7).toDF("route_type") // GTFS route_type codes
-    val grid = variantCurves.toDF().select("route_type")
-      .union(standardTypes).distinct()
+    val referenceTypes = Seq(0, 1, 2, 3, 4, 5, 6, 7, 200, 1100, 1500)
+      .toDF("route_type")
+    val grid = leaves.select("route_type")
+      .union(referenceTypes).distinct()
       .crossJoin(broadcast(sections))
       .crossJoin(broadcast(slots))
       .crossJoin(broadcast(eventTypes))
@@ -301,7 +346,7 @@ object DelayAnalysis {
       .join(broadcast(pool), Seq("route_type", "event_type"), "left")
       .crossJoin(broadcast(globalRow))
       .select(col("route_type"), col("route_section"), col("time_slot_id"), col("event_type"),
-        when(col("points").isNotNull, col("precision_type"))
+        when(col("points").isNotNull, lit(PrecisionType.General))
           .when(col("pool_points").isNotNull, lit(PrecisionType.FallbackGeneral))
           .otherwise(lit(PrecisionType.SuperGeneral)).as("precision_type"),
         coalesce(col("sample_size"), col("pool_n"), col("global_n")).as("sample_size"),

@@ -53,7 +53,9 @@ object StatisticsIO {
       save(baseDir,
         DelayAnalysis.generalDelayCurves(projected),
         DelayAnalysis.stopPairCurveSets(projected),
-        DelayAnalysis.defaultCurves(projected, schedule.routes))
+        // A9 consumes the RAW records, not the gap-filled projections
+        // (reference default_curves.rs:115-117)
+        DelayAnalysis.defaultCurves(records, schedule, schedule.routes))
     } finally projected.unpersist()
     load(records.sparkSession, baseDir)
   }

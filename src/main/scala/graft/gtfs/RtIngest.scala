@@ -112,10 +112,16 @@ object RtIngest {
     val obs = readFeeds(spark, rtDir).cache()
     val rtFiles = obs.select(col("rt_file")).distinct()
     val sched = schedules.keys.toSeq.toDF("schedule_file")
+    // the assignment stays a DataFrame joined on rt_file — never collected:
+    // with a year of rt files the file list is data-sized, and a driver-side
+    // isin() would both bottleneck the driver and plant a giant In() literal
     val assignment = matchFilesToSchedules(rtFiles, sched)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val batches = assignment.groupBy(_._2).map { case (schedFile, m) =>
-      records(obs.filter(col("rt_file").isin(m.keys.toSeq: _*)),
+    val obsAssigned = obs.join(broadcast(assignment), Seq("rt_file"))
+    // driver loop only over schedule VERSIONS (dimension cardinality);
+    // each branch filters by one schedule_file literal
+    val batches = schedules.keys.toSeq.sorted.map { schedFile =>
+      records(obsAssigned.filter(col("schedule_file") === schedFile)
+          .drop("schedule_file").as[RtObservation],
         schedules(schedFile), source, schedFile)
     }
     batches.reduce(_ unionByName _)

@@ -35,22 +35,27 @@ object Monitor {
   }
 
   /** C10 (+C9/C11 when walking): transfer probability between an arrival
-    * and a departure, both curves anchored at absolute epoch seconds.
-    * With walkMeters > 0 the arrival curve is first convolved with the
-    * synthesized walk-duration curve (reference `src/monitor/mod.rs:
-    * 1193-1212`, `time_curve.rs:18-77`, `journey_data.rs:558-594`). */
+    * and a departure. Both curves stay in RELATIVE seconds anchored at the
+    * arrival's scheduled instant — only the departure curve is shifted by
+    * the (small) scheduled-time difference. Anchoring at absolute epoch
+    * seconds would quantize the f32 curve geometry to the ~128 s ulp at
+    * 1.7e9; the reference likewise converts absolute times to relative
+    * before evaluating (`time_curve.rs:93-101`). With walkMeters > 0 the
+    * arrival curve is first convolved with the synthesized walk-duration
+    * curve (reference `src/monitor/mod.rs:1193-1212`, `time_curve.rs:18-77`,
+    * `journey_data.rs:558-594`). */
   val transferProbability = udf(
     (arrival: Seq[org.apache.spark.sql.Row], arrivalRefSecs: Long,
      departure: Seq[org.apache.spark.sql.Row], departureRefSecs: Long,
      walkMeters: Float) => {
-      val arr0 = toCurve(arrival)
-      val arrAbs = Curve(arr0.points.map { case (x, y) => (x + arrivalRefSecs, y) })
+      val arr = toCurve(arrival)
       val arrWalked =
-        if (walkMeters > 0f) Curve.convolve(arrAbs, CurveBuilder.walkCurve(walkMeters))
-        else arrAbs
+        if (walkMeters > 0f) Curve.convolve(arr, CurveBuilder.walkCurve(walkMeters))
+        else arr
+      val shift = (departureRefSecs - arrivalRefSecs).toFloat
       val dep0 = toCurve(departure)
-      val depAbs = Curve(dep0.points.map { case (x, y) => (x + departureRefSecs, y) })
-      Curve.transferProbability(arrWalked, depAbs)
+      val depShifted = Curve(dep0.points.map { case (x, y) => (x + shift, y) })
+      Curve.transferProbability(arrWalked, depShifted)
     })
 
   /** J7: stops within `radiusMeters` haversine distance of a point

@@ -103,10 +103,13 @@ object DedupQueries {
         val inter = a.join(b, Seq("source", "token"))
           .filter(col("id1") < col("id2"))
           .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+        // sizes is per-DOCUMENT (data-sized, not dimension-sized): no
+        // broadcast hint — at corpus scale it must shuffle-join on doc id;
+        // AQE still picks a broadcast when the input is genuinely small
         inter
-          .join(broadcast(sizes), col("id1") === col("sid")).drop("sid")
+          .join(sizes, col("id1") === col("sid")).drop("sid")
           .withColumnRenamed("sz", "n1")
-          .join(broadcast(sizes), col("id2") === col("sid")).drop("sid")
+          .join(sizes, col("id2") === col("sid")).drop("sid")
           .withColumnRenamed("sz", "n2")
           .withColumn("jac", col("inter").cast("double") /
             (col("n1") + col("n2") - col("inter")))

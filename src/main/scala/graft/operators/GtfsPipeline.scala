@@ -58,7 +58,7 @@ object GtfsPipeline {
         val stats = graft.analyse.StatisticsIO.Statistics(
           DelayAnalysis.generalDelayCurves(projected),
           DelayAnalysis.stopPairCurveSets(projected),
-          DelayAnalysis.defaultCurves(projected, schedule.routes))
+          DelayAnalysis.defaultCurves(recs, schedule, schedule.routes))
         graft.predict.ScheduledPredictions.generate(s, schedule, stats,
           java.time.LocalDate.of(2024, 3, 15), days = 2)
           .select(col("route_id"), col("trip_id"), col("trip_start_date"),

@@ -90,6 +90,17 @@ object Predictor {
       col("event_type"), col("points").as("d_points"),
       col("sample_size").as("d_n"), col("precision_type").as("d_precision"))
 
+    // SuperGeneral terminal fallback for route types outside the default
+    // grid (the reference folds extended GTFS codes into its 11-type enum
+    // at parse time; our schema keeps raw ints, so an exotic code could
+    // otherwise miss every grid row — ADVICE r1). Single broadcast row;
+    // empty when the cascade filled every cell, in which case unmatched
+    // route types fail exactly like the reference's `predict_default` bail.
+    val sg = defaultCurves
+      .filter(col("precision_type") === lit(PrecisionType.SuperGeneral))
+      .limit(1)
+      .select(col("points").as("sg_points"), col("sample_size").as("sg_n"))
+
     val withSlot = requests
       .withColumn("time_slot_id", slotCol)
       .withColumn("route_section",
@@ -97,13 +108,21 @@ object Predictor {
       .join(broadcast(routes.select(col("route_id"), col("route_type"))),
         Seq("route_id"), "left")
 
+    // The basis is start_index alone; initial_delay may be null within a
+    // basis (reference `PredictionBasis { stop_sequence, delay_departure:
+    // Option }`, `predictor/mod.rs:137-141`).
+    val hasBasis = col("start_index").isNotNull
+    val hasDelay = col("initial_delay").isNotNull
+
     val resolved = withSlot
-      // Specific: exact slot curve set (only meaningful with a basis)
+      // Specific: exact slot curve set (only consulted with a basis)
       .join(csSide("1"), csJoinKey("1") && col("slot1") === col("time_slot_id"), "left")
-      // FallbackSpecific: DEFAULT-slot curve set
+      // FallbackSpecific: DEFAULT-slot curve set retry (`predictor/mod.rs:299-305`)
       .join(csSide("2").filter(col("slot2") === TimeSlot.Default.id),
         csJoinKey("2"), "left")
-      // SemiSpecific: per-stop general curve
+      // SemiSpecific: per-stop general curve (only consulted with NO basis —
+      // with a basis and no curve set the reference bails to the default
+      // path, `predictor/mod.rs:285-316`)
       .join(gen, Seq("route_id", "route_variant", "stop_index", "event_type"), "left")
       // default path: every (type, section, slot, event) cell exists via the cascade
       .join(broadcast(dflt.withColumnRenamed("route_type", "d_rt")
@@ -112,30 +131,40 @@ object Predictor {
         col("d_rt") === col("route_type") && col("d_sec") === col("route_section") &&
           col("d_slot") === col("time_slot_id") && col("d_et") === col("event_type"),
         "left")
+      .join(broadcast(sg), lit(true), "left")
 
-    val hasBasis = col("initial_delay").isNotNull
-    val specificCurve = when(hasBasis && col("curves1").isNotNull,
+    val setHit = hasBasis && (col("curves1").isNotNull || col("curves2").isNotNull)
+    val specificCurve = when(hasBasis && hasDelay && col("curves1").isNotNull,
       continuationUdf(col("curves1"), col("initial_delay").cast("float")))
-    val fallbackCurve = when(hasBasis && col("curves2").isNotNull,
+    val fallbackCurve = when(hasBasis && hasDelay && col("curves2").isNotNull,
       continuationUdf(col("curves2"), col("initial_delay").cast("float")))
+    val genCurve = when(!hasBasis, col("gen_points"))
 
     resolved.select(
       col("route_id"), col("route_variant"), col("trip_id"),
       col("trip_start_date"), col("trip_start_time"),
       col("stop_sequence"), col("stop_id"), col("event_type"),
       col("event_instant"), col("time_slot_id"),
-      coalesce(specificCurve, fallbackCurve, col("gen_points"), col("d_points"))
-        .as("prediction_curve"),
+      // basis without initial delay on a curve-set hit returns the whole
+      // set, not a single curve (reference `predictor/mod.rs:318-321`)
+      when(setHit && !hasDelay, coalesce(col("curves1"), col("curves2")))
+        .as("prediction_curve_set"),
+      when(!(setHit && !hasDelay),
+        coalesce(specificCurve, fallbackCurve, genCurve, col("d_points"),
+          col("sg_points"))).as("prediction_curve"),
       when(hasBasis && col("curves1").isNotNull, lit(PrecisionType.Specific))
         .when(hasBasis && col("curves2").isNotNull, lit(PrecisionType.FallbackSpecific))
-        .when(col("gen_points").isNotNull, lit(PrecisionType.SemiSpecific))
-        .otherwise(col("d_precision")).as("precision_type"),
+        .when(!hasBasis && col("gen_points").isNotNull, lit(PrecisionType.SemiSpecific))
+        .otherwise(coalesce(col("d_precision"),
+          when(col("sg_points").isNotNull, lit(PrecisionType.SuperGeneral))))
+        .as("precision_type"),
       coalesce(
         when(hasBasis && col("curves1").isNotNull, col("n1")),
         when(hasBasis && col("curves2").isNotNull, col("n2")),
-        col("gen_n"), col("d_n")).as("sample_size"))
-      .filter(col("prediction_curve").isNotNull)
-      .withColumn("prediction_curve", capPointsUdf(col("prediction_curve")))
+        when(!hasBasis, col("gen_n")), col("d_n"), col("sg_n")).as("sample_size"))
+      .filter(col("prediction_curve").isNotNull || col("prediction_curve_set").isNotNull)
+      .withColumn("prediction_curve",
+        when(col("prediction_curve").isNotNull, capPointsUdf(col("prediction_curve"))))
       // prediction_min/max: scheduled instant shifted by the curve support
       .withColumn("prediction_min",
         timestamp_add("SECOND", element_at(col("prediction_curve"), 1)("x").cast("int"),

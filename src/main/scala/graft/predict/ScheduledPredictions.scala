@@ -31,16 +31,22 @@ object ScheduledPredictions {
     }
     val trips = perDay.reduce(_ unionByName _)
       .join(schedule.tripsWithVariant.select("trip_id", "route_variant"), Seq("trip_id"))
+    // ONE vehicle identity per trip run: trip_start_time is the first stop's
+    // scheduled DEPARTURE for both event branches (the GTFS-RT trip
+    // descriptor's start_time). Deriving it per event type would give a
+    // vehicle two identities whenever the first stop has dwell, breaking the
+    // F6 realtime-shadow dedup and the A12 watermark (ADVICE r1).
     val withStops = trips.join(stops, Seq("trip_id"))
+      .withColumn("trip_start_time",
+        first(col("departure_secs")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("trip_id"), col("trip_start_date"))
+          .orderBy(col("stop_index"))))
     val events = Seq(
       (EventType.Arrival, "arrival_secs"),
       (EventType.Departure, "departure_secs")).map { case (et, secsCol) =>
       withStops.select(
         col("route_id"), col("route_variant"), col("trip_id"),
-        col("trip_start_date"),
-        first(col(secsCol)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("trip_id"), col("trip_start_date"))
-          .orderBy(col("stop_index"))).as("trip_start_time"),
+        col("trip_start_date"), col("trip_start_time"),
         col("stop_sequence"), col("stop_index"), col("stop_count"), col("stop_id"),
         lit(et).as("event_type"),
         GtfsTime.instantColumn(col("trip_start_date"), col(secsCol)).as("event_instant"))

@@ -95,16 +95,18 @@ class DelayAnalysisSpec extends SparkSpec {
   }
 
   test("default curves: cascade fills every grid cell with correct precision") {
-    val d = DelayAnalysis.defaultCurves(projected, schedule.routes).cache()
-    // grid: 8 standard route types x 3 sections x 12 slots x 2 events
-    assert(d.count() == 8 * 3 * 12 * 2)
+    val d = DelayAnalysis.defaultCurves(records, schedule, schedule.routes).cache()
+    // grid: the reference's 11 route types x 3 sections x 11 real slots
+    // (no Default slot — default_curves.rs:136) x 2 events
+    assert(d.count() == 11 * 3 * 11 * 2)
+    assert(d.filter(col("time_slot_id") === TimeSlot.Default.id).count() == 0)
     val byPrecision = d.groupBy("precision_type").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // observed (Bus) cells are General, Bus gaps use the (route_type, event)
-    // pool, all other route types drop to the global SuperGeneral
+    // observed (Bus=3) cells are General, Bus gaps use the (route_type,
+    // event) pool, all other 10 route types drop to the global SuperGeneral
     assert(byPrecision.keySet == Set(PrecisionType.General,
       PrecisionType.FallbackGeneral, PrecisionType.SuperGeneral))
-    assert(byPrecision(PrecisionType.SuperGeneral) == 7 * 3 * 12 * 2)
+    assert(byPrecision(PrecisionType.SuperGeneral) == 10 * 3 * 11 * 2)
     val general = d.filter(col("precision_type") === PrecisionType.General)
     assert(general.count() >= 4)
     // every returned curve satisfies the CDF invariants
@@ -113,5 +115,16 @@ class DelayAnalysisSpec extends SparkSpec {
       assert(pts.head._2 == 0.0f && pts.last._2 == 1.0f)
       assert(pts.sliding(2).forall(w => w(0)._1 < w(1)._1 && w(0)._2 <= w(1)._2))
     }
+  }
+
+  test("default curves: leaves come from raw records, not gap-filled rows") {
+    val d = DelayAnalysis.defaultCurves(records, schedule, schedule.routes)
+    // stop 3 (index 2) is never observed in the raw records; with gap-filled
+    // input its forward-filled rows would inflate the leaf sample counts.
+    // Raw per-cell samples: dep@s1=40, arr/dep@s2=40, arr@s4=40 — so every
+    // General cell's sample_size is exactly 40
+    val generalSizes = d.filter(col("precision_type") === PrecisionType.General)
+      .select("sample_size").collect().map(_.getInt(0)).toSet
+    assert(generalSizes == Set(40))
   }
 }

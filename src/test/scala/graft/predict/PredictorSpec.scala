@@ -33,7 +33,7 @@ class PredictorSpec extends SparkSpec {
   private lazy val projected = DelayAnalysis.projectedRecords(records, schedule).cache()
   private lazy val general = DelayAnalysis.generalDelayCurves(projected).cache()
   private lazy val curveSets = DelayAnalysis.stopPairCurveSets(projected).cache()
-  private lazy val defaults = DelayAnalysis.defaultCurves(projected, schedule.routes).cache()
+  private lazy val defaults = DelayAnalysis.defaultCurves(records, schedule, schedule.routes).cache()
 
   private lazy val variantA = records.select("route_variant").distinct()
     .collect().head.getLong(0)
@@ -41,10 +41,11 @@ class PredictorSpec extends SparkSpec {
   /** One request row; event_instant 2024-03-08 (Fri) 08:20 -> slot 3. */
   private def request(routeId: String, variant: Long, stopIdx: Int,
                       startIdx: Option[Int], initialDelay: Option[Int],
-                      instant: String = "2024-03-08 08:20:00") = {
+                      instant: String = "2024-03-08 08:20:00",
+                      eventType: Int = EventType.Arrival) = {
     import spark.implicits._
     Seq((routeId, variant, "tA1", Date.valueOf("2024-03-08"), 8 * 3600,
-      stopIdx + 1, stopIdx, 4, "s4", EventType.Arrival,
+      stopIdx + 1, stopIdx, 4, "s4", eventType,
       Timestamp.valueOf(instant), startIdx, initialDelay))
       .toDF("route_id", "route_variant", "trip_id", "trip_start_date",
         "trip_start_time", "stop_sequence", "stop_index", "stop_count",
@@ -82,6 +83,25 @@ class PredictorSpec extends SparkSpec {
     val r = resolve(request("rA", variant = 999L, stopIdx = 3, None, None))
     assert(Set(PrecisionType.General, PrecisionType.FallbackGeneral)
       .contains(r.getAs[Int]("precision_type")))
+  }
+
+  test("basis + curve-set miss skips SemiSpecific and lands on defaults") {
+    // basis anchored at a stop with no curve sets: the (99, 3) lookup misses
+    // in every slot, while the per-stop general curve for stop 3 DOES exist
+    // — the reference bails to the default path when a basis is present and
+    // the curve-set lookup fails (predictor/mod.rs:285-316), never
+    // SemiSpecific (that is reserved for basis-less requests)
+    val r = resolve(request("rA", variantA, 3, Some(99), Some(120)))
+    assert(Set(PrecisionType.General, PrecisionType.FallbackGeneral)
+      .contains(r.getAs[Int]("precision_type")))
+  }
+
+  test("basis without initial delay returns the whole curve set") {
+    // reference predictor/mod.rs:318-321: PredictionResult::CurveSetData
+    val r = resolve(request("rA", variantA, 3, Some(0), None))
+    assert(r.getAs[Int]("precision_type") == PrecisionType.Specific)
+    assert(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("prediction_curve_set").nonEmpty)
+    assert(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("prediction_curve") == null)
   }
 
   test("set-oriented: a batch of mixed requests resolves in one pass") {

@@ -35,7 +35,7 @@ class ScheduledPredictionsSpec extends SparkSpec {
   test("statistics round-trip: partitioned tables load with identical contents") {
     assert(stats.general.count() > 0)
     assert(stats.curveSets.count() > 0)
-    assert(stats.defaults.count() == 8 * 3 * 12 * 2)
+    assert(stats.defaults.count() == 11 * 3 * 11 * 2)
     // partition column survives the round-trip
     assert(stats.general.select("route_id").distinct()
       .collect().map(_.getString(0)).toSet == Set("rA"))
