@@ -1,0 +1,134 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.{Connection, DriverManager, PreparedStatement, SQLException}
+
+/** S5: the record/prediction upsert sink, in the reference's two idioms
+  * (reference `src/importer/batched_statements.rs:23-108` +
+  * `per_schedule_importer.rs:404-456`):
+  *
+  *  1. [[jdbcUpsert]] — batched last-wins upsert over JDBC: per 1000-row
+  *     transaction, an UPDATE … WHERE key = ? AND version <= ? batch, then
+  *     INSERT for the rows the update didn't reach, swallowing
+  *     duplicate-key races (the reference's `INSERT IGNORE`). Runs as
+  *     `foreachPartition`, so every executor streams its partition into the
+  *     database concurrently — the reference's per-thread batched
+  *     statements map 1:1 onto partitions.
+  *  2. [[mergeIntoPartitionedRecords]] — partition-scoped parquet merge:
+  *     the records table is partitioned by `trip_start_date`; a micro-batch
+  *     only ever touches a handful of service days, so only THOSE partition
+  *     directories are read, merged last-wins, and dynamically overwritten.
+  *     O(touched partitions) I/O per batch instead of O(table) — the shape
+  *     that survives a year of records at 100 TB.
+  */
+object UpsertSink {
+
+  /** Rows per transaction — the reference's batch size
+    * (`batched_statements.rs:26` `BATCH_SIZE = 1000`). */
+  val BatchSize = 1000
+
+  /** Batched last-wins upsert: newest `versionCol` wins per `keyCols`.
+    *
+    * For every row: UPDATE … SET (non-key cols) WHERE key AND
+    * `versionCol` <= new version; rows the UPDATE did not touch are either
+    * absent (INSERT them) or strictly newer (skip). A duplicate-key failure
+    * on INSERT means a concurrent writer won the race — re-run the UPDATE
+    * so the newest version still wins regardless of arrival order.
+    *
+    * `url` must be a JDBC URL whose driver is on the executor classpath
+    * (Derby is bundled with Spark; server DBs work the same way). The
+    * target table must exist.
+    */
+  def jdbcUpsert(df: DataFrame, url: String, table: String,
+                 keyCols: Seq[String], versionCol: String,
+                 batchSize: Int = BatchSize): Unit = {
+    val schema = df.schema
+    val cols = schema.fieldNames.toSeq
+    val dataCols = cols.filterNot(keyCols.contains)
+    require(dataCols.contains(versionCol), s"$versionCol must be a non-key column")
+    val updateSql =
+      s"UPDATE $table SET ${dataCols.map(c => s"$c = ?").mkString(", ")} " +
+        s"WHERE ${keyCols.map(c => s"$c = ?").mkString(" AND ")} AND $versionCol <= ?"
+    val insertSql =
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val colIndex = cols.zipWithIndex.toMap
+
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val update = conn.prepareStatement(updateSql)
+          val insert = conn.prepareStatement(insertSql)
+
+          def bindUpdate(r: Row): Unit = {
+            dataCols.zipWithIndex.foreach { case (c, i) =>
+              update.setObject(i + 1, r.get(colIndex(c)))
+            }
+            keyCols.zipWithIndex.foreach { case (c, i) =>
+              update.setObject(dataCols.length + i + 1, r.get(colIndex(c)))
+            }
+            update.setObject(dataCols.length + keyCols.length + 1,
+              r.get(colIndex(versionCol)))
+          }
+
+          rows.grouped(batchSize).foreach { chunk =>
+            chunk.foreach { r => bindUpdate(r); update.addBatch() }
+            val counts = update.executeBatch()
+            // rows the UPDATE missed: absent (insert) or strictly newer (skip)
+            chunk.zip(counts).filter(_._2 == 0).map(_._1).foreach { r =>
+              cols.zipWithIndex.foreach { case (c, i) =>
+                insert.setObject(i + 1, r.get(colIndex(c)))
+              }
+              try insert.executeUpdate()
+              catch {
+                case e: SQLException if e.getSQLState == "23505" =>
+                  // lost an insert race (the reference's INSERT IGNORE);
+                  // re-run the guarded update so newest-version still wins
+                  bindUpdate(r); update.executeUpdate(); ()
+              }
+            }
+            conn.commit() // one transaction per batch, like the reference
+          }
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Partition-scoped last-wins merge into a `trip_start_date`-partitioned
+    * parquet records table. Reads ONLY the partitions the batch touches
+    * (partition pruning on the IN filter), merges newest-
+    * `time_of_recording`-wins per logical key, and overwrites ONLY those
+    * partition directories (dynamic partition overwrite). */
+  def mergeIntoPartitionedRecords(spark: SparkSession, batch: DataFrame,
+                                  recordsPath: String): Unit = {
+    val keyCols = Seq("source", "route_id", "route_variant", "trip_id",
+      "trip_start_date", "trip_start_time", "stop_sequence")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("time_of_recording").desc)
+    val exists = new java.io.File(recordsPath).exists()
+    val merged = if (exists) {
+      // touched service days: bounded by the feed horizon (a 5 s micro-batch
+      // covers one or two days), never by data volume
+      val touched = batch.select("trip_start_date").distinct()
+        .collect().map(_.getDate(0))
+      val existing = spark.read.parquet(recordsPath)
+        .filter(col("trip_start_date").isin(touched.toSeq: _*))
+        .select(batch.columns.map(col): _*) // partition col back in place
+      existing.unionByName(batch)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        // cut lineage to the files about to be replaced (cannot overwrite a
+        // path that is also being read from); micro-batch-sized, so cheap
+        .localCheckpoint(true)
+    } else batch
+    merged.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("trip_start_date")
+      .parquet(recordsPath)
+  }
+}

@@ -161,18 +161,11 @@ object RtStream {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[RtIngest.RtObservation], _: Long) =>
         val records = RtIngest.records(batch, schedule, source, scheduleFileName)
-        val existing =
-          if (new java.io.File(recordsPath).exists())
-            spark.read.parquet(recordsPath)
-          else records.limit(0)
-        mergeRecords(existing, records)
-          .write.mode("overwrite").parquet(recordsPath + "_tmp")
-        // atomic-ish swap: parquet has no in-place merge; a real deployment
-        // would use a table format with MERGE INTO semantics
-        val tmp = new java.io.File(recordsPath + "_tmp")
-        val dst = new java.io.File(recordsPath)
-        if (dst.exists()) { org.apache.commons.io.FileUtils.deleteDirectory(dst) }
-        tmp.renameTo(dst)
+        // partition-scoped upsert: only the service days present in this
+        // micro-batch are read, merged last-wins and rewritten — O(touched
+        // partitions) per 5 s batch, not O(table) (S5; reference
+        // per_schedule_importer.rs:404-456 batched upsert semantics)
+        graft.sinks.UpsertSink.mergeIntoPartitionedRecords(spark, records, recordsPath)
         ()
       }
       .start()

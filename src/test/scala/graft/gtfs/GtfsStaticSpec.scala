@@ -28,6 +28,20 @@ class GtfsStaticSpec extends SparkSpec {
     assert(v.values.forall(_ >= 0L))
   }
 
+  test("route_variant: concatenation-ambiguous stop ids get distinct variants") {
+    import spark.implicits._
+    // ["ab","c"] vs ["a","bc"] concatenate to the same string; the
+    // non-printable separator in the variant key must keep them apart
+    val trips = Seq(("t1", "r1"), ("t2", "r1")).toDF("trip_id", "route_id")
+    val stopTimes = Seq(
+      ("t1", 1, "ab"), ("t1", 2, "c"),
+      ("t2", 1, "a"), ("t2", 2, "bc"))
+      .toDF("trip_id", "stop_sequence", "stop_id")
+    val v = GtfsStatic.routeVariants(trips, stopTimes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v("t1") != v("t2"))
+  }
+
   test("route_variant derivation is deterministic across invocations") {
     val a = GtfsStatic.routeVariants(schedule.trips, schedule.stopTimes)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
