@@ -71,6 +71,83 @@ object JourneyData {
     kept.map(_._1).toSeq
   }
 
+  /** Multi-leg journey chaining (reference `src/monitor/journey_data.rs:
+    * 60-235,255-475`): components alternate Stop → (Trip|Walk) → Stop …;
+    * each boarding multiplies the journey probability by the transfer
+    * probability between the current position curve and the leg's departure
+    * curve; alighting replaces the position curve with the leg's arrival
+    * curve; a walk convolves the position curve with the synthesized
+    * walk-duration curve and never loses probability
+    * (`journey_data.rs:309-310`).
+    *
+    * Curves stay RELATIVE, each carried with its anchor second
+    * (`refSecs`) — the same f32-precision rule as
+    * [[Monitor.transferProbability]]. */
+  object JourneyChain {
+
+    sealed trait Leg
+    /** Board a vehicle: `departure` anchored at the scheduled departure
+      * instant, `arrival` at the scheduled arrival at the alighting stop. */
+    final case class Ride(departure: graft.curves.Curve, depRefSecs: Long,
+                          arrival: graft.curves.Curve, arrRefSecs: Long) extends Leg
+    /** Walk to a nearby stop (distance in meters). */
+    final case class Walk(distanceMeters: Float) extends Leg
+
+    /** Current position: when (curve relative to refSecs) × how likely the
+      * journey is still on track (product of boarding probabilities). */
+    final case class State(curve: graft.curves.Curve, refSecs: Long, probability: Float)
+
+    /** The reference's first-stop state: flat ±30 s around the journey
+      * start (`journey_data.rs:317-322`), probability 1. */
+    def start(startSecs: Long): State =
+      State(graft.curves.Curve(Vector((-30.0f, 0.0f), (30.0f, 1.0f))), startSecs, 1.0f)
+
+    def step(s: State, leg: Leg): State = leg match {
+      case Ride(dep, depRef, arr, arrRef) =>
+        // transfer check in the departure's frame: shift our curve by the
+        // (small) anchor difference, never to absolute epoch seconds
+        val here = graft.curves.Curve(
+          s.curve.points.map { case (x, y) => (x + (s.refSecs - depRef).toFloat, y) })
+        val p = graft.curves.Curve.transferProbability(here, dep)
+        State(arr, arrRef, s.probability * p)
+      case Walk(meters) =>
+        State(graft.curves.Curve.convolve(
+          s.curve, graft.curves.CurveBuilder.walkCurve(meters)), s.refSecs, s.probability)
+    }
+
+    /** Fold a whole journey; the final state's curve is the arrival
+      * distribution at the last stop, its probability the chance every
+      * transfer connects. */
+    def chain(startSecs: Long, legs: Seq[Leg]): State =
+      legs.foldLeft(start(startSecs))(step)
+
+    /** Assemble Ride legs from a predictions table: each (trip, vehicle,
+      * board stop, alight stop) needs exactly two prediction rows
+      * (departure at boarding, arrival at alighting) — a per-request
+      * dimension-sized lookup, collected like the reference's per-leg
+      * `get_curve_for` (`journey_data.rs:438-446`). */
+    def rideFromPredictions(predictions: DataFrame, tripId: String,
+                            tripStartDate: java.sql.Date,
+                            boardStopSeq: Int, alightStopSeq: Int): Option[Ride] = {
+      def fetch(seq: Int, et: Int): Option[(graft.curves.Curve, Long)] =
+        predictions
+          .filter(col("trip_id") === tripId &&
+            col("trip_start_date") === tripStartDate &&
+            col("stop_sequence") === seq && col("event_type") === et)
+          .select("prediction_curve", "event_instant")
+          .collect().headOption.map { r =>
+            (graft.curves.Curve(
+              r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+                .map(p => (p.getFloat(0), p.getFloat(1))).toVector),
+              r.getTimestamp(1).getTime / 1000)
+          }
+      for {
+        (dep, depRef) <- fetch(boardStopSeq, graft.model.EventType.Departure)
+        (arr, arrRef) <- fetch(alightStopSeq, graft.model.EventType.Arrival)
+      } yield Ride(dep, depRef, arr, arrRef)
+    }
+  }
+
   /** Per-variant ordered stop-id lists (input to W8), one shuffle. */
   def variantStopLists(schedule: GtfsStatic.Schedule): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -263,8 +263,20 @@ object DedupQueries {
     * Shape note: explode + codegen'd hash-aggregate (16 min()s), NOT a
     * higher-order-function fold — nested HOF lambdas run interpreted and
     * were ~5x slower; 16 simple min aggregates stay in whole-stage codegen
-    * and scale out through a single doc_id shuffle. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
+    * and scale out through a single doc_id shuffle.
+    *
+    * Skew note: a degenerate corpus (many near-identical documents) funnels
+    * a large share of rows into ONE (band, bucket) key, making a single
+    * bucket-join task quadratic. Buckets holding >= `heavyBucketThreshold`
+    * docs are detected with a cheap count over the banded table (4 rows per
+    * doc) and routed through [[Salting.saltedJoin]] — probe side scattered
+    * `salt` ways by doc id, build side replicated — bounding any task's
+    * probe input to bucket/salt rows; light buckets join plain. The two
+    * paths partition the key space, so their union is exactly the plain
+    * join's candidate set (spec-pinned). */
+  def minhashCandidates(docs: DataFrame,
+                        heavyBucketThreshold: Int = 10000,
+                        salt: Int = 16): DataFrame = {
     val t = tokens(col("text"))
     val shingles = transform(sequence(lit(0), size(t) - 3),
       i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
@@ -280,9 +292,24 @@ object DedupQueries {
     val banded = sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
-    a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+    // heavy-hitter buckets are few by definition: broadcastable key list
+    val heavy = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= heavyBucketThreshold)
+      .select(col("band"), col("bucket"), lit(true).as("__heavy"))
+    val flagged = banded.join(broadcast(heavy), Seq("band", "bucket"), "left")
+    def side(alias: String, heavyOnly: Boolean) = {
+      val base = if (heavyOnly) flagged.filter(col("__heavy").isNotNull)
+                 else flagged.filter(col("__heavy").isNull)
+      base.select(col("band"), col("bucket"), col("doc_id").as(alias))
+    }
+    val lightPairs = side("id1", heavyOnly = false)
+      .join(side("id2", heavyOnly = false), Seq("band", "bucket"))
+    val heavyPairs = Salting.saltedJoin(
+      side("id1", heavyOnly = true), side("id2", heavyOnly = true),
+      Seq("band", "bucket"), scatterCols = Seq(col("id1")), salt = salt)
+    lightPairs.unionByName(heavyPairs)
+      .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
       .orderBy(col("id1"), col("id2"))
   }

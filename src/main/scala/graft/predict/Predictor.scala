@@ -22,6 +22,61 @@ import graft.model.{PrecisionType, RouteSection, TimeSlot}
   *                       (its own precision_type encodes which cascade level
   *                       filled the cell).
   */
+/** The interactive single-request path (reference `run_single` + `predict`,
+  * `src/predictor/mod.rs:118-238`): "one trip, one stop, now" must not pay
+  * a full join plan. The statistics tables are dimension-sized — and
+  * per-route slices are partition-pruned scans (StatisticsIO partitions by
+  * route_id) — so they are collected ONCE into hash maps; `predict` then
+  * walks the same ladder as [[Predictor.resolve]] in O(1) per request.
+  * Build via [[Predictor.pointLookup]]. */
+final class PointPredictor private[predict] (
+    routeTypes: Map[String, Int],
+    general: Map[(String, Long, Int, Int), (Curve, Int)],
+    sets: Map[(String, Long, Int, Int, Int, Int), (CurveSet, Int)],
+    defaults: Map[(Int, Int, Int, Int), (Int, Int, Curve)],
+    superGeneral: Option[(Int, Curve)]) {
+
+  /** One ladder answer: a curve (every rung but one) or, for a basis
+    * without an initial delay, the whole curve set (reference
+    * `PredictionResult::CurveSetData`, `predictor/mod.rs:318-321`). */
+  final case class PointResult(precisionType: Int, sampleSize: Int,
+                               curve: Option[Curve], curveSet: Option[CurveSet])
+
+  def predict(routeId: String, routeVariant: Long, stopIndex: Int,
+              stopCount: Int, startIndex: Option[Int],
+              initialDelay: Option[Int], eventType: Int,
+              at: java.time.LocalDateTime): Option[PointResult] = {
+    val slot = graft.model.TimeSlot.fromDateTime(at).id
+    def defaultPath: Option[PointResult] = {
+      val section = RouteSection.byStopIndex(stopIndex, stopCount)
+      routeTypes.get(routeId)
+        .flatMap(rt => defaults.get((rt, section, slot, eventType)))
+        .map { case (prec, n, c) => PointResult(prec, n, Some(c.capPoints(120)), None) }
+        .orElse(superGeneral.map { case (n, c) =>
+          PointResult(PrecisionType.SuperGeneral, n, Some(c.capPoints(120)), None) })
+    }
+    startIndex match {
+      case Some(start) =>
+        def setAt(s: Int) = sets.get((routeId, routeVariant, start, stopIndex, s, eventType))
+        setAt(slot).map((_, PrecisionType.Specific))
+          .orElse(setAt(TimeSlot.Default.id).map((_, PrecisionType.FallbackSpecific)))
+          .map { case ((cs, n), prec) =>
+            initialDelay match {
+              case Some(d) => PointResult(prec, n,
+                Some(cs.curveAtXWithContinuation(d.toFloat).capPoints(120)), None)
+              case None => PointResult(prec, n, None, Some(cs))
+            }
+          }
+          .orElse(defaultPath) // basis + set miss -> defaults, never SemiSpecific
+      case None =>
+        general.get((routeId, routeVariant, stopIndex, eventType))
+          .map { case (c, n) =>
+            PointResult(PrecisionType.SemiSpecific, n, Some(c.capPoints(120)), None) }
+          .orElse(defaultPath)
+    }
+  }
+}
+
 object Predictor {
 
   /** Interpolate a curve set at the request's initial delay (reference
@@ -172,5 +227,50 @@ object Predictor {
       .withColumn("prediction_max",
         timestamp_add("SECOND", element_at(col("prediction_curve"), -1)("x").cast("int"),
           col("event_instant")))
+  }
+
+  private def rowCurve(rows: scala.collection.Seq[org.apache.spark.sql.Row]): Curve =
+    Curve(rows.map(p => (p.getFloat(0), p.getFloat(1))).toVector)
+
+  /** Build the single-request lookup (reference `run_single`). Pass
+    * `routeId` to collect only that route's statistics slices — with the
+    * route_id-partitioned statistics store that is a pruned scan, which is
+    * what keeps the interactive path cheap at any corpus size; the default
+    * grid is a fixed 726-cell table either way. */
+  def pointLookup(generalCurves: DataFrame, curveSets: DataFrame,
+                  defaultCurves: DataFrame, routes: DataFrame,
+                  routeId: Option[String] = None): PointPredictor = {
+    def pruned(df: DataFrame) = routeId.fold(df)(r => df.filter(col("route_id") === r))
+    val gen = pruned(generalCurves)
+      .filter(col("time_slot_id") === TimeSlot.Default.id)
+      .select("route_id", "route_variant", "stop_index", "event_type",
+        "points", "sample_size")
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)) ->
+          ((rowCurve(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](4)), r.getInt(5)))
+      }.toMap
+    val sets = pruned(curveSets)
+      .select("route_id", "route_variant", "start_stop_index", "end_stop_index",
+        "time_slot_id", "event_type", "curves", "sample_size")
+      .collect().map { r =>
+        val cs = CurveSet(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](6)
+          .map(fc => (fc.getFloat(0),
+            rowCurve(fc.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)))).toVector)
+        (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)) ->
+          ((cs, r.getInt(7)))
+      }.toMap
+    val dflt = defaultCurves
+      .select("route_type", "route_section", "time_slot_id", "event_type",
+        "precision_type", "sample_size", "points")
+      .collect().map { r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) ->
+          ((r.getInt(4), r.getInt(5),
+            rowCurve(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](6))))
+      }.toMap
+    val superRow = dflt.values
+      .find(_._1 == PrecisionType.SuperGeneral).map(v => (v._2, v._3))
+    val rts = pruned(routes).select("route_id", "route_type")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    new PointPredictor(rts, gen, sets, dflt, superRow)
   }
 }

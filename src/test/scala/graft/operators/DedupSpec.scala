@@ -32,6 +32,35 @@ class DedupSpec extends SparkSpec {
     assert(!cand.exists { case (a, b) => (a <= 3L) && b == 4L })
   }
 
+  test("salted LSH: pathological corpus yields the identical candidate set") {
+    import spark.implicits._
+    // degenerate corpus: half the documents are identical -> they share
+    // every band's bucket, funneling ~50% of banded rows into 4 keys
+    val rand = new scala.util.Random(3)
+    val dupText = (0 until 50).map(_ => s"dup${rand.nextInt(40)}").mkString(" ")
+    val uniques = (0 until 30).map { i =>
+      (1000L + i, (0 until 30).map(_ => s"u${i}_${rand.nextInt(400)}").mkString(" "))
+    }
+    val corpus = ((0 until 30).map(i => (i.toLong, dupText)) ++ uniques)
+      .toDF("doc_id", "text")
+    // threshold 5 forces the duplicate buckets onto the salted path
+    val salted = DedupQueries.minhashCandidates(corpus, heavyBucketThreshold = 5, salt = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = DedupQueries.minhashCandidates(corpus, heavyBucketThreshold = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain, "salting must not change the candidate set")
+    // all 30 identical docs pair with each other: 435 pairs at minimum
+    assert(plain.count { case (a, b) => a < 30 && b < 30 } == 30 * 29 / 2)
+    // the deterministic scatter actually splits the heavy bucket: the 30
+    // duplicate doc ids land in more than one salt partition, so no task
+    // sees the whole bucket on the probe side
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val distinctSalts = corpus.filter(col("doc_id") < 30)
+      .select(pmod(xxhash64(col("doc_id")), lit(4)).as("s"))
+      .distinct().count()
+    assert(distinctSalts > 1)
+  }
+
   test("simhash surfaces planted near-duplicates with small hamming distance") {
     val cand = DedupQueries.simhashCandidates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

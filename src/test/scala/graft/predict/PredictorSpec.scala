@@ -104,6 +104,50 @@ class PredictorSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("prediction_curve") == null)
   }
 
+  test("point lookup matches the set-oriented ladder on every rung") {
+    val pp = Predictor.pointLookup(general, curveSets, defaults, schedule.routes,
+      routeId = Some("rA"))
+    val at = java.time.LocalDateTime.of(2024, 3, 8, 8, 20)
+    def pointsOf(r: org.apache.spark.sql.Row) =
+      r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("prediction_curve")
+        .map(p => (p.getFloat(0), p.getFloat(1))).toVector
+
+    // Specific with delay
+    val s1 = pp.predict("rA", variantA, 3, 4, Some(0), Some(120), EventType.Arrival, at).get
+    val r1 = resolve(request("rA", variantA, 3, Some(0), Some(120)))
+    assert(s1.precisionType == r1.getAs[Int]("precision_type"))
+    assert(s1.sampleSize == r1.getAs[Int]("sample_size"))
+    assert(s1.curve.get.points == pointsOf(r1))
+
+    // basis without delay: whole curve set
+    val s2 = pp.predict("rA", variantA, 3, 4, Some(0), None, EventType.Arrival, at).get
+    val r2 = resolve(request("rA", variantA, 3, Some(0), None))
+    assert(s2.curveSet.nonEmpty && s2.curve.isEmpty)
+    assert(s2.precisionType == r2.getAs[Int]("precision_type"))
+    assert(s2.curveSet.get.curves.length ==
+      r2.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("prediction_curve_set").length)
+
+    // SemiSpecific (no basis)
+    val s3 = pp.predict("rA", variantA, 1, 4, None, None, EventType.Arrival, at).get
+    val r3 = resolve(request("rA", variantA, 1, None, None))
+    assert(s3.precisionType == PrecisionType.SemiSpecific)
+    assert(s3.sampleSize == r3.getAs[Int]("sample_size"))
+    assert(s3.curve.get.points == pointsOf(r3))
+
+    // default path (unknown variant)
+    val s4 = pp.predict("rA", 999L, 3, 4, None, None, EventType.Arrival, at).get
+    val r4 = resolve(request("rA", 999L, 3, None, None))
+    assert(s4.precisionType == r4.getAs[Int]("precision_type"))
+    assert(s4.sampleSize == r4.getAs[Int]("sample_size"))
+    assert(s4.curve.get.points == pointsOf(r4))
+
+    // basis + set miss -> defaults, like the set-oriented ladder
+    val s5 = pp.predict("rA", variantA, 3, 4, Some(99), Some(120), EventType.Arrival, at).get
+    val r5 = resolve(request("rA", variantA, 3, Some(99), Some(120)))
+    assert(s5.precisionType == r5.getAs[Int]("precision_type"))
+    assert(s5.curve.get.points == pointsOf(r5))
+  }
+
   test("set-oriented: a batch of mixed requests resolves in one pass") {
     val reqs = request("rA", variantA, 3, Some(0), Some(120))
       .union(request("rA", variantA, 1, None, None))
