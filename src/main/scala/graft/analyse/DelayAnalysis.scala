@@ -22,10 +22,6 @@ final case class CurveSetRow(route_id: String, route_variant: Long,
     event_type: Int, precision_type: Int, sample_size: Int,
     curves: Seq[FocusCurve])
 
-final case class VariantSectionCurve(route_type: Int, route_section: Int,
-    time_slot_id: Int, event_type: Int, route_variant: Long,
-    sample_size: Int, points: Seq[CurvePoint])
-
 final case class DefaultCurveRow(route_type: Int, route_section: Int,
     time_slot_id: Int, event_type: Int, precision_type: Int,
     sample_size: Int, points: Seq[CurvePoint])

@@ -152,8 +152,11 @@ object RtStream {
             recordsPath: String, checkpoint: String,
             source: String = "rt", scheduleFileName: String = "schedule",
             trigger: org.apache.spark.sql.streaming.Trigger =
-              org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+              org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"),
+            pingHook: Option[PingListener] = None)
   : org.apache.spark.sql.streaming.StreamingQuery = {
+    // S10: per-cycle health ping, rate-limited (reference ping_url)
+    pingHook.foreach(spark.streams.addListener)
     val obs = observations(spark, rtDir)
     obs.writeStream
       .outputMode(OutputMode.Append())
