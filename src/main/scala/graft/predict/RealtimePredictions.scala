@@ -54,6 +54,10 @@ object RealtimePredictions {
     val requests = events.reduce(_ unionByName _)
     Predictor.resolve(requests, stats.general, stats.curveSets, stats.defaults,
       schedule.routes)
+      // a basis without a departure delay can resolve to a whole curve SET;
+      // the reference importer only stores single curves and bails on
+      // CurveSetData (`per_schedule_importer.rs:338-341`) — drop set rows
+      .filter(col("prediction_curve").isNotNull)
       .withColumn("origin_type", lit(OriginType.Realtime))
   }
 }

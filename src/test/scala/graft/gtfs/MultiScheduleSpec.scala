@@ -50,5 +50,12 @@ class MultiScheduleSpec extends SparkSpec {
     assert(byFile.keySet == Set("sched_2024-03-01", "sched_2024-03-20"))
     // the shortened v2 trip has a different variant id than v1's full run
     assert(byFile("sched_2024-03-01") != byFile("sched_2024-03-20"))
+
+    // scale shape: the file->schedule assignment is JOINED, never collected
+    // into isin() literals — no giant In(rt_file, [...]) in the plan
+    val plan = RtIngest.recordsMultiSchedule(spark, rtDir.toString, schedules, "multi")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("rt_file IN ("), "assignment must be a join, not isin literals")
+    assert(plan.toLowerCase.contains("join"))
   }
 }

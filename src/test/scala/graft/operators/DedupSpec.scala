@@ -61,6 +61,15 @@ class DedupSpec extends SparkSpec {
     assert(distinctSalts > 1)
   }
 
+  test("q44 inverted-index Jaccard carries no broadcast hint on the per-doc side") {
+    // the sizes table is one row per DOCUMENT — a broadcast hint on it is a
+    // scale bug (VERDICT r1); AQE may still choose a broadcast at small
+    // scale, but the plan must not force one
+    val q44 = DedupQueries.registry("q44_jaccard_inverted")
+      .build(spark, "/root/testdata/sf0.001")
+    assert(!q44.queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
+
   test("simhash surfaces planted near-duplicates with small hamming distance") {
     val cand = DedupQueries.simhashCandidates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
