@@ -52,6 +52,61 @@ object AnnQueries {
       .limit(k)
   }
 
+  /** Random-hyperplane (sign) LSH signatures: `planes` deterministic
+    * pseudo-random hyperplanes, weight w(plane, dim) derived from xxhash64
+    * mapped into [-1, 1]; bit j of the signature = sign of the projection
+    * onto plane j. Cosine-similar vectors agree on most sign bits, so
+    * equal signatures bucket near neighbours.
+    *
+    * Shape: posexplode the vector (rows × dim scalars), broadcast-join the
+    * (planes × dim) weight table, one partial-agg shuffle keyed by
+    * (vec_id, plane) — the same columnar layout as [[centroids]]; no HOF
+    * lambdas (they run interpreted), no UDFs. */
+  def signSignatures(embeddings: DataFrame, planes: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    val planeIds = spark.range(planes).toDF("plane")
+    val exploded = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    // weight in [-1, 1], deterministic content hash — retry/cluster-layout
+    // safe, same rationale as Salting's scatter
+    val w = pmod(xxhash64(col("plane"), col("pos")), lit(2001L)).cast("double") / 1000.0 - 1.0
+    exploded
+      .crossJoin(broadcast(planeIds))
+      .withColumn("w", w)
+      .groupBy(col("vec_id"), col("plane"))
+      .agg(sum(col("v") * col("w")).as("proj"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("proj") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"))
+        .otherwise(0L)).as("signature"))
+  }
+
+  /** Sign-LSH search: candidates share the probe's signature bucket or any
+    * bucket at hamming distance 1 (multi-probe, the recall knob analogous
+    * to IVF's nprobe); exact cosine re-ranks the candidates. */
+  def lshSearch(embeddings: DataFrame, probe: DataFrame,
+                k: Int = 10, planes: Int = 16): DataFrame = {
+    val sigs = signSignatures(embeddings, planes)
+    val probeSig = signSignatures(probe.withColumn("vec_id", lit(-1L)), planes)
+      .select(col("signature").as("psig"))
+    // probe bucket + the `planes` hamming-1 neighbours: tiny literal table
+    val probed = probeSig.select(explode(array(
+      col("psig") +: (0 until planes).map(j =>
+        col("psig").bitwiseXOR(lit(1L << j))): _*)).as("signature"))
+    val p = probe.select(transform(col("embedding"), _.cast("double")).as("pv"))
+      .withColumn("pnorm", sqrt(dot(col("pv"), col("pv"))))
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    sigs.join(broadcast(probed), Seq("signature")) // prune to probed buckets
+      .join(e, Seq("vec_id"))
+      .crossJoin(broadcast(p))
+      .withColumn("cos_sim", round(dot(col("v"), col("pv")) / (col("norm") * col("pnorm")), 6))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .select(col("vec_id"), col("cos_sim"))
+      .limit(k)
+  }
+
   val registry: Map[String, QueryDef] = Map(
     // IVF ANN: probe = lowest vec_id, nprobe=1 (rows-only: cell choice is
     // engine-internal; AnnSpec checks agreement with brute force)
@@ -59,6 +114,18 @@ object AnnQueries {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         ivfSearch(e, e.orderBy(col("vec_id")).limit(1), k = 10, nprobe = 1)
+      },
+      None),
+    // sign-LSH ANN: same probe, bucketed by 16-bit hyperplane signature
+    // with hamming-1 multi-probe (rows-only: xxhash64 weights have no
+    // DuckDB twin; spec pins recall of planted duplicates + containment
+    // in the brute-force ranking)
+    "q49_lsh_ann" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        // 8 planes = 256 buckets: bucket occupancy ~n/256, dense enough to
+        // fill k=10 at bench scale; raise planes as the corpus grows
+        lshSearch(e, e.orderBy(col("vec_id")).limit(1), k = 10, planes = 8)
       },
       None))
 }

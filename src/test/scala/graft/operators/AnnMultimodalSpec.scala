@@ -24,6 +24,43 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(full.toSeq == brute.toSeq)
   }
 
+  test("sign-LSH ANN: planted duplicate always retrieved; ranking consistent") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val probe = e.orderBy(col("vec_id")).limit(1)
+    // plant an exact duplicate of the probe under a fresh id: identical
+    // vectors project identically -> same signature bucket -> must be found
+    // with cosine 1.0
+    val probeRow = probe.collect().head
+    val dup = Seq((99999L,
+      probeRow.getAs[scala.collection.Seq[Float]]("embedding").toSeq,
+      probeRow.getAs[Int]("label"))).toDF("vec_id", "embedding", "label")
+    val planted = e.unionByName(dup)
+    val got = AnnQueries.lshSearch(planted, probe, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).contains(99999L))
+    assert(got.find(_._1 == 99999L).get._2 == 1.0)
+    // sorted by cosine desc, and every candidate's similarity is a real
+    // cosine also produced by the brute-force scan (containment check)
+    assert(got.sliding(2).forall(w => w(0)._2 >= w(1)._2))
+    val brute = TextQueries.registry("q26_embed_knn").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    got.filter(_._1 != 99999L).foreach { case (id, sim) =>
+      brute.get(id).foreach(bs => assert(bs == sim))
+    }
+  }
+
+  test("signatures: 16-bit range, deterministic across invocations") {
+    val e = Tables.embeddings(spark, sf)
+    val a = AnnQueries.signSignatures(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = AnnQueries.signSignatures(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.forall(s => s >= 0L && s < (1L << 16)))
+    assert(a.values.toSet.size > 1) // not everything in one bucket
+  }
+
   test("centroids: one row per cell, dimension-complete") {
     val c = AnnQueries.centroids(Tables.embeddings(spark, sf)).collect()
     assert(c.length == 10)
