@@ -81,6 +81,11 @@ object AnalysisBench {
     time("stop-pair curve sets") {
       graft.analyse.DelayAnalysis.stopPairCurveSets(projected).count()
     }
+    val routes = records.select("route_id").distinct()
+      .withColumn("route_type", lit(3))
+    time("default curve cascade") {
+      graft.analyse.DelayAnalysis.defaultCurves(records, schedule, routes).count()
+    }
     spark.stop()
   }
 }

@@ -14,6 +14,13 @@ object Format {
     when(delay > 0, concat(lit("+"), delay.cast("string")))
       .otherwise(delay.cast("string"))
 
+  /** C14 `format_duration` (`mod.rs:1183-1190`): "<s> Sek." under a
+    * minute, else "<m>:<ss> Min." — pure Column expression. */
+  def formatDuration(seconds: Column): Column =
+    when(seconds < 60, concat(seconds.cast("string"), lit(" Sek.")))
+      .otherwise(concat((seconds / 60).cast("int").cast("string"), lit(":"),
+        lpad((seconds % 60).cast("int").cast("string"), 2, "0"), lit(" Min.")))
+
   /** The reference's PATH_ELEMENT_ESCAPE set: ASCII controls plus
     * '/', '?', '"', '`' (`mod.rs:27`). Only these are %XX-escaped;
     * everything else — including '%' and non-ASCII — passes through, like

@@ -130,6 +130,27 @@ object RtStream {
         })
   }
 
+  /** Watermarked tumbling-window delay statistics over the observation
+    * stream (§2.8: event-time windows + watermark; the reference's periodic
+    * per-source counters, `src/importer/importer_stats.rs` spirit, as a
+    * streaming aggregation). The watermark bounds aggregation state: a
+    * window's state is dropped once event time passes its end + the
+    * allowed lateness — without it, a long-running automatic-mode stream
+    * accumulates state forever. */
+  def windowedDelayStats(obs: Dataset[RtIngest.RtObservation],
+                         windowLength: String = "5 minutes",
+                         lateness: String = "10 minutes"): DataFrame =
+    obs.toDF()
+      .withColumn("ts", timestamp_seconds(col("time_of_recording")))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength),
+        coalesce(col("route_id_rt"), lit("?")).as("route_id"))
+      .agg(count(lit(1)).as("n_updates"),
+        avg(col("delay_departure")).as("avg_delay_departure"),
+        max(col("delay_departure")).as("max_delay_departure"))
+      .select(col("window.start").as("window_start"), col("route_id"),
+        col("n_updates"), col("avg_delay_departure"), col("max_delay_departure"))
+
   /** Batch-side last-wins merge (W2): combine a micro-batch with the
     * existing records table, keep the newest time_of_recording per logical
     * key. Used inside foreachBatch; also the batch-mode compaction. */

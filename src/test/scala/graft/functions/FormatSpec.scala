@@ -14,6 +14,13 @@ class FormatSpec extends SparkSpec {
     assert(got.toSeq == Seq("+120", "0", "-45"))
   }
 
+  test("format_duration: seconds under a minute, m:ss above") {
+    import spark.implicits._
+    val got = Seq(45, 60, 61, 605, 3725).toDF("s")
+      .select(Format.formatDuration(col("s"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("45 Sek.", "1:00 Min.", "1:01 Min.", "10:05 Min.", "62:05 Min."))
+  }
+
   test("path element encoding escapes exactly the reference's AsciiSet") {
     assert(Format.pathElementEncode("Haupt/Bahnhof?") == "Haupt%2FBahnhof%3F")
     assert(Format.pathElementEncode("a\"b`cd") == "a%22b%60c%01d")

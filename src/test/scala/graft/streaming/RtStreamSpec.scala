@@ -39,6 +39,43 @@ class RtStreamSpec extends SparkSpec {
     out.stop()
   }
 
+  test("windowed delay stats: watermark finalizes windows in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1699999800L // multiple of 300 s: aligned to the 5-min windows
+    def ob(ts: Long, delay: Int) = RtIngest.RtObservation(
+      "f", ts, "t1", Some("rA"), Some("20240315"), Some("08:00:00"),
+      Some(1), Some("s1"), None, Some(delay))
+    val input = MemoryStream[RtIngest.RtObservation]
+    val out = RtStream.windowedDelayStats(input.toDS(),
+        windowLength = "5 minutes", lateness = "1 minutes")
+      .writeStream.format("memory").queryName("winstats")
+      .outputMode("append").start()
+
+    // batch 1: three updates inside one 5-min window
+    input.addData(ob(t0 + 10, 60), ob(t0 + 20, 120), ob(t0 + 250, 30))
+    out.processAllAvailable()
+    // window not finalized yet: nothing emitted in append mode
+    assert(spark.table("winstats").count() == 0)
+
+    // batch 2: an event far past the window advances the watermark
+    input.addData(ob(t0 + 1200, 0))
+    out.processAllAvailable()
+    val rows = spark.table("winstats").collect()
+    assert(rows.length == 1) // first window finalized, second still open
+    val r = rows.head
+    assert(r.getAs[Long]("n_updates") == 3)
+    assert(r.getAs[Double]("avg_delay_departure") == 70.0)
+    assert(r.getAs[Int]("max_delay_departure") == 120)
+
+    // a late event for the closed window is DROPPED by the watermark
+    input.addData(ob(t0 + 30, 999), ob(t0 + 1500, 0))
+    out.processAllAvailable()
+    val after = spark.table("winstats").collect()
+    assert(!after.exists(_.getAs[Int]("max_delay_departure") == 999))
+    out.stop()
+  }
+
   test("vehicleUpdates picks the latest feed and furthest stop per vehicle") {
     import spark.implicits._
     val obs = Seq(
