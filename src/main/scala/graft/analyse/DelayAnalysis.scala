@@ -65,7 +65,15 @@ object DelayAnalysis {
     * `src/analyser/specific_curves.rs:158-252`): right-join each vehicle's
     * records onto its scheduled stop list, then carry the last seen delays
     * forward with a frame-spec window. Adds the scheduled event instant and
-    * its TimeSlot id per event type. */
+    * its TimeSlot id per event type.
+    *
+    * Documented deviation: the reference's projection loop has no inner
+    * break (`specific_curves.rs:204-248`), so it literally matches only the
+    * FIRST item per vehicle and forward-fills its delays over every later
+    * stop, discarding subsequent real observations. That contradicts the
+    * function's own name/comments ("fill in the gaps"); we implement the
+    * documented intent — every observation kept, only MISSING stops receive
+    * the last seen delays. */
   def projectedRecords(records: DataFrame, schedule: GtfsStatic.Schedule): DataFrame = {
     val stops = scheduleStops(schedule)
     val vehicles = records
@@ -128,11 +136,15 @@ object DelayAnalysis {
   def generalDelayCurves(projected: DataFrame): DataFrame = {
     // collect_list + once-per-group scalar, same rationale as the
     // stop-pair aggregation below
+    // nondeterministic ON PURPOSE (it is pure): the downstream
+    // `.filter(isNotNull)` otherwise gets pushed through the projection by
+    // substituting the UDF expression, running the curve build TWICE per
+    // group (same collapse-barrier trick as Predictor.capPointsUdf)
     val buildUdf = udf((delays: Seq[Float]) =>
       CurveBuilder.generalDelayCurve(delays).map { cd =>
         (cd.precisionType, cd.sampleSize,
           cd.curve.points.map(p => CurvePoint(p._1, p._2)))
-      })
+      }).asNondeterministic()
     withDefaultSlot(eventLong(projected))
       .groupBy(col("route_id"), col("route_variant"), col("stop_index"),
         col("event_type"), col("time_slot_id"))
@@ -193,7 +205,7 @@ object DelayAnalysis {
             FocusCurve(f, c.points.map(p => CurvePoint(p._1, p._2)))
           })
       }
-    })
+    }).asNondeterministic() // pure; collapse barrier — see generalDelayCurves
     pairs
       .groupBy(col("route_id"), col("route_variant"),
         col("start_idx").as("start_stop_index"), col("end_idx").as("end_stop_index"),
@@ -267,7 +279,7 @@ object DelayAnalysis {
     val leafUdf = udf((delays: Seq[Float]) =>
       CurveBuilder.defaultCurve(delays).map { cd =>
         (cd.sampleSize, cd.curve.points.map(p => CurvePoint(p._1, p._2)))
-      })
+      }).asNondeterministic() // pure; collapse barrier — see generalDelayCurves
     val leaves = events
       .groupBy(col("route_type"), col("route_section"), col("time_slot_id"),
         col("event_type"), col("route_variant"))
@@ -292,7 +304,7 @@ object DelayAnalysis {
         val n = rows.map(_.getInt(0)).sum / rows.length
         val avg = Curve.average(curves).simplify(postEps)
         (n, avg.points.map(p => CurvePoint(p._1, p._2)))
-      })
+      }).asNondeterministic() // pure; collapse barrier — see generalDelayCurves
     val cellStructs = collect_list(struct(col("sample_size"), col("points")))
 
     // 2. General per cell
