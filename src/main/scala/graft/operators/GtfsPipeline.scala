@@ -50,21 +50,67 @@ object GtfsPipeline {
     // §3.2+§3.3: records -> default curves -> scheduled predictions ladder
     "q42_gtfs_predictions" -> QueryDef(
       (s, _) => {
-        val schedule = GtfsStatic.read(s, s"$fixtureDir/gtfs_tiny")
-        // records feeds vehicles + observations inside projectedRecords:
-        // persist so the protobuf decode scan runs once, not per branch
-        val recs = records(s).persist()
-        val projected = DelayAnalysis.projectedRecords(recs, schedule).persist()
-        val stats = graft.analyse.StatisticsIO.Statistics(
-          DelayAnalysis.generalDelayCurves(projected),
-          DelayAnalysis.stopPairCurveSets(projected),
-          DelayAnalysis.defaultCurves(recs, schedule, schedule.routes))
-        graft.predict.ScheduledPredictions.generate(s, schedule, stats,
-          java.time.LocalDate.of(2024, 3, 15), days = 2)
+        val (schedule, preds) = fixturePredictions(s)
+        preds
           .select(col("route_id"), col("trip_id"), col("trip_start_date"),
             col("stop_sequence"), col("event_type"), col("precision_type"),
             col("sample_size"), size(col("prediction_curve")).as("n_points"))
           .orderBy("trip_start_date", "trip_id", "stop_sequence", "event_type")
       },
+      None),
+
+    // monitor data layer over the same pipeline: departure board
+    // (F5/F6/F7/J6/W4) under the driver smoke harness
+    "q50_departure_board" -> QueryDef(
+      (s, _) => {
+        val (schedule, preds) = fixturePredictions(s)
+        graft.monitor.Monitor.departureBoard(preds,
+          schedule.trips, schedule.routes, schedule.stopTimes,
+          stopIds = Seq("s1", "s2", "s3"),
+          minTime = java.sql.Timestamp.valueOf("2024-03-15 00:00:00"),
+          maxTime = java.sql.Timestamp.valueOf("2024-03-17 00:00:00"))
+          .filter(col("event_type") === graft.model.EventType.Departure)
+          .select(col("trip_id"), col("stop_id"), col("stop_sequence"),
+            col("route_short_name"), col("precision_type"),
+            round(col("median_delay"), 3).as("median_delay"))
+      },
+      None),
+
+    // monitor transfer scoring (C9/C10/C11 + F8) over real pipeline curves
+    "q51_transfer_scores" -> QueryDef(
+      (s, _) => {
+        val (_, preds) = fixturePredictions(s)
+        val arrivals = preds
+          .filter(col("event_type") === graft.model.EventType.Arrival &&
+            col("stop_id") === "s2")
+        val departures = preds
+          .filter(col("event_type") === graft.model.EventType.Departure &&
+            col("stop_id") === "s3")
+        graft.monitor.Monitor.transfers(arrivals, departures,
+            walkMeters = 120.0, minProbability = 0.0)
+          .withColumn("transfer_probability",
+            round(col("transfer_probability"), 4))
+          .orderBy("arrival_trip", "departure_trip", "transfer_probability")
+      },
       None))
+
+  /** Shared tail of the fixture pipeline: records → curves → scheduled
+    * predictions (used by q42/q50/q51; each registry invocation is an
+    * independent job, so the decode scan + projection are persisted per
+    * call). */
+  private def fixturePredictions(s: SparkSession)
+  : (GtfsStatic.Schedule, DataFrame) = {
+    val schedule = GtfsStatic.read(s, s"$fixtureDir/gtfs_tiny")
+    // records feeds vehicles + observations inside projectedRecords:
+    // persist so the protobuf decode scan runs once, not per branch
+    val recs = records(s).persist()
+    val projected = DelayAnalysis.projectedRecords(recs, schedule).persist()
+    val stats = graft.analyse.StatisticsIO.Statistics(
+      DelayAnalysis.generalDelayCurves(projected),
+      DelayAnalysis.stopPairCurveSets(projected),
+      DelayAnalysis.defaultCurves(recs, schedule, schedule.routes))
+    val preds = graft.predict.ScheduledPredictions.generate(s, schedule, stats,
+      java.time.LocalDate.of(2024, 3, 15), days = 2)
+    (schedule, preds)
+  }
 }
