@@ -107,6 +107,60 @@ object AnnQueries {
       .limit(k)
   }
 
+  /** Lloyd's k-means over the exploded (vec_id, pos, x) layout — the real
+    * IVF coarse quantizer ([[ivfSearch]]'s `label` cells are a stand-in).
+    * Deterministic: init centroids are the first `k` vectors by vec_id;
+    * assignment argmin uses `min(struct(score, cell))` (lexicographic
+    * tie-break on cell id). Each iteration is one broadcast join + two
+    * keyed aggregations — no interpreted lambdas, centroids stay
+    * dimension-sized (k × dim) and broadcast.
+    *
+    * Returns (vec_id, cell). */
+  def kmeansCells(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val exploded = e
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    var cents = e.orderBy(col("vec_id")).limit(k) // k rows: window is cheap
+      .withColumn("cell", row_number().over(w))
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "w")))
+    var assigned: DataFrame = null
+    def doAssign(): DataFrame = {
+      // argmin_c |v - c|^2 = argmin_c (|c|^2 - 2 v·c); |v|^2 is constant
+      val cnorm = cents.groupBy(col("cell")).agg(sum(col("w") * col("w")).as("cn"))
+      exploded.join(broadcast(cents), Seq("pos"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum(col("x") * col("w")).as("dot"))
+        .join(broadcast(cnorm), Seq("cell"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct((col("cn") - lit(2.0) * col("dot")).as("score"),
+          col("cell").as("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"))
+    }
+    for (_ <- 0 until iters) {
+      assigned = doAssign()
+      cents = assigned.join(exploded, Seq("vec_id"))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("w"))
+    }
+    doAssign()
+  }
+
+  /** Per-cell inertia of a k-means assignment (Σ|v - c|² by cell) — the
+    * convergence diagnostic; also the q52 output. */
+  def kmeansInertia(embeddings: DataFrame, assigned: DataFrame): DataFrame = {
+    val exploded = embeddings.select(col("vec_id"),
+      posexplode(transform(col("embedding"), _.cast("double"))).as(Seq("pos", "x")))
+    val cents = assigned.join(exploded, Seq("vec_id"))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("w"))
+    assigned.join(exploded, Seq("vec_id"))
+      .join(broadcast(cents), Seq("cell", "pos"))
+      .groupBy(col("cell"))
+      .agg(count_distinct(col("vec_id")).as("n"),
+        round(sum((col("x") - col("w")) * (col("x") - col("w"))), 3).as("inertia"))
+      .orderBy(col("cell"))
+  }
+
   val registry: Map[String, QueryDef] = Map(
     // IVF ANN: probe = lowest vec_id, nprobe=1 (rows-only: cell choice is
     // engine-internal; AnnSpec checks agreement with brute force)
@@ -114,6 +168,15 @@ object AnnQueries {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         ivfSearch(e, e.orderBy(col("vec_id")).limit(1), k = 10, nprobe = 1)
+      },
+      None),
+    // k-means coarse quantizer: cell sizes + inertia after 3 Lloyd rounds
+    // (rows-only: iterative float averaging has no stable DuckDB twin;
+    // AnnMultimodalSpec pins determinism and non-increasing inertia)
+    "q52_kmeans_cells" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        kmeansInertia(e, kmeansCells(e, k = 8, iters = 3))
       },
       None),
     // sign-LSH ANN: same probe, bucketed by 16-bit hyperplane signature

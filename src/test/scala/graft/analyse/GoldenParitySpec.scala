@@ -193,6 +193,34 @@ class GoldenParitySpec extends SparkSpec {
     assert(points == expSuper.points)
   }
 
+  test("realtime golden: work-item predictions equal the continuation walk") {
+    import spark.implicits._
+    // one basis-change work item: vehicle at stop 1 (seq 2) with dep delay
+    // 120 -> predictions for every LATER stop, Specific via the curve sets
+    val work = Seq(("tA1", "20240308", "08:00:00", "rA", 2, Some(120), 1700000000L))
+      .toDF("trip_id", "trip_start_date", "trip_start_time", "route_id",
+        "basis_stop_sequence", "basis_delay", "time_of_recording")
+    val stats = graft.analyse.StatisticsIO.Statistics(generalDf, curveSetsDf, defaultsDf)
+    val preds = graft.predict.RealtimePredictions.fromWork(work, schedule, stats,
+      now = java.sql.Timestamp.valueOf("2024-03-08 09:00:00"))
+      .collect().map(r => (r.getAs[Int]("stop_sequence"), r.getAs[Int]("event_type")) -> r).toMap
+
+    // later stops: seq 3 (idx 2) and seq 4 (idx 3), both event types
+    assert(preds.keySet == Set((3, EventType.Arrival), (3, EventType.Departure),
+      (4, EventType.Arrival), (4, EventType.Departure)))
+    // hand walk for (4, Arrival): curve set (start=1, end=3, slot3) — delays
+    // at start idx 1 are d+24, end arr d+48 — continuation at 120, capped
+    val pairs = (0 until 40).map(i => (d0(i) + 24, d0(i) + 48))
+    val set = CurveBuilder.stopPairCurveSet(pairs).get
+    val exp = set.curveSet.curveAtXWithContinuation(120f).capPoints(120)
+    val r = preds((4, EventType.Arrival))
+    assert(r.getAs[Int]("precision_type") == PrecisionType.Specific)
+    assert(r.getAs[Int]("sample_size") == set.sampleSize)
+    assert(pts(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("prediction_curve"))
+      == exp.points)
+    assert(r.getAs[Int]("origin_type") == graft.model.OriginType.Realtime)
+  }
+
   test("J11 golden: ladder rungs reproduce the reference's predict() walk") {
     import spark.implicits._
     val variantA = records.select("route_variant").distinct().collect().head.getLong(0)

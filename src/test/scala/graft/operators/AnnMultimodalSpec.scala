@@ -61,6 +61,26 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(a.values.toSet.size > 1) // not everything in one bucket
   }
 
+  test("k-means cells: deterministic, total, and inertia non-increasing") {
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    val a1 = AnnQueries.kmeansCells(e, k = 8, iters = 1)
+    val a3 = AnnQueries.kmeansCells(e, k = 8, iters = 3)
+    // total assignment: every vector lands in exactly one cell
+    assert(a3.count() == n)
+    assert(a3.select("vec_id").distinct().count() == n)
+    // Lloyd's algorithm never increases total inertia
+    def total(a: org.apache.spark.sql.DataFrame) =
+      AnnQueries.kmeansInertia(e, a)
+        .agg(org.apache.spark.sql.functions.sum("inertia")).collect().head.getDouble(0)
+    assert(total(a3) <= total(a1) + 1e-6)
+    // deterministic across invocations
+    val again = AnnQueries.kmeansCells(e, k = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val first = a3.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(first == again)
+  }
+
   test("centroids: one row per cell, dimension-complete") {
     val c = AnnQueries.centroids(Tables.embeddings(spark, sf)).collect()
     assert(c.length == 10)
