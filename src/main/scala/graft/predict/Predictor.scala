@@ -80,18 +80,14 @@ final class PointPredictor private[predict] (
 object Predictor {
 
   /** Interpolate a curve set at the request's initial delay (reference
-    * `curve_at_x_with_continuation`, `src/predictor/mod.rs:324`). Runs as a
-    * scalar UDF over the curve-set array column. */
-  private val continuationUdf = udf(
-    (curves: Seq[org.apache.spark.sql.Row], x: Float) => {
-      val cs = CurveSet(curves.map { r =>
-        val focus = r.getFloat(0)
-        val pts = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
-          .map(p => (p.getFloat(0), p.getFloat(1))).toVector
-        (focus, Curve(pts))
-      }.toVector)
-      cs.curveAtXWithContinuation(x).points.map(p => CurvePoint(p._1, p._2))
-    })
+    * `curve_at_x_with_continuation`, `src/predictor/mod.rs:324`) — the
+    * native expression (graft.functions.CurveContinuation), not a UDF:
+    * this runs once per basis-carrying prediction row, and the UDF form
+    * paid a Catalyst↔Scala conversion of the whole nested curve-set array
+    * per row. CurveContinuationSpec pins it bit-identical to the pure
+    * `CurveSet.curveAtXWithContinuation`. */
+  private def continuation(curves: Column, x: Column): Column =
+    graft.functions.CurveContinuation(curves, x)
 
   /** C13: the reference serializes prediction curves with at most 120
     * points (`serialize_compact_limited`, `per_schedule_importer.rs:362`);
@@ -190,9 +186,9 @@ object Predictor {
 
     val setHit = hasBasis && (col("curves1").isNotNull || col("curves2").isNotNull)
     val specificCurve = when(hasBasis && hasDelay && col("curves1").isNotNull,
-      continuationUdf(col("curves1"), col("initial_delay").cast("float")))
+      continuation(col("curves1"), col("initial_delay").cast("float")))
     val fallbackCurve = when(hasBasis && hasDelay && col("curves2").isNotNull,
-      continuationUdf(col("curves2"), col("initial_delay").cast("float")))
+      continuation(col("curves2"), col("initial_delay").cast("float")))
     val genCurve = when(!hasBasis, col("gen_points"))
 
     resolved.select(
