@@ -91,16 +91,13 @@ object Predictor {
 
   /** C13: the reference serializes prediction curves with at most 120
     * points (`serialize_compact_limited`, `per_schedule_importer.rs:362`);
-    * we cap via progressive simplification instead of a blob format.
-    *
-    * Marked non-deterministic ON PURPOSE (it is pure): CollapseProject
-    * would otherwise inline this column into prediction_min/max and run the
-    * whole UDF chain (including the curve-set continuation) three times per
-    * row — the flag is the collapse barrier. */
-  private val capPointsUdf = udf((pts: Seq[org.apache.spark.sql.Row]) => {
-    val c = Curve(pts.map(p => (p.getFloat(0), p.getFloat(1))).toVector)
-    c.capPoints(120).points.map(p => CurvePoint(p._1, p._2))
-  }).asNondeterministic()
+    * we cap via progressive simplification instead of a blob format —
+    * native expression (graft.functions.CurveCapPoints): curves already
+    * under the cap pass through without any per-row conversion, and the
+    * expression's deterministic=false is the CollapseProject barrier that
+    * keeps prediction_min/max from inlining the ladder chain 3x. */
+  private def capPoints(curve: Column): Column =
+    graft.functions.CurveCapPoints(curve, 120)
 
   /** Resolve requests through the full ladder.
     *
@@ -215,7 +212,7 @@ object Predictor {
         when(!hasBasis, col("gen_n")), col("d_n"), col("sg_n")).as("sample_size"))
       .filter(col("prediction_curve").isNotNull || col("prediction_curve_set").isNotNull)
       .withColumn("prediction_curve",
-        when(col("prediction_curve").isNotNull, capPointsUdf(col("prediction_curve"))))
+        when(col("prediction_curve").isNotNull, capPoints(col("prediction_curve"))))
       // prediction_min/max: scheduled instant shifted by the curve support
       .withColumn("prediction_min",
         timestamp_add("SECOND", element_at(col("prediction_curve"), 1)("x").cast("int"),

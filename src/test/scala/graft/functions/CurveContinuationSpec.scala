@@ -53,6 +53,28 @@ class CurveContinuationSpec extends SparkSpec {
     }
   }
 
+  test("native cap-points == pure Curve.capPoints; identity under the cap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 400 strictly-increasing points -> must be capped; 50 -> pass-through
+    def mkCurve(n: Int): Curve = {
+      val xs = Iterator.iterate(0.0f)(_ + 1f + rnd.nextInt(5)).take(n).toVector
+      val ys = Vector.fill(n)(rnd.nextFloat()).sorted
+        .updated(0, 0.0f).updated(n - 1, 1.0f)
+      Curve(xs.zip(ys))
+    }
+    Seq(400, 50, 121, 120).foreach { n =>
+      val c = mkCurve(n)
+      val df = Seq(Tuple1(c.points.map(p => CurvePoint(p._1, p._2)))).toDF("c")
+      val got = df.select(CurveCapPoints(col("c"), 120).as("o"))
+        .collect().head
+        .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("o")
+        .map(r => (r.getFloat(0), r.getFloat(1))).toVector
+      assert(got == c.capPoints(120).points, s"n=$n")
+      assert(got.length <= 120)
+    }
+  }
+
   test("whole-stage codegen path produces the same result as eval") {
     import spark.implicits._
     val cs = randomSet(7, 3)
