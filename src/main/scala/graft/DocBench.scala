@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput probe for the near-dup/text battery at beyond-testdata scale
+  * (the sf0.1 documents table is 5k rows; this synthesizes 100k+ with
+  * planted duplicate clusters and measures the candidate generators end to
+  * end, including the salted heavy-bucket path).
+  *
+  * Run: SPARK_GRAFT_DOCS=100000 sbt 'runMain graft.DocBench'
+  */
+object DocBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_DOCS", "100000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic corpus, generated in-engine: 60-token docs over a 20k
+    // vocabulary; every 20th doc is a near-duplicate of its cluster head
+    // (1 token changed), and 2% of docs share ONE identical heavy text to
+    // exercise the salted LSH path
+    val docs = spark.range(nDocs)
+      .withColumn("cluster", (col("id") / 20).cast("long"))
+      .withColumn("is_dup", col("id") % 20 < 2)
+      .withColumn("heavy", col("id") % 50 === 49)
+      .withColumn("text",
+        when(col("heavy"), lit((0 until 60).map(i => s"h$i").mkString(" ")))
+          .otherwise(concat_ws(" ",
+            transform(sequence(lit(0), lit(59)),
+              i => concat(lit("w"), pmod(
+                xxhash64(when(col("is_dup") && i === 7, col("cluster") + 1000000)
+                  .otherwise(col("cluster") * 100 + i)), lit(20000)))))))
+      .select(col("id").as("doc_id"), col("text"))
+      .cache()
+    println(s"[doc-bench] corpus: ${docs.count()} docs")
+
+    def time[T](name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[doc-bench] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+    }
+
+    time("minhash LSH candidates (salted heavy buckets)") {
+      graft.operators.DedupQueries.minhashCandidates(
+        docs, heavyBucketThreshold = 1000, salt = 16).count()
+    }
+    time("simhash candidates") {
+      graft.operators.DedupQueries.simhashCandidates(docs).count()
+    }
+    time("exact-dup groups") {
+      docs.groupBy(xxhash64(col("text"))).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+    }
+    spark.stop()
+  }
+}
