@@ -30,18 +30,28 @@ object RtIngest {
       delay_arrival: Option[Int],
       delay_departure: Option[Int])
 
+  /** Decode one feed file defensively: a corrupt file yields zero
+    * observations instead of failing the batch — the reference likewise
+    * quarantines undecodable files into `failed/` and continues
+    * (`src/importer/mod.rs:476-521`); here the directory lifecycle is the
+    * source's business (cleanSource/archive), skipping is the data-path
+    * equivalent. */
+  private[graft] def decodeOrEmpty(bytes: Array[Byte], path: String): Option[GtfsRt.FeedMessage] =
+    scala.util.Try(GtfsRt.decode(bytes, path)).toOption
+
   /** Decode every .pb/.zip feed file under `dir` into observations.
     * Files without a header timestamp are dropped (the reference errors on
-    * them, `per_schedule_importer.rs:111-113`). */
+    * them, `per_schedule_importer.rs:111-113`); undecodable files are
+    * skipped, not fatal. */
   def readFeeds(spark: SparkSession, dir: String): Dataset[RtObservation] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val msg = GtfsRt.decode(bytes, path)
         val fileName = path.substring(path.lastIndexOf('/') + 1)
         for {
+          msg <- decodeOrEmpty(bytes, path).toSeq
           ts <- msg.headerTimestamp.toSeq
           tu <- msg.tripUpdates
           tripId <- tu.trip.tripId.toSeq

@@ -59,9 +59,11 @@ object RtStream {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val msg = GtfsRt.decode(bytes, path)
         val fileName = path.substring(path.lastIndexOf('/') + 1)
         for {
+          // corrupt file -> zero rows, never a dead stream (reference
+          // quarantines into failed/ and continues)
+          msg <- RtIngest.decodeOrEmpty(bytes, path).toSeq
           ts <- msg.headerTimestamp.toSeq
           tu <- msg.tripUpdates
           tripId <- tu.trip.tripId.toSeq

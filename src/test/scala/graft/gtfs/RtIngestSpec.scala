@@ -47,6 +47,21 @@ class RtIngestSpec extends SparkSpec {
     RtIngest.readFeeds(spark, rtDir.toString), schedule,
     source = "test", scheduleFileName = "gtfs_tiny.zip").cache()
 
+  test("corrupt feed files are skipped, not fatal") {
+    val dir = Files.createTempDirectory("rt_bad")
+    Files.write(dir.resolve("good_2024-03-15T08-10-00.pb"), feed(1000L,
+      trip("tA1", stu(1, "s1", Some(60), Some(90)))))
+    // garbage bytes and a truncated valid feed, both undecodable
+    Files.write(dir.resolve("bad_garbage.pb"),
+      Array[Byte](0x7f, -1, -1, -1, 0x42, 0x13, 0x37))
+    val valid = feed(2000L, trip("tA1", stu(2, "s2", Some(5), Some(5))))
+    Files.write(dir.resolve("bad_truncated.pb"), valid.take(valid.length / 3))
+    val obs = RtIngest.readFeeds(spark, dir.toString).collect()
+    // the good file's observation survives; the corrupt ones yield nothing
+    assert(obs.length == 1 && obs.head.trip_id == "tA1" &&
+      obs.head.time_of_recording == 1000L)
+  }
+
   test("records: join drops unknown trips, F4 drops no-delay events") {
     // tA1 stops 1,2,4 + tB2 stop 2 = 4 logical records
     assert(recs.count() == 4)
