@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CurveXAtY, CurveYAtX}
+import graft.functions.{CurveCapPoints, CurveContinuation, CurveXAtY, CurveYAtX}
 
 /** Session-extension entry point: activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
@@ -21,5 +21,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("curve_y_at_x"),
       new ExpressionInfo(classOf[CurveYAtX].getName, "curve_y_at_x"),
       { exprs: Seq[Expression] => CurveYAtX(exprs(0), exprs(1)) }))
+    ext.injectFunction((
+      new FunctionIdentifier("curve_continuation"),
+      new ExpressionInfo(classOf[CurveContinuation].getName, "curve_continuation"),
+      { exprs: Seq[Expression] => CurveContinuation(exprs(0), exprs(1)) }))
+    ext.injectFunction((
+      new FunctionIdentifier("curve_cap_points"),
+      new ExpressionInfo(classOf[CurveCapPoints].getName, "curve_cap_points"),
+      { exprs: Seq[Expression] =>
+        val n = exprs(1).eval(null).asInstanceOf[Int]
+        CurveCapPoints(exprs(0), n) }))
   }
 }
