@@ -18,7 +18,7 @@ import graft.model.{PrecisionType, RouteSection, TimeSlot}
   *                       initial-delay basis
   *   FallbackSpecific  — same but only the DEFAULT time slot had a curve set
   *   SemiSpecific      — per-stop general delay curve (no basis available)
-  *   General/FallbackGeneral/SuperGeeneral — the default-curve table row
+  *   General/FallbackGeneral/SuperGeneral — the default-curve table row
   *                       (its own precision_type encodes which cascade level
   *                       filled the cell).
   */
