@@ -54,6 +54,19 @@ object Graft {
       GtfsStatic.read(spark, scheduleDir), recordsPath, checkpoint,
       pingHook = pingHook)
 
+  /** The COMPLETE automatic mode: records upsert + stateful basis dedup +
+    * realtime ladder predictions upsert, from one call (returns both
+    * streaming queries). */
+  def importAutomaticWithPredictions(spark: SparkSession, rtDir: String,
+                                     scheduleDir: String, statsDir: String,
+                                     recordsPath: String, predictionsPath: String,
+                                     checkpointBase: String)
+  : (org.apache.spark.sql.streaming.StreamingQuery,
+     org.apache.spark.sql.streaming.StreamingQuery) =
+    streaming.RtStream.startAutomatic(spark, rtDir,
+      GtfsStatic.read(spark, scheduleDir), StatisticsIO.load(spark, statsDir),
+      recordsPath, predictionsPath, checkpointBase)
+
   /** `analyse compute-curves --all`: records → the three statistics tables,
     * persisted under `statsDir` partitioned by route_id (§3.2). */
   def analyse(records: DataFrame, scheduleDir: String,

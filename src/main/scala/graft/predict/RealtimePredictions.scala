@@ -21,8 +21,13 @@ object RealtimePredictions {
                stats: graft.analyse.StatisticsIO.Statistics,
                now: java.sql.Timestamp): DataFrame = {
     val stops = graft.analyse.DelayAnalysis.scheduleStops(schedule)
-    val trips = schedule.tripsWithVariant.select("trip_id", "route_variant")
+    // route_id comes from the SCHEDULE trip, not the feed: GTFS-RT trip
+    // descriptors may omit it (the reference likewise resolves the trip via
+    // the schedule before predicting, `predictor/mod.rs:191-196`)
+    val trips = schedule.tripsWithVariant
+      .select("trip_id", "route_id", "route_variant")
     val base = work
+      .drop("route_id")
       .withColumn("trip_start_date", to_date(col("trip_start_date"), "yyyyMMdd"))
       .withColumn("trip_start_time",
         GtfsTime.timeToSecondsColumn(col("trip_start_time")))

@@ -96,26 +96,24 @@ object UpsertSink {
     }
   }
 
-  /** Partition-scoped last-wins merge into a `trip_start_date`-partitioned
-    * parquet records table. Reads ONLY the partitions the batch touches
-    * (partition pruning on the IN filter), merges newest-
-    * `time_of_recording`-wins per logical key, and overwrites ONLY those
-    * partition directories (dynamic partition overwrite). */
-  def mergeIntoPartitionedRecords(spark: SparkSession, batch: DataFrame,
-                                  recordsPath: String): Unit = {
-    val keyCols = Seq("source", "route_id", "route_variant", "trip_id",
-      "trip_start_date", "trip_start_time", "stop_sequence")
+  /** Partition-scoped last-wins merge into a partitioned parquet table.
+    * Reads ONLY the partitions the batch touches (partition pruning on the
+    * IN filter), merges newest-`versionCol`-wins per `keyCols`, and
+    * overwrites ONLY those partition directories (dynamic partition
+    * overwrite). */
+  def mergeIntoPartitioned(spark: SparkSession, batch: DataFrame, path: String,
+                           keyCols: Seq[String], versionCol: String,
+                           partitionCol: String): Unit = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("time_of_recording").desc)
-    val exists = new java.io.File(recordsPath).exists()
+      .orderBy(col(versionCol).desc)
+    val exists = new java.io.File(path).exists()
     val merged = if (exists) {
-      // touched service days: bounded by the feed horizon (a 5 s micro-batch
-      // covers one or two days), never by data volume
-      val touched = batch.select("trip_start_date").distinct()
-        .collect().map(_.getDate(0))
-      val existing = spark.read.parquet(recordsPath)
-        .filter(col("trip_start_date").isin(touched.toSeq: _*))
+      // touched partitions: bounded by the feed horizon (a 5 s micro-batch
+      // covers one or two service days), never by data volume
+      val touched = batch.select(partitionCol).distinct().collect().map(_.get(0))
+      val existing = spark.read.parquet(path)
+        .filter(col(partitionCol).isin(touched.toSeq: _*))
         .select(batch.columns.map(col): _*) // partition col back in place
       existing.unionByName(batch)
         .withColumn("rn", row_number().over(w))
@@ -128,7 +126,16 @@ object UpsertSink {
     merged.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("trip_start_date")
-      .parquet(recordsPath)
+      .partitionBy(partitionCol)
+      .parquet(path)
   }
+
+  /** The records-table instantiation: newest time_of_recording wins per
+    * logical record key, partitioned by service day. */
+  def mergeIntoPartitionedRecords(spark: SparkSession, batch: DataFrame,
+                                  recordsPath: String): Unit =
+    mergeIntoPartitioned(spark, batch, recordsPath,
+      keyCols = Seq("source", "route_id", "route_variant", "trip_id",
+        "trip_start_date", "trip_start_time", "stop_sequence"),
+      versionCol = "time_of_recording", partitionCol = "trip_start_date")
 }

@@ -168,6 +168,51 @@ object RtStream {
       .drop("rn")
   }
 
+  /** The COMPLETE automatic mode (§3.1 end to end): alongside the records
+    * sink of [[start]], a second streaming query turns the same feed
+    * directory into vehicle updates → stateful basis dedup → realtime
+    * ladder predictions, upserted last-wins into a
+    * `trip_start_date`-partitioned predictions table. Returns (records
+    * query, predictions query); stop both to shut the mode down. The two
+    * queries keep separate checkpoints under `checkpointBase`. */
+  def startAutomatic(spark: SparkSession, rtDir: String,
+                     schedule: GtfsStatic.Schedule,
+                     stats: graft.analyse.StatisticsIO.Statistics,
+                     recordsPath: String, predictionsPath: String,
+                     checkpointBase: String,
+                     source: String = "rt", scheduleFileName: String = "schedule",
+                     trigger: org.apache.spark.sql.streaming.Trigger =
+                       org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"),
+                     basisTtlMs: Long = 12L * 3600 * 1000,
+                     now: () => java.sql.Timestamp =
+                       () => new java.sql.Timestamp(System.currentTimeMillis()))
+  : (org.apache.spark.sql.streaming.StreamingQuery,
+     org.apache.spark.sql.streaming.StreamingQuery) = {
+    val recordsQuery = start(spark, rtDir, schedule, recordsPath,
+      s"$checkpointBase/records", source, scheduleFileName, trigger)
+    val predKey = Seq("route_id", "trip_id", "trip_start_date",
+      "trip_start_time", "stop_sequence", "event_type")
+    val work = dedupPredictionWork(vehicleUpdates(observations(spark, rtDir)),
+      ttlMs = basisTtlMs)
+    val predictionsQuery = work.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"$checkpointBase/predictions")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[PredictionWork], _: Long) =>
+        val preds = graft.predict.RealtimePredictions
+          .fromWork(batch.toDF(), schedule, stats, now())
+          // the reference's predictions upsert is plain replace-by-key;
+          // the batch instant is the version for newest-write-wins
+          .withColumn("computed_at", lit(now()))
+        graft.sinks.UpsertSink.mergeIntoPartitioned(spark, preds,
+          predictionsPath, predKey, versionCol = "computed_at",
+          partitionCol = "trip_start_date")
+        ()
+      }
+      .start()
+    (recordsQuery, predictionsQuery)
+  }
+
   /** Wire the full automatic-mode query: decode → records merge into a
     * parquet table + prediction work stream. Returns the started query.
     * `trigger` defaults to the reference's 5 s poll cadence. */

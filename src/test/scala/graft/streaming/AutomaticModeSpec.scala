@@ -16,6 +16,46 @@ import java.sql.Timestamp
   * trained from the committed fixtures. */
 class AutomaticModeSpec extends SparkSpec {
 
+  test("startAutomatic: one call writes records AND predictions tables") {
+    import graft.gtfs.GtfsRt._
+    val schedule = GtfsStatic.read(spark, "fixtures/gtfs_tiny")
+    val stats = StatisticsIO.computeAndSave(GtfsPipeline.records(spark),
+      schedule, Files.createTempDirectory("auto2_stats").toString)
+    val rtDir = Files.createTempDirectory("auto2_rt")
+    def feed(name: String, ts: Long, seq: Int, stop: String, delay: Int): Unit =
+      Files.write(rtDir.resolve(name), encode(FeedMessage(Some(ts), Seq(
+        TripUpdate(TripDescriptor(Some("tA1"), None,
+          startTime = Some("08:00:00"), startDate = Some("20240315")),
+          Seq(StopTimeUpdate(Some(seq), Some(stop),
+            Some(StopTimeEvent(Some(delay), None)),
+            Some(StopTimeEvent(Some(delay), None))))))))) // delay in BOTH events
+    feed("f1.pb", 1000L, 1, "s1", 120)
+    feed("f2.pb", 2000L, 2, "s2", 144)
+
+    val base = Files.createTempDirectory("auto2").toString
+    val (qr, qp) = RtStream.startAutomatic(spark, rtDir.toString, schedule, stats,
+      recordsPath = s"$base/records", predictionsPath = s"$base/predictions",
+      checkpointBase = s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      basisTtlMs = 0,
+      now = () => Timestamp.valueOf("2024-03-15 09:00:00"))
+    qr.awaitTermination(120000)
+    qp.awaitTermination(120000)
+
+    val recs = spark.read.parquet(s"$base/records")
+    assert(recs.count() > 0)
+    val preds = spark.read.parquet(s"$base/predictions")
+    assert(preds.count() > 0)
+    assert(preds.select("origin_type").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(OriginType.Realtime))
+    // basis at stop 2 with delay: later stops resolve Specific via the sets
+    assert(preds.filter(col("precision_type") === PrecisionType.Specific).count() > 0)
+    // last-wins: at most one row per (trip, day, time, stop, event)
+    val dup = preds.groupBy("trip_id", "trip_start_date", "trip_start_time",
+      "stop_sequence", "event_type").count().filter(col("count") > 1).count()
+    assert(dup == 0)
+  }
+
   test("streamed updates produce deduped realtime predictions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
