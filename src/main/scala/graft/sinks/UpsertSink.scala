@@ -76,7 +76,9 @@ object UpsertSink {
           rows.grouped(batchSize).foreach { chunk =>
             chunk.foreach { r => bindUpdate(r); update.addBatch() }
             val counts = update.executeBatch()
-            // rows the UPDATE missed: absent (insert) or strictly newer (skip)
+            // rows the UPDATE missed: absent (insert) or strictly newer
+            // (skip). Drivers returning SUCCESS_NO_INFO (-2) report the row
+            // as touched, which is the safe side (no duplicate insert).
             chunk.zip(counts).filter(_._2 == 0).map(_._1).foreach { r =>
               cols.zipWithIndex.foreach { case (c, i) =>
                 insert.setObject(i + 1, r.get(colIndex(c)))
@@ -112,8 +114,15 @@ object UpsertSink {
       // touched partitions: bounded by the feed horizon (a 5 s micro-batch
       // covers one or two service days), never by data volume
       val touched = batch.select(partitionCol).distinct().collect().map(_.get(0))
+      val (nullsTouched, values) = touched.partition(_ == null)
+      // isin(null) never matches: the null partition needs its own predicate
+      // or existing null-keyed rows would be overwritten instead of merged
+      val touchedPred =
+        if (nullsTouched.nonEmpty)
+          col(partitionCol).isin(values.toSeq: _*) || col(partitionCol).isNull
+        else col(partitionCol).isin(values.toSeq: _*)
       val existing = spark.read.parquet(path)
-        .filter(col(partitionCol).isin(touched.toSeq: _*))
+        .filter(touchedPred)
         .select(batch.columns.map(col): _*) // partition col back in place
       existing.unionByName(batch)
         .withColumn("rn", row_number().over(w))

@@ -89,6 +89,24 @@ class UpsertSinkSpec extends SparkSpec {
     got.values.foreach(v => assert(v == ((1, 300L))))
   }
 
+  test("partitioned merge: null partition values still merge last-wins") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("recs_null").toString + "/records"
+    def batch(delay: Int, tor: Long) =
+      Seq(("tN", Option.empty[java.sql.Date], 1, delay, new java.sql.Timestamp(tor * 1000)))
+        .toDF("trip_id", "trip_start_date", "stop_sequence", "delay_arrival",
+          "time_of_recording")
+        .withColumn("source", lit("s")).withColumn("route_id", lit("r"))
+        .withColumn("route_variant", lit(1L))
+        .withColumn("trip_start_time", lit(0))
+    UpsertSink.mergeIntoPartitionedRecords(spark, batch(10, 100), path)
+    UpsertSink.mergeIntoPartitionedRecords(spark, batch(99, 200), path) // newer
+    UpsertSink.mergeIntoPartitionedRecords(spark, batch(5, 50), path)   // older
+    val out = spark.read.parquet(path).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Int]("delay_arrival") == 99) // newest version won
+  }
+
   test("partitioned merge rewrites only the touched trip_start_date partitions") {
     import spark.implicits._
     val path = Files.createTempDirectory("recs").toString + "/records"
