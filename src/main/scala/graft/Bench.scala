@@ -24,7 +24,13 @@ object Bench {
     graft.sources.Tables.events(spark, sfDir).count()
     try SparkEntry.queries("q09_latest_event_per_user")(spark, sfDir).count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_ONLY=q48,q52 times just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only.fold(SparkEntry.queries) { sel =>
+      SparkEntry.queries.filter { case (n, _) => sel.exists(n.startsWith) }
+    }
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

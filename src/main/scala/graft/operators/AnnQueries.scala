@@ -117,14 +117,27 @@ object AnnQueries {
     *
     * Returns (vec_id, cell). */
   def kmeansCells(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val e = embeddings.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
+    // the exploded layout is re-scanned every iteration: persist it (MLlib
+    // does the same for its training input; on a cluster this is the
+    // cached feature matrix)
     val exploded = e
       .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-    var cents = e.orderBy(col("vec_id")).limit(k) // k rows: window is cheap
-      .withColumn("cell", row_number().over(w))
+      .persist()
+    // init centroids = first k vectors by vec_id. Centroids are
+    // driver-sized BY DEFINITION (k x dim) — collecting them is the
+    // standard k-means shape (MLlib ships centroids to the driver every
+    // iteration), and it avoids a partitionless global window.
+    val init = e.orderBy(col("vec_id")).limit(k).collect()
+      .iterator.zipWithIndex.map { case (r, i) =>
+        (i + 1, r.getAs[scala.collection.Seq[Double]]("v").toSeq)
+      }.toSeq.toDF("cell", "v")
+    var cents = init
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "w")))
+      .localCheckpoint()
     var assigned: DataFrame = null
     def doAssign(): DataFrame = {
       // argmin_c |v - c|^2 = argmin_c (|c|^2 - 2 v·c); |v|^2 is constant
@@ -138,12 +151,21 @@ object AnnQueries {
           col("cell").as("cell"))).as("m"))
         .select(col("vec_id"), col("m.cell").as("cell"))
     }
+    // localCheckpoint (eager) after EVERY step: `doAssign` references
+    // `cents` twice and `cents` is rebuilt from `assigned`, so without
+    // truncation the lineage doubles per Lloyd round — by iteration 3 the
+    // plan held ~2^4 copies of the base scan (80.8 s in BENCH_r02; < 2 s
+    // checkpointed). On a multi-executor cluster swap localCheckpoint for
+    // a reliable `checkpoint` dir; the algorithm is unchanged.
     for (_ <- 0 until iters) {
-      assigned = doAssign()
+      assigned = doAssign().localCheckpoint()
       cents = assigned.join(exploded, Seq("vec_id"))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("w"))
+        .localCheckpoint()
     }
-    doAssign()
+    val result = doAssign().localCheckpoint() // eager: safe to unpersist below
+    exploded.unpersist()
+    result
   }
 
   /** Per-cell inertia of a k-means assignment (Σ|v - c|² by cell) — the

@@ -95,17 +95,22 @@ object GtfsPipeline {
       None))
 
   /** Shared tail of the fixture pipeline: records → curves → scheduled
-    * predictions, memoized per session with the prediction table persisted —
-    * q42/q50/q51 then share ONE statistics build, which is also the real
-    * usage pattern (analyse once, serve the monitor many times); without
-    * the memo each registry entry would re-run the whole pipeline. */
-  private val predCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, (GtfsStatic.Schedule, DataFrame)]()
+    * predictions, built ONCE per JVM and checkpointed through the
+    * FILESYSTEM — q42/q50/q51 then run as flat parquet scans. This is the
+    * reference's own serving pattern (analyse once to disk, serve the
+    * monitor many times — `src/main.rs:321-393` FileCache) and it is
+    * robust where an in-session `.persist()` memo is not: the monitor
+    * plans reference the prediction relation several times, and any cache
+    * miss/eviction under the driver harness re-ran the entire
+    * records→curves→ladder pipeline per reference (BENCH_r02: 57 s for an
+    * 11-row board). A per-JVM temp dir (not a repo path) keeps the driver's
+    * fresh-JVM verify/bench runs always building from current code. */
+  @volatile private var predsPath: Option[String] = None
 
   private def fixturePredictions(s: SparkSession)
-  : (GtfsStatic.Schedule, DataFrame) =
-    predCache.computeIfAbsent(s, { s =>
-      val schedule = GtfsStatic.read(s, s"$fixtureDir/gtfs_tiny")
+  : (GtfsStatic.Schedule, DataFrame) = synchronized {
+    val schedule = GtfsStatic.read(s, s"$fixtureDir/gtfs_tiny")
+    val path = predsPath.getOrElse {
       // records feeds vehicles + observations inside projectedRecords:
       // persist so the protobuf decode scan runs once, not per branch
       val recs = records(s).persist()
@@ -115,7 +120,15 @@ object GtfsPipeline {
         DelayAnalysis.stopPairCurveSets(projected),
         DelayAnalysis.defaultCurves(recs, schedule, schedule.routes))
       val preds = graft.predict.ScheduledPredictions.generate(s, schedule, stats,
-        java.time.LocalDate.of(2024, 3, 15), days = 2).persist()
-      (schedule, preds)
-    })
+        java.time.LocalDate.of(2024, 3, 15), days = 2)
+      val dir = java.nio.file.Files.createTempDirectory("graft-fixture-preds")
+        .resolve("predictions.parquet").toString
+      preds.write.mode("overwrite").parquet(dir)
+      recs.unpersist()
+      projected.unpersist()
+      predsPath = Some(dir)
+      dir
+    }
+    (schedule, s.read.parquet(path))
+  }
 }
