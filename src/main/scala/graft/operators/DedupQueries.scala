@@ -90,28 +90,13 @@ object DedupQueries {
 
     // ── char-shingle Jaccard (dedup variant: catches near-dups that
     //    tokenization misses — reordered words, punctuation edits). 3-char
-    //    shingles sampled at stride 8: ~len/8 shingles per doc keeps the
-    //    per-pair intersection cost bounded at corpus scale while staying
-    //    exactly reproducible in the DuckDB oracle (no hashing). ──
+    //    shingles sampled at stride 8, exactly reproducible in the DuckDB
+    //    oracle (no hashing). Registry entry runs the prefix-filtered
+    //    set-similarity join ([[charShinglePrefixJoin]]) — the shape that
+    //    survives corpus scale; the all-pairs twin is kept as
+    //    [[charShingleAllPairs]] and pinned equal by DedupSpec. ──
     "q48_charshingle_jaccard" -> QueryDef(
-      (s, d) => {
-        val sh = array_distinct(transform(
-          sequence(lit(1), greatest(length(col("text")) - lit(2), lit(1)), lit(8)),
-          i => col("text").substr(i, lit(3))))
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), sh.as("sh"))
-        val a = docs.select(col("source"), col("doc_id").as("id1"), col("sh").as("s1"))
-        val b = docs.select(col("source"), col("doc_id").as("id2"), col("sh").as("s2"))
-        // |union| = n1 + n2 - |inter| for distinct arrays: one array scan
-        // per pair instead of two (intersect + union), measured ~40% less
-        a.join(b, Seq("source")).filter(col("id1") < col("id2"))
-          .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
-          .withColumn("jac", col("inter").cast("double") /
-            (size(col("s1")) + size(col("s2")) - col("inter")))
-          .filter(col("jac") >= 0.5)
-          .select(col("id1"), col("id2"), col("jac"))
-          .orderBy(col("id1"), col("id2"))
-      },
+      (s, d) => charShinglePrefixJoin(Tables.documents(s, d)),
       Some("""WITH sh AS (SELECT doc_id, source,
              |    list_distinct([text[i:i+2]
              |      for i in range(1, greatest(length(text)-1, 2), 8)]) AS s
@@ -391,6 +376,88 @@ object DedupQueries {
       .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .filter(col("hamming") <= 16)
       .select(col("id1"), col("id2"), col("hamming")).distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** 3-char shingles sampled at stride 8 (~len/8 per doc): bounded
+    * per-doc cost, no hashing, so the DuckDB oracle reproduces them
+    * exactly. */
+  private def charShingles(text: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - lit(2), lit(1)), lit(8)),
+      i => text.substr(i, lit(3))))
+
+  /** All-pairs char-shingle Jaccard within `source` blocks — the
+    * small-corpus twin of [[charShinglePrefixJoin]] (DedupSpec pins them
+    * equal). Block-quadratic in both pairs and per-pair array scans:
+    * correct, but not the shape to run at corpus scale. */
+  def charShingleAllPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), col("source"), charShingles(col("text")).as("sh"))
+    val a = docs.select(col("source"), col("doc_id").as("id1"), col("sh").as("s1"))
+    val b = docs.select(col("source"), col("doc_id").as("id2"), col("sh").as("s2"))
+    // |union| = n1 + n2 - |inter| for distinct arrays: one array scan
+    // per pair instead of two (intersect + union), measured ~40% less
+    a.join(b, Seq("source")).filter(col("id1") < col("id2"))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("s1")) + size(col("s2")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("id1"), col("id2"), col("jac"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Exact char-shingle Jaccard join via PREFIX FILTERING — the classic
+    * exact set-similarity join (SSJoin/PPJoin family; the MapReduce
+    * formulation is Vernica et al., SIGMOD 2010). Identical output to
+    * [[charShingleAllPairs]], but candidate pairs come from an inverted
+    * index over each document's RAREST shingles only:
+    *
+    *  1. rank each doc's shingles by ascending per-source frequency (a
+    *     fixed total order — ties broken by the shingle itself);
+    *  2. a doc with n shingles keeps its first n - ceil(t*n) + 1 as the
+    *     prefix: any pair with jac >= t must share a prefix shingle
+    *     (miss all of them and at most ceil(t*n) - 1 < ceil(t*n) overlaps
+    *     remain, contradicting jac >= t => inter >= t*n);
+    *  3. candidates = equi-join on (source, prefix shingle) + the length
+    *     filter min(n1,n2) >= t*max(n1,n2) (jac <= min/max), deduplicated;
+    *  4. each candidate verifies ONCE against the full shingle arrays.
+    *
+    * Hot shingles ("er ", "th ") index almost every document but are
+    * (nearly) never in a prefix, so the quadratic fan-out of a plain
+    * inverted-index join never materializes; scaling the corpus grows the
+    * prefix join linearly in docs-per-rare-shingle. BENCH: 36.1 s -> ~2 s
+    * at sf0.1 vs the all-pairs shape. */
+  def charShinglePrefixJoin(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), col("source"), charShingles(col("text")).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val exploded = docs.select(col("source"), col("doc_id"), col("n"),
+      explode(col("sh")).as("s"))
+    val freq = exploded.groupBy(col("source"), col("s"))
+      .agg(count(lit(1)).as("f"))
+    val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    val prefixes = exploded.join(freq, Seq("source", "s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("source"), col("s"), col("doc_id"), col("n"))
+    val candidates = prefixes
+      .select(col("source"), col("s"), col("doc_id").as("id1"), col("n").as("n1"))
+      .join(prefixes
+        .select(col("source"), col("s"), col("doc_id").as("id2"), col("n").as("n2")),
+        Seq("source", "s"))
+      .filter(col("id1") < col("id2") &&
+        least(col("n1"), col("n2")) >= greatest(col("n1"), col("n2")) * threshold)
+      .select(col("id1"), col("id2")).distinct()
+    candidates
+      .join(docs.select(col("doc_id").as("id1"), col("sh").as("s1")), Seq("id1"))
+      .join(docs.select(col("doc_id").as("id2"), col("sh").as("s2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("s1")) + size(col("s2")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("id1"), col("id2"), col("jac"))
       .orderBy(col("id1"), col("id2"))
   }
 }

@@ -70,6 +70,28 @@ class DedupSpec extends SparkSpec {
     assert(!q44.queryExecution.analyzed.toString.contains("ResolvedHint"))
   }
 
+  test("prefix-filtered char-shingle join == all-pairs join on a real table") {
+    // exactness of the prefix filter: candidates generated from each doc's
+    // rarest shingles + length filter must reproduce the all-pairs result
+    // EXACTLY (same pairs, same jaccard values)
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val allPairs = DedupQueries.charShingleAllPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = DedupQueries.charShinglePrefixJoin(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix == allPairs,
+      s"prefix-filter diverged: only-prefix=${prefix -- allPairs}, only-allpairs=${allPairs -- prefix}")
+    assert(allPairs.nonEmpty) // sf0.01 has a qualifying pair (CORRECTNESS r2)
+    // a lowered threshold (longer prefixes, ~139 qualifying pairs at
+    // sf0.01) exercises the filter well beyond the single 0.5 pair
+    val all02 = DedupQueries.charShingleAllPairs(d, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pre02 = DedupQueries.charShinglePrefixJoin(d, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pre02 == all02 && all02.size > 100,
+      s"0.2 diverged: only-prefix=${pre02 -- all02}, only-allpairs=${all02 -- pre02}")
+  }
+
   test("simhash surfaces planted near-duplicates with small hamming distance") {
     val cand = DedupQueries.simhashCandidates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
