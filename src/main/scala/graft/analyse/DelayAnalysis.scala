@@ -157,12 +157,12 @@ object DelayAnalysis {
         col("built._3").as("points"))
   }
 
-  /** J3 + A7: stop-pair curve sets. The self-join is equi-keyed on the
-    * vehicle; the theta condition end > start only multiplies within a
-    * vehicle's own stop list (bounded by route length, not data volume). */
-  def stopPairCurveSets(projected: DataFrame): DataFrame = {
-    val spark = projected.sparkSession
-    import spark.implicits._
+  /** J3: the exploded stop-pair rows that feed [[stopPairCurveSets]] —
+    * (vehicle self-join on start/end stop, F2 threshold, F3 rounding,
+    * matched + Default slot). Exposed separately so the pair-level stream
+    * can be verified relationally (counts and exact delay sums are
+    * SQL-expressible where the curve construction itself is not). */
+  def stopPairRows(projected: DataFrame): DataFrame = {
     val vehicleKey = Seq("route_id", "route_variant", "trip_id",
       "trip_start_date", "trip_start_time")
     val start = projected
@@ -184,7 +184,7 @@ object DelayAnalysis {
       .select(vehicleKey.map(col) :+ col("stop_index").as("end_idx") :+
         lit(EventType.Departure).as("event_type") :+
         ((col("delay_departure") / 12).cast("int") * 12).cast("float").as("end_delay"): _*)
-    val pairs = start
+    start
       .join(endArr.unionByName(endDep), vehicleKey)
       .filter(col("end_idx") > col("start_idx"))
       .withColumn("time_slot_id",
@@ -192,6 +192,14 @@ object DelayAnalysis {
       .select(col("route_id"), col("route_variant"), col("start_idx"),
         col("end_idx"), col("time_slot_id"), col("event_type"),
         col("start_delay"), col("end_delay"))
+  }
+
+  /** A7 (with J3): stop-pair curve sets. The self-join inside
+    * [[stopPairRows]] is equi-keyed on the vehicle; the theta condition
+    * end > start only multiplies within a vehicle's own stop list (bounded
+    * by route length, not data volume). */
+  def stopPairCurveSets(projected: DataFrame): DataFrame = {
+    val pairs = stopPairRows(projected)
     // group via codegen'd collect_list (ObjectHashAggregate), NOT typed
     // groupByKey: the Dataset encoder deserializes every pair row into a
     // Scala tuple, which measured ~2x slower at 38M pair rows (PERF.md);
@@ -293,15 +301,24 @@ object DelayAnalysis {
 
     // Curve averaging over a collected group: reference CurveData::average
     // (`src/types/curve_data.rs:21-43` — sample_size = Σ/len, integer div)
-    // followed by the cascade's post-average simplify.
+    // followed by the cascade's post-average simplify. Float summation is
+    // not order-stable, and collect_list order follows shuffle layout — so
+    // the pool is sorted into a CANONICAL order (sample_size, then raw
+    // points) before averaging; the result is then independent of
+    // partitioning/hash layout and reproducible across cluster sizes
+    // (GoldenParitySpec walks the same order).
     def avgUdf(preSimplifyEps: Option[Float], postEps: Float) =
       udf((rows: Seq[org.apache.spark.sql.Row]) => {
-        val curves = rows.map { r =>
-          val c = Curve(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+        import scala.math.Ordering.Implicits._
+        val parsed = rows.map { r =>
+          (r.getInt(0), r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
             .map(p => (p.getFloat(0), p.getFloat(1))).toVector)
+        }.sortBy(x => (x._1, x._2: scala.collection.Seq[(Float, Float)]))
+        val curves = parsed.map { case (_, pts) =>
+          val c = Curve(pts)
           preSimplifyEps.fold(c)(c.simplify)
         }
-        val n = rows.map(_.getInt(0)).sum / rows.length
+        val n = parsed.map(_._1).sum / parsed.length
         val avg = Curve.average(curves).simplify(postEps)
         (n, avg.points.map(p => CurvePoint(p._1, p._2)))
       }).asNondeterministic() // pure; collapse barrier — see generalDelayCurves

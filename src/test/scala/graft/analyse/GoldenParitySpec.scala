@@ -170,9 +170,13 @@ class GoldenParitySpec extends SparkSpec {
       assert(n == leaf.sampleSize)
       assert(points == expCurve.points, s"General points at ($sec,$et)")
     }
-    // FallbackGeneral: per (route_type, event) pool average + simplify(0.001)
+    // FallbackGeneral: per (route_type, event) pool average + simplify(0.001);
+    // pools average in the engine's canonical (sample_size, points) order
+    import scala.math.Ordering.Implicits._
+    def canonical(pool: Seq[graft.curves.CurveData]) =
+      pool.sortBy(l => (l.sampleSize, l.curve.points.toSeq: scala.collection.Seq[(Float, Float)]))
     Seq(EventType.Arrival, EventType.Departure).foreach { et =>
-      val pool = leaves.collect { case ((_, e), l) if e == et => l }.toSeq
+      val pool = canonical(leaves.collect { case ((_, e), l) if e == et => l }.toSeq)
       val expCurve = Curve.average(pool.map(_.curve)).simplify(0.001f)
       val expN = pool.map(_.sampleSize).sum / pool.size
       // pick a Bus cell with no leaf: section 0 arrival (never observed)
@@ -184,7 +188,8 @@ class GoldenParitySpec extends SparkSpec {
       assert(points == expCurve.points, s"Fallback points at $cell")
     }
     // SuperGeneral: all leaves pre-simplified(0.01), averaged, simplify(0.001)
-    val superPool = leaves.values.toSeq
+    // (canonical order keys on the RAW points, pre-simplify applies after)
+    val superPool = canonical(leaves.values.toSeq)
     val expSuper = Curve.average(superPool.map(_.curve.simplify(0.01f))).simplify(0.001f)
     val expSuperN = superPool.map(_.sampleSize).sum / superPool.size
     val (p, n, points) = got((0, 0, slot, EventType.Arrival)) // Tramway: unobserved

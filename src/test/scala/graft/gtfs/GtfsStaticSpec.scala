@@ -30,8 +30,8 @@ class GtfsStaticSpec extends SparkSpec {
 
   test("route_variant: concatenation-ambiguous stop ids get distinct variants") {
     import spark.implicits._
-    // ["ab","c"] vs ["a","bc"] concatenate to the same string; the
-    // non-printable separator in the variant key must keep them apart
+    // ["ab","c"] vs ["a","bc"] concatenate to the same string; the JSON-
+    // array variant key must keep them apart
     val trips = Seq(("t1", "r1"), ("t2", "r1")).toDF("trip_id", "route_id")
     val stopTimes = Seq(
       ("t1", 1, "ab"), ("t1", 2, "c"),
