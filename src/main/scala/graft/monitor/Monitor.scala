@@ -119,7 +119,14 @@ object Monitor {
     * pair arrival predictions at one stop with departure predictions at a
     * connecting stop, compute walk-aware transfer probabilities, drop
     * connections under the 5% floor (F8). Arrival/departure frames carry
-    * (trip_id, stop_id, event_instant, prediction_curve). */
+    * (trip_id, stop_id, event_instant, prediction_curve).
+    *
+    * CONTRACT: this is the single-board shape — a cross join, matching the
+    * reference's per-stop in-memory loop over ONE board's arrivals ×
+    * departures. It is correct only when both inputs are already filtered
+    * to one stop pair's rows; as a fleet-scale operator use
+    * [[transfersBanded]], which keys the pairing by connecting stop and a
+    * time band. */
   def transfers(arrivals: DataFrame, departures: DataFrame,
                 walkMeters: Double, minProbability: Double = 0.05): DataFrame = {
     val a = arrivals.select(col("trip_id").as("arrival_trip"),
@@ -135,6 +142,52 @@ object Monitor {
       .withColumn("transfer_probability",
         transferProbability(col("arr_curve"), col("arr_ref"),
           col("dep_curve"), col("dep_ref"), lit(walkMeters.toFloat)))
+      .filter(col("transfer_probability") >= minProbability)
+      .select(col("arrival_trip"), col("arrival_stop"),
+        col("departure_trip"), col("departure_stop"),
+        col("transfer_probability"))
+  }
+
+  /** Fleet-scale transfer scoring: the same probability math as
+    * [[transfers]], but the arrival × departure pairing is KEYED — an
+    * equi-join through the walkable stop-pair relation plus a time band —
+    * so Spark shuffles by stop instead of building a cartesian product.
+    *
+    *  - `stopPairs(arrival_stop, departure_stop, walk_meters)`: the
+    *    walkable-connection graph (dimension-sized → broadcast), e.g.
+    *    derived from [[extendedStops]] per stop.
+    *  - band: departures with `dep_ref` in
+    *    `[arr_ref - slackSecs, arr_ref + slackSecs + horizonSecs]`.
+    *    Prediction curves carry at most ±3000 s of delay uncertainty (F2
+    *    threshold), so with the default slack of 2×3000 s any pair outside
+    *    the band has a transfer probability saturated at exactly 0 or 1 —
+    *    there is no uncertainty left to score; `horizonSecs` is the
+    *    look-ahead a board actually serves (reference bound: one stop's
+    *    prediction window, `src/monitor/mod.rs:855-884`).
+    *
+    * Within the band this returns exactly what [[transfers]] returns for
+    * each stop pair (MonitorSpec pins the equality). */
+  def transfersBanded(arrivals: DataFrame, departures: DataFrame,
+                      stopPairs: DataFrame, horizonSecs: Long = 3600,
+                      slackSecs: Long = 6000,
+                      minProbability: Double = 0.05): DataFrame = {
+    val a = arrivals.select(col("trip_id").as("arrival_trip"),
+      col("stop_id").as("arrival_stop"),
+      unix_timestamp(col("event_instant")).as("arr_ref"),
+      col("prediction_curve").as("arr_curve"))
+    val d = departures.select(col("trip_id").as("departure_trip"),
+      col("stop_id").as("departure_stop"),
+      unix_timestamp(col("event_instant")).as("dep_ref"),
+      col("prediction_curve").as("dep_curve"))
+    a.join(broadcast(stopPairs), Seq("arrival_stop"))
+      .join(d, Seq("departure_stop")) // equi-key: the connecting stop
+      .filter(col("dep_ref") >= col("arr_ref") - lit(slackSecs) &&
+        col("dep_ref") <= col("arr_ref") + lit(slackSecs + horizonSecs))
+      .filter(col("arrival_trip") =!= col("departure_trip"))
+      .withColumn("transfer_probability",
+        transferProbability(col("arr_curve"), col("arr_ref"),
+          col("dep_curve"), col("dep_ref"),
+          col("walk_meters").cast("float")))
       .filter(col("transfer_probability") >= minProbability)
       .select(col("arrival_trip"), col("arrival_stop"),
         col("departure_trip"), col("departure_stop"),

@@ -92,6 +92,49 @@ class MonitorSpec extends SparkSpec {
     assert(t.head.getAs[Float]("transfer_probability") > 0.8f)
   }
 
+  test("banded transfers == cartesian transfers; plan is keyed, not cartesian") {
+    import spark.implicits._
+    val arrivals = Seq(
+      ("tA1", "s2", Timestamp.valueOf("2024-03-15 08:05:00"), curve((0f, 0f), (120f, 1f))),
+      ("tA2", "s2", Timestamp.valueOf("2024-03-15 09:00:00"), curve((0f, 0f), (60f, 1f))),
+      ("tA9", "s9", Timestamp.valueOf("2024-03-15 08:00:00"), curve((0f, 0f), (60f, 1f))))
+      .toDF("trip_id", "stop_id", "event_instant", "prediction_curve")
+    val departures = Seq(
+      ("tB1", "s3", Timestamp.valueOf("2024-03-15 08:15:00"), curve((0f, 0f), (60f, 1f))),
+      ("tB2", "s3", Timestamp.valueOf("2024-03-15 09:10:00"), curve((0f, 0f), (30f, 1f))),
+      ("tB3", "s7", Timestamp.valueOf("2024-03-15 08:20:00"), curve((0f, 0f), (30f, 1f))))
+      .toDF("trip_id", "stop_id", "event_instant", "prediction_curve")
+    val stopPairs = Seq(("s2", "s3", 120.0)).toDF(
+      "arrival_stop", "departure_stop", "walk_meters")
+    val banded = Monitor.transfersBanded(arrivals, departures, stopPairs,
+      horizonSecs = 7200, minProbability = 0.0)
+    // the cartesian twin, restricted to the same stop pair (its contract)
+    val cart = Monitor.transfers(
+      arrivals.filter(col("stop_id") === "s2"),
+      departures.filter(col("stop_id") === "s3"),
+      walkMeters = 120.0, minProbability = 0.0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(2), r.getFloat(4))).toSet
+    assert(key(banded) == key(cart) && key(banded).nonEmpty)
+    // the physical plan must pair through the stop key, never a product
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+
+  test("banded transfers excludes out-of-band departures") {
+    import spark.implicits._
+    val arrivals = Seq(
+      ("tA1", "s2", Timestamp.valueOf("2024-03-15 08:05:00"), curve((0f, 0f), (120f, 1f))))
+      .toDF("trip_id", "stop_id", "event_instant", "prediction_curve")
+    val departures = Seq( // next day: outside horizon+slack, certain transfer
+      ("tB1", "s3", Timestamp.valueOf("2024-03-16 20:00:00"), curve((0f, 0f), (60f, 1f))))
+      .toDF("trip_id", "stop_id", "event_instant", "prediction_curve")
+    val stopPairs = Seq(("s2", "s3", 0.0)).toDF(
+      "arrival_stop", "departure_stop", "walk_meters")
+    assert(Monitor.transfersBanded(arrivals, departures, stopPairs,
+      horizonSecs = 3600, minProbability = 0.0).count() == 0)
+  }
+
   test("walk-aware transfers shift the arrival curve later (lower probability)") {
     import spark.implicits._
     val arrivals = Seq(
