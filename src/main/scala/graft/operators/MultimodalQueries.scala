@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.MediaCodec
 import graft.sources.Tables
 
 /** Multimodal-column plumbing for a training-data pipeline: image/audio/
@@ -10,11 +11,14 @@ import graft.sources.Tables
   * equivalent of `mapInPandas`: one iterator per partition, vectorizable
   * batch shape, no per-row UDF dispatch).
   *
-  * The decode step is a STUB — this container has no image/audio codecs, so
-  * `stubDecode` derives deterministic fake dimensions/features from the
-  * bytes. The Spark-side plumbing (schema, binary handling, partition-
-  * batched execution, feature schema) is real and tested; swapping
-  * `stubDecode` for a JNI/codec call is a local change.
+  * The decode step is REAL: payloads are genuine 24-bit BMP files
+  * (synthesized from the documents corpus by [[bmpMediaTable]]) parsed by
+  * the pure-JVM [[graft.functions.MediaCodec]] (BMP + PCM WAV — fully
+  * specified public formats needing no native libraries). Opaque codecs
+  * (JPEG/PNG/MP3) would need external libraries this container lacks;
+  * swapping one in is a local change to `MediaCodec.decode`. Unrecognized
+  * payloads are SKIPPED, never failing the batch (the corrupt-feed policy
+  * of the GTFS-RT ingest).
   */
 object MultimodalQueries {
 
@@ -23,72 +27,69 @@ object MultimodalQueries {
   final case class MediaFeatures(media_id: Long, width: Int, height: Int,
                                  patch_means: Seq[Float])
 
-  /** STUB decode: deterministic pseudo-metadata from the payload bytes
-    * (stands in for an image header parse). */
-  def stubDecode(bytes: Array[Byte]): (Int, Int, Int) = {
-    val h = java.util.Arrays.hashCode(bytes)
-    val width = 64 + math.floorMod(h, 577)        // 64..640
-    val height = 64 + math.floorMod(h >> 16, 417) // 64..480
-    (width, height, 3)
-  }
-
-  /** STUB feature extraction: 16 "patch means" over the byte stream
-    * (stands in for pooled CNN features / mel energies). */
-  def stubFeatures(bytes: Array[Byte]): Array[Float] = {
-    val n = 16
-    val out = new Array[Float](n)
-    if (bytes.isEmpty) return out
-    val chunk = math.max(1, bytes.length / n)
-    var i = 0
-    while (i < n) {
-      var sum = 0L
-      var c = 0
-      var j = i * chunk
-      val end = math.min(bytes.length, (i + 1) * chunk)
-      while (j < end) { sum += bytes(j) & 0xff; c += 1; j += 1 }
-      out(i) = if (c == 0) 0f else sum.toFloat / (c * 255f)
-      i += 1
-    }
-    out
-  }
-
   /** documents.text reinterpreted as a binary payload column — the
-    * synthetic stand-in for an image/audio table (binary + metadata). */
+    * synthetic stand-in for a raw-bytes media table (q37's byte-level
+    * plumbing check). */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id").as("media_id"),
       col("text").cast("binary").as("payload"),
       lit("fake/raw").as("format"))
 
-  /** Partition-batched decode: metadata per payload. The `mapPartitions`
-    * boundary is the batch shape — one task decodes its whole partition
-    * without per-row serialization round-trips. */
+  /** Pixel width used when wrapping a byte stream as a BMP: 32 px * 3
+    * bytes = 96-byte rows (already 4-byte aligned, so no pad ambiguity). */
+  val BmpWrapWidth = 32
+
+  /** Each document's bytes wrapped as a REAL 24-bit BMP (the text bytes
+    * become the pixel array, zero-padded to whole rows). Runs in the same
+    * partition-batched shape as the decode stage. */
+  def bmpMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val rowSize = MediaCodec.bmpRowSize(BmpWrapWidth)
+        val height = math.max(1, (bytes.length + rowSize - 1) / rowSize)
+        (id, MediaCodec.encodeBmp24(BmpWrapWidth, height, bytes), "bmp")
+      })
+      .toDF("media_id", "payload", "format")
+  }
+
+  /** Partition-batched decode: metadata per payload via the real header
+    * parse. The `mapPartitions` boundary is the batch shape — one task
+    * decodes its whole partition without per-row serialization round
+    * trips; undecodable payloads are dropped. */
   def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("payload"), col("format"))
-      .as[(Long, Array[Byte], String)]
-      .mapPartitions(_.map { case (id, bytes, fmt) =>
-        val (w, h, c) = stubDecode(bytes)
-        MediaMeta(id, bytes.length.toLong, fmt, w, h, c)
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodec.decode(bytes).map(d =>
+          MediaMeta(id, bytes.length.toLong, d.format, d.width, d.height, d.channels))
       })
   }
 
-  /** Partition-batched feature extraction (the "resize + embed" stage). */
+  /** Partition-batched feature extraction (the "resize + embed" stage):
+    * patch means over the DECODED pixel/sample region, not the raw file
+    * bytes. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        val (w, h, _) = stubDecode(bytes)
-        MediaFeatures(id, w, h, stubFeatures(bytes).toSeq)
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodec.decode(bytes).map(d =>
+          MediaFeatures(id, d.width, d.height,
+            MediaCodec.patchMeans(d.region).toSeq))
       })
   }
 
   val registry: Map[String, QueryDef] = Map(
-    // byte-level metadata is engine-real (no stub in the measured columns):
-    // payload sizes survive the binary cast intact and DuckDB can verify
+    // byte-level metadata is engine-real (no decode in the measured
+    // columns): payload sizes survive the binary cast intact and DuckDB
+    // can verify
     "q37_media_bytes" -> QueryDef(
       (s, d) => mediaTable(s, d)
         .select(col("media_id"), length(col("payload")).cast("long").as("n_bytes"))
@@ -99,12 +100,28 @@ object MultimodalQueries {
              |  COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS total_bytes
              |FROM documents GROUP BY 1 ORDER BY size_bucket""".stripMargin)),
 
-    // full stub pipeline: decode + features (stub semantics -> rows-only)
+    // full pipeline: encode -> decode -> features over the decoded pixel
+    // region (patch means are float chunk averages -> rows-only; the
+    // header fields they run under are hash-checked by q54)
     "q38_media_features" -> QueryDef(
-      (s, d) => extractFeatures(mediaTable(s, d)).toDF()
+      (s, d) => extractFeatures(bmpMediaTable(s, d)).toDF()
         .select(col("media_id"), col("width"), col("height"),
           round(element_at(col("patch_means"), 1), 6).as("p0"))
         .orderBy(col("media_id")),
-      None)
+      None),
+
+    // REAL decode, hash-checked: the parsed BMP header fields must equal
+    // the wrap arithmetic DuckDB derives from the text lengths (32 px
+    // rows of 96 bytes, zero-padded, 54-byte header)
+    "q54_media_decode" -> QueryDef(
+      (s, d) => decodeMeta(bmpMediaTable(s, d)).toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("channels"), col("n_bytes"))
+        .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id, 'bmp' AS format, 32 AS width,
+             |  CAST(greatest(1, (length(text) + 95) // 96) AS INT) AS height,
+             |  3 AS channels,
+             |  CAST(54 + 96 * greatest(1, (length(text) + 95) // 96) AS BIGINT) AS n_bytes
+             |FROM documents ORDER BY media_id""".stripMargin))
   )
 }

@@ -87,16 +87,49 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(c.forall(_.getAs[scala.collection.Seq[Double]]("centroid").length == 64))
   }
 
-  test("multimodal stub pipeline: deterministic metadata + feature shape") {
-    val media = MultimodalQueries.mediaTable(spark, sf)
+  test("multimodal pipeline: real BMP wrap -> decode roundtrip, features bounded") {
+    val media = MultimodalQueries.bmpMediaTable(spark, sf)
     val meta = MultimodalQueries.decodeMeta(media).collect()
-    assert(meta.length == media.count())
-    assert(meta.forall(m => m.width >= 64 && m.height >= 64 && m.channels == 3))
-    // deterministic: same input -> same metadata
-    val meta2 = MultimodalQueries.decodeMeta(media).collect()
-    assert(meta.sortBy(_.media_id).toSeq == meta2.sortBy(_.media_id).toSeq)
+    assert(meta.length == media.count()) // every wrapped payload decodes
+    assert(meta.forall(m => m.width == MultimodalQueries.BmpWrapWidth && m.channels == 3))
+    // raw (non-media) payloads are skipped, not failed
+    assert(MultimodalQueries.decodeMeta(
+      MultimodalQueries.mediaTable(spark, sf)).count() == 0)
     val feats = MultimodalQueries.extractFeatures(media).collect()
     assert(feats.forall(_.patch_means.length == 16))
     assert(feats.forall(_.patch_means.forall(v => v >= 0f && v <= 1f)))
+  }
+
+  test("MediaCodec decodes the committed BMP fixture byte-exactly") {
+    import graft.functions.MediaCodec
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/media/sample.bmp"))
+    val d = MediaCodec.decode(bytes).get
+    assert((d.format, d.width, d.height, d.channels) == (("bmp", 4, 2, 3)))
+    // pixel array exactly as authored (bottom-up rows, BGR)
+    val expected = Array[Int](
+      255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255, // bottom row
+      0, 0, 0, 128, 128, 128, 0, 255, 255, 255, 255, 0 // top row
+    ).map(_.toByte)
+    assert(d.region.toSeq == expected.toSeq)
+    // first patch mean over 24 bytes: chunk = 1 byte -> region(0)/255
+    assert(MediaCodec.patchMeans(d.region)(0) == 1.0f)
+    // encode->decode roundtrip reproduces the identical pixel region
+    val re = MediaCodec.decode(MediaCodec.encodeBmp24(4, 2, d.region)).get
+    assert(re.region.toSeq == d.region.toSeq &&
+      re.width == 4 && re.height == 2)
+  }
+
+  test("MediaCodec decodes the committed WAV fixture (chunk walk incl. LIST)") {
+    import graft.functions.MediaCodec
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/media/sample.wav"))
+    val d = MediaCodec.decode(bytes).get
+    // width = sample rate, height = frames, channels
+    assert((d.format, d.width, d.height, d.channels) == (("wav", 8000, 4, 2)))
+    assert(d.region.length == 16)
+    // first frame little-endian: L=0, R=100
+    assert(d.region(0) == 0 && d.region(1) == 0 &&
+      d.region(2) == 100.toByte && d.region(3) == 0)
   }
 }
