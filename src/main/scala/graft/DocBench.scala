@@ -58,6 +58,19 @@ object DocBench {
       docs.groupBy(xxhash64(col("text"))).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).count()
     }
+    // 4 source blocks of nDocs/4: all-pairs would be ~4 * C(n/4, 2) pairs
+    // (1.25G at 100k docs) - the prefix-filtered exact join must stay
+    // tractable, including the degenerate 2% identical-text cluster.
+    // shingleLen=8: this synthetic corpus is digit-heavy, so 3-char
+    // shingles have a tiny universe (every shingle hot -> prefix filter
+    // can't help, see the operator's precondition note); 8-char shingles
+    // restore the rare tail the filter needs
+    time("char-shingle prefix similarity join (exact, t=0.5, len=8)") {
+      graft.operators.DedupQueries.charShinglePrefixJoin(
+        docs.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(4)))),
+        shingleLen = 8)
+        .count()
+    }
     spark.stop()
   }
 }

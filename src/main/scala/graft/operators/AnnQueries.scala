@@ -28,14 +28,21 @@ object AnnQueries {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("cm"))
       .select(col("label"), transform(col("cm"), _.getField("m")).as("centroid"))
 
-  /** IVF search: rank cells by centroid cosine against the probe, then
-    * brute-force only the top `nprobe` cells. */
-  def ivfSearch(embeddings: DataFrame, probe: DataFrame,
-                k: Int = 10, nprobe: Int = 1): DataFrame = {
-    val cents = centroids(embeddings)
-    val e = embeddings.select(col("label"), col("vec_id"),
+  /** IVF search over an arbitrary cell assignment `(vec_id, cell)`: rank
+    * cells by centroid cosine against the probe, then brute-force only the
+    * top `nprobe` cells. Centroids are derived from the assignment itself
+    * (k × dim — broadcast-sized by definition). */
+  def ivfSearchCells(embeddings: DataFrame, cells: DataFrame, probe: DataFrame,
+                     k: Int = 10, nprobe: Int = 1): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
+      .join(cells, Seq("vec_id"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val cents = e.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("cm"))
+      .select(col("cell"), transform(col("cm"), _.getField("m")).as("centroid"))
     val p = probe.select(transform(col("embedding"), _.cast("double")).as("pv"))
       .withColumn("pnorm", sqrt(dot(col("pv"), col("pv"))))
     val cellRank = cents.crossJoin(broadcast(p))
@@ -43,14 +50,29 @@ object AnnQueries {
         (sqrt(dot(col("centroid"), col("centroid"))) * col("pnorm")))
       .orderBy(col("cell_sim").desc)
       .limit(nprobe)
-      .select("label")
-    e.join(broadcast(cellRank), Seq("label")) // prune to probed cells
+      .select("cell")
+    e.join(broadcast(cellRank), Seq("cell")) // prune to probed cells
       .crossJoin(broadcast(p))
       .withColumn("cos_sim", round(dot(col("v"), col("pv")) / (col("norm") * col("pnorm")), 6))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .select(col("vec_id"), col("cos_sim"))
       .limit(k)
   }
+
+  /** IVF search with the `label` column as the coarse cells (the q39
+    * bench shape: cells are pre-assigned, as in a labeled corpus). */
+  def ivfSearch(embeddings: DataFrame, probe: DataFrame,
+                k: Int = 10, nprobe: Int = 1): DataFrame =
+    ivfSearchCells(embeddings,
+      embeddings.select(col("vec_id"), col("label").as("cell")), probe, k, nprobe)
+
+  /** The REAL IVF: coarse cells from [[kmeansCells]] (Lloyd quantizer),
+    * probed like any IVF index — `label` is no longer a stand-in. */
+  def ivfSearchKmeans(embeddings: DataFrame, probe: DataFrame,
+                      k: Int = 10, nprobe: Int = 1,
+                      kCells: Int = 8, iters: Int = 3): DataFrame =
+    ivfSearchCells(embeddings, kmeansCells(embeddings, kCells, iters),
+      probe, k, nprobe)
 
   /** Random-hyperplane (sign) LSH signatures: `planes` deterministic
     * pseudo-random hyperplanes, weight w(plane, dim) derived from xxhash64

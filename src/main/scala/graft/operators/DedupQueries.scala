@@ -148,6 +148,25 @@ object DedupQueries {
              |    / len(list_distinct(a.t || b.t)) >= 0.4
              |ORDER BY id1, id2""".stripMargin)),
 
+    // ── third formulation of token-Jaccard semantics: exact
+    //    prefix-filtered set-similarity join (see charShinglePrefixJoin).
+    //    Run at t=0.5, the regime the filter is FOR — prefix length is
+    //    (1-t)*n+1, so low thresholds index most of each doc and
+    //    degenerate toward the plain inverted join (measured: t=0.4 cost
+    //    9.3 s vs 5.2 s at t=0.5 on the same corpus). DedupSpec pins the
+    //    formulation equal to q29/q44 at their own t=0.4. ──
+    "q56_jaccard_prefix" -> QueryDef(
+      (s, d) => tokenPrefixJoin(Tables.documents(s, d), threshold = 0.5),
+      Some("""WITH toks AS (SELECT doc_id, source,
+             |    list_distinct(string_split(text, ' ')) AS t FROM documents)
+             |SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |  CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |    / len(list_distinct(a.t || b.t)) AS jac
+             |FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |    / len(list_distinct(a.t || b.t)) >= 0.5
+             |ORDER BY id1, id2""".stripMargin)),
+
     // ── MinHash + LSH banding near-dup candidates (xxhash64 — no oracle;
     //    verified by planted duplicates in DedupSpec) ──
     "q30_minhash_lsh" -> QueryDef(
@@ -379,21 +398,26 @@ object DedupQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** 3-char shingles sampled at stride 8 (~len/8 per doc): bounded
+  /** `n`-char shingles sampled at `stride` (~len/stride per doc): bounded
     * per-doc cost, no hashing, so the DuckDB oracle reproduces them
-    * exactly. */
-  private def charShingles(text: Column): Column =
+    * exactly. Shingle length is the SELECTIVITY knob: the distinct-shingle
+    * universe must outgrow a source block's size or every shingle is hot
+    * (see [[charShinglePrefixJoin]]); 3 suits natural text at the bench
+    * scale, small alphabets (digit-heavy corpora) need longer shingles. */
+  private def charShingles(text: Column, n: Int, stride: Int): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - lit(2), lit(1)), lit(8)),
-      i => text.substr(i, lit(3))))
+      sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1)), lit(stride)),
+      i => text.substr(i, lit(n))))
 
   /** All-pairs char-shingle Jaccard within `source` blocks — the
     * small-corpus twin of [[charShinglePrefixJoin]] (DedupSpec pins them
     * equal). Block-quadratic in both pairs and per-pair array scans:
     * correct, but not the shape to run at corpus scale. */
-  def charShingleAllPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def charShingleAllPairs(documents: DataFrame, threshold: Double = 0.5,
+                          shingleLen: Int = 3, stride: Int = 8): DataFrame = {
     val docs = documents
-      .select(col("doc_id"), col("source"), charShingles(col("text")).as("sh"))
+      .select(col("doc_id"), col("source"),
+        charShingles(col("text"), shingleLen, stride).as("sh"))
     val a = docs.select(col("source"), col("doc_id").as("id1"), col("sh").as("s1"))
     val b = docs.select(col("source"), col("doc_id").as("id2"), col("sh").as("s2"))
     // |union| = n1 + n2 - |inter| for distinct arrays: one array scan
@@ -426,12 +450,40 @@ object DedupQueries {
     * Hot shingles ("er ", "th ") index almost every document but are
     * (nearly) never in a prefix, so the quadratic fan-out of a plain
     * inverted-index join never materializes; scaling the corpus grows the
-    * prefix join linearly in docs-per-rare-shingle. BENCH: 36.1 s -> ~2 s
-    * at sf0.1 vs the all-pairs shape. */
-  def charShinglePrefixJoin(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val docs = documents
-      .select(col("doc_id"), col("source"), charShingles(col("text")).as("sh"))
-      .withColumn("n", size(col("sh")))
+    * prefix join linearly in docs-per-rare-shingle. BENCH: 36.1 s -> ~5 s
+    * at sf0.1 vs the all-pairs shape.
+    *
+    * PRECONDITION (inherent to prefix filtering, not this
+    * implementation): the shingle-frequency distribution needs a rare
+    * tail — if the distinct-shingle universe is small relative to a
+    * source block (tiny alphabets, heavily repetitive corpora), even the
+    * "rarest" prefix shingles are shared by large doc sets and the
+    * candidate join degenerates toward all-pairs. Counter it by raising
+    * `shingleLen` (universe grows exponentially in it) — DocBench probes
+    * a 100k-doc digit-heavy corpus with shingleLen=8 for exactly this
+    * reason. */
+  def charShinglePrefixJoin(documents: DataFrame, threshold: Double = 0.5,
+                            shingleLen: Int = 3, stride: Int = 8): DataFrame =
+    prefixSimilarityJoin(documents.select(col("doc_id"), col("source"),
+      charShingles(col("text"), shingleLen, stride).as("sh")), threshold)
+
+  /** Token-level twin of [[charShinglePrefixJoin]]: the third verified
+    * formulation of n-gram Jaccard (q29 all-pairs, q44 plain inverted
+    * index, q56 prefix-filtered) — identical output and oracle. The plain
+    * inverted join counts EVERY shared token per pair, so hot tokens fan
+    * out quadratically within their blocks; the prefix filter only
+    * indexes each doc's rarest tokens, bounding candidate generation, and
+    * hot tokens are touched once per VERIFIED candidate instead. */
+  def tokenPrefixJoin(documents: DataFrame, threshold: Double = 0.4): DataFrame =
+    prefixSimilarityJoin(documents.select(col("doc_id"), col("source"),
+      array_distinct(tokens(col("text"))).as("sh")), threshold)
+
+  /** Exact Jaccard similarity join over per-document element arrays
+    * `(doc_id, source, sh)` via prefix filtering — see
+    * [[charShinglePrefixJoin]] for the algorithm and its selectivity
+    * precondition. */
+  def prefixSimilarityJoin(docArrays: DataFrame, threshold: Double): DataFrame = {
+    val docs = docArrays.withColumn("n", size(col("sh")))
     val exploded = docs.select(col("source"), col("doc_id"), col("n"),
       explode(col("sh")).as("s"))
     val freq = exploded.groupBy(col("source"), col("s"))

@@ -158,6 +158,63 @@ object GtfsPipeline {
       },
       None),
 
+    // §3.3 scheduled-prediction REQUEST generation over a horizon that
+    // crosses a weekend AND the 2024-03-18 calendar exception (wk removed,
+    // we added) — hash-checks tripsForDate (weekday bits, date ranges,
+    // calendar_dates add/remove), the single trip_start_time identity
+    // (first stop's departure), dense stop_index/stop_count, and >24h
+    // event instants against a DuckDB reimplementation over the GTFS CSVs.
+    "q55_gtfs_requests" -> QueryDef(
+      (s, _) => {
+        graft.predict.ScheduledPredictions.requests(s, fixtureSchedule(s),
+            java.time.LocalDate.of(2024, 3, 15), days = 4)
+          .select(col("route_id"), col("trip_id"), col("trip_start_date"),
+            col("trip_start_time"), col("stop_sequence"), col("stop_id"),
+            col("stop_index"), col("stop_count"), col("event_type"),
+            col("event_instant"))
+          .orderBy("trip_start_date", "trip_id", "stop_sequence", "event_type")
+      },
+      Some(s"""WITH days AS (SELECT unnest([DATE '2024-03-15', DATE '2024-03-16',
+             |    DATE '2024-03-17', DATE '2024-03-18']) AS d),
+             |cal AS (SELECT * FROM read_csv_auto('/root/repo/fixtures/gtfs_tiny/calendar.txt', header=true)),
+             |cd AS (SELECT * FROM read_csv_auto('/root/repo/fixtures/gtfs_tiny/calendar_dates.txt', header=true)),
+             |svc AS (
+             |  SELECT d, service_id FROM days, cal
+             |  WHERE CASE isodow(d) WHEN 1 THEN monday WHEN 2 THEN tuesday
+             |      WHEN 3 THEN wednesday WHEN 4 THEN thursday WHEN 5 THEN friday
+             |      WHEN 6 THEN saturday ELSE sunday END = 1
+             |    AND start_date <= CAST(strftime(d, '%Y%m%d') AS INT)
+             |    AND end_date >= CAST(strftime(d, '%Y%m%d') AS INT)
+             |  UNION
+             |  SELECT d, service_id FROM days JOIN cd
+             |    ON cd.date = CAST(strftime(d, '%Y%m%d') AS INT) AND cd.exception_type = 1),
+             |active AS (SELECT * FROM svc s WHERE NOT EXISTS (
+             |  SELECT 1 FROM cd WHERE cd.service_id = s.service_id
+             |    AND cd.date = CAST(strftime(s.d, '%Y%m%d') AS INT) AND cd.exception_type = 2)),
+             |st AS (SELECT trip_id, CAST(stop_sequence AS INT) AS stop_sequence, stop_id,
+             |    ROW_NUMBER() OVER (PARTITION BY trip_id ORDER BY CAST(stop_sequence AS INT)) - 1 AS stop_index,
+             |    CAST(COUNT(*) OVER (PARTITION BY trip_id) AS INT) AS stop_count,
+             |    CAST(split_part(arrival_time,':',1) AS INT)*3600 + CAST(split_part(arrival_time,':',2) AS INT)*60
+             |      + CAST(split_part(arrival_time,':',3) AS INT) AS arr_secs,
+             |    CAST(split_part(departure_time,':',1) AS INT)*3600 + CAST(split_part(departure_time,':',2) AS INT)*60
+             |      + CAST(split_part(departure_time,':',3) AS INT) AS dep_secs
+             |  FROM read_csv_auto('/root/repo/fixtures/gtfs_tiny/stop_times.txt', header=true)),
+             |runs AS (
+             |  SELECT t.route_id, t.trip_id, a.d AS trip_start_date, st.*
+             |  FROM active a
+             |  JOIN read_csv_auto('/root/repo/fixtures/gtfs_tiny/trips.txt', header=true) t
+             |    ON t.service_id = a.service_id
+             |  JOIN st ON st.trip_id = t.trip_id),
+             |named AS (SELECT *, first_value(dep_secs) OVER
+             |    (PARTITION BY trip_id, trip_start_date ORDER BY stop_index) AS trip_start_time
+             |  FROM runs)
+             |SELECT route_id, trip_id, trip_start_date, trip_start_time, stop_sequence,
+             |  stop_id, stop_index, stop_count, event_type,
+             |  CAST(trip_start_date AS TIMESTAMP) + INTERVAL (secs) SECOND AS event_instant
+             |FROM named, LATERAL (SELECT unnest([1, 2]) AS event_type,
+             |  unnest([arr_secs, dep_secs]) AS secs) e
+             |ORDER BY trip_start_date, trip_id, stop_sequence, event_type""".stripMargin)),
+
     // monitor data layer over the same pipeline: departure board
     // (F5/F6/F7/J6/W4) under the driver smoke harness
     "q50_departure_board" -> QueryDef(

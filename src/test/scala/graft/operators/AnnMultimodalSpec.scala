@@ -24,6 +24,23 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(full.toSeq == brute.toSeq)
   }
 
+  test("k-means IVF: probing all cells == brute force; one cell is a subset") {
+    val e = Tables.embeddings(spark, sf)
+    val probe = e.orderBy(col("vec_id")).limit(1)
+    val brute = TextQueries.registry("q26_embed_knn").build(spark, sf)
+      .limit(5).collect().map(_.getLong(0))
+    val all = AnnQueries.ivfSearchKmeans(e, probe, k = 5, nprobe = 100)
+      .collect().map(_.getLong(0))
+    assert(all.toSeq == brute.toSeq)
+    // nprobe=1 restricts to one Lloyd cell: non-empty, ranked by cosine
+    // (cell CHOICE is by cosine-vs-centroid; the probe's own euclidean
+    // cell isn't guaranteed to win, so membership is not asserted)
+    val one = AnnQueries.ivfSearchKmeans(e, probe, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(one.nonEmpty)
+    assert(one.sliding(2).forall(w => w.length < 2 || w(0)._2 >= w(1)._2))
+  }
+
   test("sign-LSH ANN: planted duplicate always retrieved; ranking consistent") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf)

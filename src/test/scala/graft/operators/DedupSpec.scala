@@ -92,6 +92,19 @@ class DedupSpec extends SparkSpec {
       s"0.2 diverged: only-prefix=${pre02 -- all02}, only-allpairs=${all02 -- pre02}")
   }
 
+  test("token prefix join == inverted-index join == all-pairs formulations") {
+    val d = "/root/testdata/sf0.001"
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    // all three formulations at the same t=0.4 (q29/q44's threshold)
+    val allPairs = key(DedupQueries.registry("q29_jaccard_pairs").build(spark, d))
+    assert(key(DedupQueries.registry("q44_jaccard_inverted").build(spark, d)) == allPairs)
+    assert(key(DedupQueries.tokenPrefixJoin(
+      graft.sources.Tables.documents(spark, d), threshold = 0.4)) == allPairs)
+    assert(allPairs.nonEmpty)
+  }
+
   test("simhash surfaces planted near-duplicates with small hamming distance") {
     val cand = DedupQueries.simhashCandidates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
