@@ -88,12 +88,18 @@ object MediaCodec {
     val height = le32(b, 22) // negative = top-down; report magnitude
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (width <= 0 || height == 0 || compression != 0 || bpp % 8 != 0) return None
-    val rows = math.abs(height)
-    val rowSize = ((bpp / 8 * width + 3) / 4) * 4
-    val end = pixelOffset.toLong + rowSize.toLong * rows
+    // bpp restricted to real whole-byte formats (8/16/24/32): rejects the
+    // bpp=0 "valid" decode and, with ALL-LONG size arithmetic below,
+    // closes the Int-overflow hole where a crafted width made rowSize
+    // negative and copyOfRange throw — corrupt payloads must return None,
+    // never crash the batch
+    if (width <= 0 || height == 0 || compression != 0 ||
+      bpp < 8 || bpp > 32 || bpp % 8 != 0) return None
+    val rows = math.abs(height.toLong)
+    val rowSize = ((bpp.toLong / 8L * width.toLong + 3L) / 4L) * 4L
+    val end = pixelOffset.toLong + rowSize * rows
     if (pixelOffset < 54 || end > b.length) return None
-    Some(Decoded("bmp", width, rows, bpp / 8,
+    Some(Decoded("bmp", width, rows.toInt, bpp / 8,
       java.util.Arrays.copyOfRange(b, pixelOffset, end.toInt)))
   }
 
@@ -102,18 +108,21 @@ object MediaCodec {
     // chunk walk: fmt and data may appear in any order with extra chunks
     var channels = 0; var sampleRate = 0; var blockAlign = 0
     var data: Array[Byte] = null
-    var o = 12
+    // LONG offsets: a crafted chunk size near 2^31 must fail the bounds
+    // check, not wrap negative past it and crash the batch
+    var o = 12L
     while (o + 8 <= b.length) {
-      val id = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = le32(b, o + 4)
-      if (size < 0 || o + 8 + size > b.length) return None
+      val oi = o.toInt
+      val id = new String(b, oi, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, oi + 4).toLong & 0xFFFFFFFFL // u32 per RIFF spec
+      if (o + 8 + size > b.length) return None
       id match {
         case "fmt " if size >= 16 =>
-          channels = le16(b, o + 8 + 2)
-          sampleRate = le32(b, o + 8 + 4)
-          blockAlign = le16(b, o + 8 + 12)
+          channels = le16(b, oi + 8 + 2)
+          sampleRate = le32(b, oi + 8 + 4)
+          blockAlign = le16(b, oi + 8 + 12)
         case "data" =>
-          data = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size)
+          data = java.util.Arrays.copyOfRange(b, oi + 8, (o + 8 + size).toInt)
         case _ => ()
       }
       o += 8 + size + (size & 1) // chunks are word-aligned

@@ -72,6 +72,23 @@ object TimeSlot {
     SundayDay, NightBeforeWorkday, NightBeforeWeekend)
   val SlotsWithDefault: Seq[TimeSlot] = Slots :+ Default
 
+  /** The C5 classifier as a DuckDB CASE chain over a timestamp expression
+    * `ts` (isodow 1=Mon..7=Sun → wd0 = isodow-1) — the SINGLE generator
+    * shared by every oracle that reimplements slot assignment (q17, q53);
+    * a taxonomy change then moves all oracles together. */
+  def duckDbCaseSql(ts: String): String = {
+    val cases = Slots.map { t =>
+      val day =
+        if (t.minWeekday <= t.maxWeekday) s"(isodow($ts)-1 BETWEEN ${t.minWeekday} AND ${t.maxWeekday})"
+        else s"(isodow($ts)-1 >= ${t.minWeekday} OR isodow($ts)-1 <= ${t.maxWeekday})"
+      val hour =
+        if (t.minHour <= t.maxHour) s"(hour($ts) >= ${t.minHour} AND hour($ts) < ${t.maxHour})"
+        else s"(hour($ts) >= ${t.minHour} OR hour($ts) < ${t.maxHour})"
+      s"WHEN $day AND $hour THEN ${t.id}"
+    }.mkString(" ")
+    s"CASE $cases ELSE ${Default.id} END"
+  }
+
   /** First matching slot, like the reference's `from_datetime`
     * (`src/types/time_slots.rs:156-165`); total over all datetimes. */
   def fromDateTime(dt: LocalDateTime): TimeSlot =

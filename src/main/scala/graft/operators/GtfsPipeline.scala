@@ -38,20 +38,8 @@ object GtfsPipeline {
       |  UNION ALL SELECT 'rA','tA1',d,4,12*i+48,NULL FROM days
       |  UNION ALL SELECT 'rB','tB2',d,2,30+i,35+i FROM days WHERE i%5=0)""".stripMargin
 
-  /** The TimeSlot CASE chain (C5) over a timestamp expression — same
-    * generator as the q17 oracle. */
-  private def slotCaseSql(ts: String): String = {
-    val cases = graft.model.TimeSlot.Slots.map { t =>
-      val day =
-        if (t.minWeekday <= t.maxWeekday) s"(isodow($ts)-1 BETWEEN ${t.minWeekday} AND ${t.maxWeekday})"
-        else s"(isodow($ts)-1 >= ${t.minWeekday} OR isodow($ts)-1 <= ${t.maxWeekday})"
-      val hour =
-        if (t.minHour <= t.maxHour) s"(hour($ts) >= ${t.minHour} AND hour($ts) < ${t.maxHour})"
-        else s"(hour($ts) >= ${t.minHour} OR hour($ts) < ${t.maxHour})"
-      s"WHEN $day AND $hour THEN ${t.id}"
-    }.mkString(" ")
-    s"CASE $cases ELSE ${graft.model.TimeSlot.Default.id} END"
-  }
+  private def slotCaseSql(ts: String): String =
+    graft.model.TimeSlot.duckDbCaseSql(ts)
 
   val registry: Map[String, QueryDef] = Map(
     // §3.1 ingest: feeds -> records (J1/J2/F4/W2). Oracle: the pipeline
@@ -110,7 +98,7 @@ object GtfsPipeline {
              |      + CAST(split_part(arrival_time,':',3) AS INT) AS arr_secs,
              |    CAST(split_part(departure_time,':',1) AS INT)*3600 + CAST(split_part(departure_time,':',2) AS INT)*60
              |      + CAST(split_part(departure_time,':',3) AS INT) AS dep_secs
-             |  FROM read_csv_auto('/root/repo/fixtures/gtfs_tiny/stop_times.txt', header=true)),
+             |  FROM read_csv_auto('$fixtureDir/gtfs_tiny/stop_times.txt', header=true)),
              |vehicles AS (SELECT DISTINCT trip_id, trip_start_date FROM recs),
              |filled AS (SELECT g.trip_id, g.trip_start_date, s.stop_index,
              |    last_value(r.delay_arrival IGNORE NULLS) OVER w AS da,
@@ -136,7 +124,7 @@ object GtfsPipeline {
              |  FROM starts s
              |  JOIN ends e ON e.trip_id = s.trip_id AND e.trip_start_date = s.trip_start_date
              |    AND e.end_idx > s.start_idx
-             |  JOIN read_csv_auto('/root/repo/fixtures/gtfs_tiny/trips.txt', header=true) t
+             |  JOIN read_csv_auto('$fixtureDir/gtfs_tiny/trips.txt', header=true) t
              |    ON t.trip_id = s.trip_id,
              |  LATERAL (SELECT unnest([s.slot, ${graft.model.TimeSlot.Default.id}]) AS slot) sl)
              |SELECT route_id, start_idx AS start_stop_index, end_idx AS end_stop_index,
@@ -176,8 +164,8 @@ object GtfsPipeline {
       },
       Some(s"""WITH days AS (SELECT unnest([DATE '2024-03-15', DATE '2024-03-16',
              |    DATE '2024-03-17', DATE '2024-03-18']) AS d),
-             |cal AS (SELECT * FROM read_csv_auto('/root/repo/fixtures/gtfs_tiny/calendar.txt', header=true)),
-             |cd AS (SELECT * FROM read_csv_auto('/root/repo/fixtures/gtfs_tiny/calendar_dates.txt', header=true)),
+             |cal AS (SELECT * FROM read_csv_auto('$fixtureDir/gtfs_tiny/calendar.txt', header=true)),
+             |cd AS (SELECT * FROM read_csv_auto('$fixtureDir/gtfs_tiny/calendar_dates.txt', header=true)),
              |svc AS (
              |  SELECT d, service_id FROM days, cal
              |  WHERE CASE isodow(d) WHEN 1 THEN monday WHEN 2 THEN tuesday
@@ -198,11 +186,11 @@ object GtfsPipeline {
              |      + CAST(split_part(arrival_time,':',3) AS INT) AS arr_secs,
              |    CAST(split_part(departure_time,':',1) AS INT)*3600 + CAST(split_part(departure_time,':',2) AS INT)*60
              |      + CAST(split_part(departure_time,':',3) AS INT) AS dep_secs
-             |  FROM read_csv_auto('/root/repo/fixtures/gtfs_tiny/stop_times.txt', header=true)),
+             |  FROM read_csv_auto('$fixtureDir/gtfs_tiny/stop_times.txt', header=true)),
              |runs AS (
              |  SELECT t.route_id, t.trip_id, a.d AS trip_start_date, st.*
              |  FROM active a
-             |  JOIN read_csv_auto('/root/repo/fixtures/gtfs_tiny/trips.txt', header=true) t
+             |  JOIN read_csv_auto('$fixtureDir/gtfs_tiny/trips.txt', header=true) t
              |    ON t.service_id = a.service_id
              |  JOIN st ON st.trip_id = t.trip_id),
              |named AS (SELECT *, first_value(dep_secs) OVER

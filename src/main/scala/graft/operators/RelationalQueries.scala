@@ -320,20 +320,9 @@ object RelationalQueries {
         .groupBy(TimeSlot.slotIdColumn(col("ts")).as("slot_id"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("slot_id")),
-      Some {
-        // DuckDB: isodow 1=Mon..7=Sun -> wd0 = isodow-1; same CASE chain.
-        val cases = TimeSlot.Slots.map { t =>
-          val day =
-            if (t.minWeekday <= t.maxWeekday) s"(isodow(ts)-1 BETWEEN ${t.minWeekday} AND ${t.maxWeekday})"
-            else s"(isodow(ts)-1 >= ${t.minWeekday} OR isodow(ts)-1 <= ${t.maxWeekday})"
-          val hour =
-            if (t.minHour <= t.maxHour) s"(hour(ts) >= ${t.minHour} AND hour(ts) < ${t.maxHour})"
-            else s"(hour(ts) >= ${t.minHour} OR hour(ts) < ${t.maxHour})"
-          s"WHEN $day AND $hour THEN ${t.id}"
-        }.mkString(" ")
-        s"""SELECT CASE $cases ELSE 12 END AS slot_id, COUNT(*) AS n
-           |FROM events GROUP BY 1 ORDER BY slot_id""".stripMargin
-      }),
+      Some(
+        s"""SELECT ${TimeSlot.duckDbCaseSql("ts")} AS slot_id, COUNT(*) AS n
+           |FROM events GROUP BY 1 ORDER BY slot_id""".stripMargin)),
 
     // ── C6: RouteSection rule over per-group positions ──
     "q18_route_sections" -> QueryDef(

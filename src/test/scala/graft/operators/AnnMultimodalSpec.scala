@@ -137,6 +137,37 @@ class AnnMultimodalSpec extends SparkSpec {
       re.width == 4 && re.height == 2)
   }
 
+  test("MediaCodec: corrupt headers decode to None, never throw") {
+    import graft.functions.MediaCodec
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // BMP with width=0x20000000, bpp=24: bpp/8*width would overflow Int
+    val evilBmp = new Array[Byte](64)
+    evilBmp(0) = 'B'; evilBmp(1) = 'M'
+    System.arraycopy(le32(54), 0, evilBmp, 10, 4)
+    System.arraycopy(le32(0x20000000), 0, evilBmp, 18, 4)
+    System.arraycopy(le32(1), 0, evilBmp, 22, 4)
+    evilBmp(28) = 24
+    assert(MediaCodec.decode(evilBmp).isEmpty)
+    // BMP with bpp=0: passes % 8 but is not a real pixel format
+    val zeroBpp = MediaCodec.encodeBmp24(2, 2, new Array[Byte](16)).clone()
+    zeroBpp(28) = 0; zeroBpp(29) = 0
+    assert(MediaCodec.decode(zeroBpp).isEmpty)
+    // BMP with height=Int.MinValue: abs() must not stay negative
+    val minH = MediaCodec.encodeBmp24(2, 2, new Array[Byte](16)).clone()
+    System.arraycopy(le32(Int.MinValue), 0, minH, 22, 4)
+    assert(MediaCodec.decode(minH).isEmpty)
+    // WAV chunk with size near 2^31: offset arithmetic must not wrap
+    val evilWav = new Array[Byte](64)
+    "RIFF".getBytes.copyToArray(evilWav, 0)
+    "WAVE".getBytes.copyToArray(evilWav, 8)
+    "data".getBytes.copyToArray(evilWav, 12)
+    System.arraycopy(le32(0x7FFFFFF0), 0, evilWav, 16, 4)
+    assert(MediaCodec.decode(evilWav).isEmpty)
+    // and truncated/garbage payloads
+    assert(MediaCodec.decode(Array[Byte]('B', 'M')).isEmpty)
+    assert(MediaCodec.decode("not media at all".getBytes).isEmpty)
+  }
+
   test("MediaCodec decodes the committed WAV fixture (chunk walk incl. LIST)") {
     import graft.functions.MediaCodec
     val bytes = java.nio.file.Files.readAllBytes(
