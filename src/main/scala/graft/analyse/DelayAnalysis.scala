@@ -123,46 +123,62 @@ object DelayAnalysis {
     arr.unionByName(dep).filter(col("delay").isNotNull)
   }
 
-  /** Duplicate every event row into its matched slot AND the DEFAULT slot
-    * (the reference computes curves per slot plus the catch-all,
-    * `src/analyser/specific_curves.rs:274-276`). */
-  private def withDefaultSlot(events: DataFrame): DataFrame =
-    events.withColumn("time_slot_id",
-      explode(array(col("time_slot_id"), lit(TimeSlot.Default.id))))
-
-  /** A8: general per-stop delay curves — `groupBy(variant, stop, event,
-    * slot)`, ≥20 samples, unfocused make_curve, simplify(0.01),
-    * SemiSpecific. */
+  /** A8: general per-stop delay curves — ≥20 samples per (variant, stop,
+    * event, slot), unfocused make_curve, simplify(0.01), SemiSpecific.
+    *
+    * Same shuffle shape as [[stopPairCurveSets]]: ONE shuffle of the
+    * un-exploded event rows keyed by (variant, stop, event); per-slot and
+    * Default-slot curves are built group-locally from the collected
+    * (slot, delay) list instead of duplicating every row pre-shuffle. */
   def generalDelayCurves(projected: DataFrame): DataFrame = {
     // collect_list + once-per-group scalar, same rationale as the
     // stop-pair aggregation below
-    // nondeterministic ON PURPOSE (it is pure): the downstream
-    // `.filter(isNotNull)` otherwise gets pushed through the projection by
-    // substituting the UDF expression, running the curve build TWICE per
-    // group (same collapse-barrier trick as Predictor.capPointsUdf)
-    val buildUdf = udf((delays: Seq[Float]) =>
-      CurveBuilder.generalDelayCurve(delays).map { cd =>
-        (cd.precisionType, cd.sampleSize,
-          cd.curve.points.map(p => CurvePoint(p._1, p._2)))
-      }).asNondeterministic()
-    withDefaultSlot(eventLong(projected))
+    // nondeterministic ON PURPOSE (it is pure): the downstream explode
+    // otherwise gets the UDF expression substituted into every reference
+    // by CollapseProject, running the curve build repeatedly per group
+    // (same collapse-barrier trick as Predictor.capPointsUdf)
+    val buildUdf = udf((rows: Seq[org.apache.spark.sql.Row]) => {
+      val all = rows.map(r => (r.getInt(0), r.getFloat(1)))
+      val dflt = TimeSlot.Default.id
+      val groups = all.groupBy(_._1).view.filterKeys(_ != dflt).toSeq :+
+        ((dflt, all ++ all.filter(_._1 == dflt)))
+      groups.flatMap { case (slot, ds) =>
+        CurveBuilder.generalDelayCurve(ds.map(_._2)).map { cd =>
+          (slot, cd.precisionType, cd.sampleSize,
+            cd.curve.points.map(p => CurvePoint(p._1, p._2)))
+        }
+      }
+    }).asNondeterministic()
+    eventLong(projected)
       .groupBy(col("route_id"), col("route_variant"), col("stop_index"),
-        col("event_type"), col("time_slot_id"))
-      .agg(collect_list(col("delay").cast("float")).as("delays"))
-      .withColumn("built", buildUdf(col("delays")))
-      .filter(col("built").isNotNull)
+        col("event_type"))
+      .agg(collect_list(struct(col("time_slot_id"),
+        col("delay").cast("float").as("delay"))).as("ds"))
       .select(col("route_id"), col("route_variant"), col("stop_index"),
-        col("event_type"), col("time_slot_id"),
-        col("built._1").as("precision_type"), col("built._2").as("sample_size"),
-        col("built._3").as("points"))
+        col("event_type"), explode(buildUdf(col("ds"))).as("built"))
+      .select(col("route_id"), col("route_variant"), col("stop_index"),
+        col("event_type"), col("built._1").as("time_slot_id"),
+        col("built._2").as("precision_type"), col("built._3").as("sample_size"),
+        col("built._4").as("points"))
   }
 
-  /** J3: the exploded stop-pair rows that feed [[stopPairCurveSets]] —
-    * (vehicle self-join on start/end stop, F2 threshold, F3 rounding,
-    * matched + Default slot). Exposed separately so the pair-level stream
-    * can be verified relationally (counts and exact delay sums are
-    * SQL-expressible where the curve construction itself is not). */
-  def stopPairRows(projected: DataFrame): DataFrame = {
+  /** J3: the exploded stop-pair rows (one row per pair per slot,
+    * matched + Default) — the relationally-verifiable view of the pair
+    * stream (q53: counts and exact delay sums are SQL-expressible where
+    * the curve construction itself is not). */
+  def stopPairRows(projected: DataFrame): DataFrame =
+    stopPairRowsBase(projected)
+      .withColumn("time_slot_id",
+        explode(array(col("time_slot_id"), lit(TimeSlot.Default.id))))
+      .select(col("route_id"), col("route_variant"), col("start_idx"),
+        col("end_idx"), col("time_slot_id"), col("event_type"),
+        col("start_delay"), col("end_delay"))
+
+  /** The stop-pair self-join WITHOUT the Default-slot duplication: one
+    * row per (vehicle, start, end, event) with its matched slot —
+    * [[stopPairCurveSets]] shuffles THIS and splits slots group-locally,
+    * halving shuffle volume vs exploding first. */
+  private def stopPairRowsBase(projected: DataFrame): DataFrame = {
     val vehicleKey = Seq("route_id", "route_variant", "trip_id",
       "trip_start_date", "trip_start_time")
     val start = projected
@@ -187,45 +203,62 @@ object DelayAnalysis {
     start
       .join(endArr.unionByName(endDep), vehicleKey)
       .filter(col("end_idx") > col("start_idx"))
-      .withColumn("time_slot_id",
-        explode(array(col("time_slot_id"), lit(TimeSlot.Default.id))))
       .select(col("route_id"), col("route_variant"), col("start_idx"),
         col("end_idx"), col("time_slot_id"), col("event_type"),
         col("start_delay"), col("end_delay"))
   }
 
   /** A7 (with J3): stop-pair curve sets. The self-join inside
-    * [[stopPairRows]] is equi-keyed on the vehicle; the theta condition
-    * end > start only multiplies within a vehicle's own stop list (bounded
-    * by route length, not data volume). */
+    * [[stopPairRowsBase]] is equi-keyed on the vehicle; the theta
+    * condition end > start only multiplies within a vehicle's own stop
+    * list (bounded by route length, not data volume).
+    *
+    * Shuffle shape: ONE shuffle of the un-exploded pair rows keyed by
+    * (pair, event); the per-slot split AND the Default-slot aggregate
+    * happen group-locally inside the builder UDF. Exploding the Default
+    * duplicate before the shuffle (the previous shape) doubled shuffle
+    * volume for no information; max group size is unchanged (the Default
+    * group already held every one of the pair's rows). Output is
+    * identical (spec-pinned vs the exploded relation). */
   def stopPairCurveSets(projected: DataFrame): DataFrame = {
-    val pairs = stopPairRows(projected)
+    val pairs = stopPairRowsBase(projected)
     // group via codegen'd collect_list (ObjectHashAggregate), NOT typed
     // groupByKey: the Dataset encoder deserializes every pair row into a
     // Scala tuple, which measured ~2x slower at 38M pair rows (PERF.md);
     // here only the per-group array crosses into Scala, once per group
     val buildUdf = udf((ps: Seq[org.apache.spark.sql.Row]) => {
-      if (ps.length <= 20) None // F9 gate, reference `:337`
-      else CurveBuilder.stopPairCurveSet(
-        ps.map(r => (r.getFloat(0), r.getFloat(1)))).map { csd =>
-        (csd.precisionType, csd.sampleSize,
-          csd.curveSet.curves.map { case (f, c) =>
-            FocusCurve(f, c.points.map(p => CurvePoint(p._1, p._2)))
-          })
+      val all = ps.map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2)))
+      val dflt = TimeSlot.Default.id
+      // per matched slot, plus Default over every row; rows whose MATCHED
+      // slot is the Default id (dead in practice — the taxonomy covers
+      // all 168 hours) land twice in the Default group, exactly as the
+      // exploded relation would put them
+      val groups = all.groupBy(_._1).view.filterKeys(_ != dflt).toSeq :+
+        (dflt, all ++ all.filter(_._1 == dflt))
+      groups.flatMap { case (slot, rows) =>
+        if (rows.length <= 20) None // F9 gate, reference `:337`
+        else CurveBuilder.stopPairCurveSet(rows.map(r => (r._2, r._3))).map { csd =>
+          (slot, csd.precisionType, csd.sampleSize,
+            csd.curveSet.curves.map { case (f, c) =>
+              FocusCurve(f, c.points.map(p => CurvePoint(p._1, p._2)))
+            })
+        }
       }
     }).asNondeterministic() // pure; collapse barrier — see generalDelayCurves
     pairs
       .groupBy(col("route_id"), col("route_variant"),
         col("start_idx").as("start_stop_index"), col("end_idx").as("end_stop_index"),
-        col("time_slot_id"), col("event_type"))
-      .agg(collect_list(struct(col("start_delay"), col("end_delay"))).as("ps"))
-      .withColumn("built", buildUdf(col("ps")))
-      .filter(col("built").isNotNull)
+        col("event_type"))
+      .agg(collect_list(struct(col("time_slot_id"),
+        col("start_delay"), col("end_delay"))).as("ps"))
+      .select(col("route_id"), col("route_variant"),
+        col("start_stop_index"), col("end_stop_index"), col("event_type"),
+        explode(buildUdf(col("ps"))).as("built"))
       .select(col("route_id"), col("route_variant"),
         col("start_stop_index"), col("end_stop_index"),
-        col("time_slot_id"), col("event_type"),
-        col("built._1").as("precision_type"), col("built._2").as("sample_size"),
-        col("built._3").as("curves"))
+        col("built._1").as("time_slot_id"), col("event_type"),
+        col("built._2").as("precision_type"), col("built._3").as("sample_size"),
+        col("built._4").as("curves"))
   }
 
   /** A9: the default-curve hierarchy with its three-level fallback cascade

@@ -38,7 +38,14 @@ object CurveBuilder {
     * the END delays, simplify(0.001), drop curves with span < 13 s;
     * sample_size = total slice sizes / number of curves. */
   def stopPairCurveSet(pairs: Seq[(Float, Float)]): Option[CurveSetData] = {
-    val sorted = pairs.sortBy(_._1)
+    // sort by (start, end), not start alone: with 12 s rounding equal
+    // start delays are common, and a start-only (stable) sort would leave
+    // the end-delay order within a tie equal to the COLLECTION order —
+    // which follows shuffle layout. The reference sorts by start only
+    // (`specific_curves.rs:372`), so its tie output is input-order-
+    // dependent too; the full key costs nothing and makes ours
+    // reproducible across partitionings.
+    val sorted = pairs.sortBy(identity)
     val count = sorted.length
     Curve.makeCurve(sorted.map(_._1), None).flatMap { case (initialCurve, _) =>
       val markers = mutable.ArrayBuffer[Float](initialCurve.minX, initialCurve.minX)
