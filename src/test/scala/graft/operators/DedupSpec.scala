@@ -105,6 +105,39 @@ class DedupSpec extends SparkSpec {
     assert(allPairs.nonEmpty)
   }
 
+  test("prefix join == all-pairs on random corpora incl. degenerate docs") {
+    import spark.implicits._
+    // seeded random corpora with adversarial edges: empty docs, 1-2 char
+    // docs, exact duplicates, tiny alphabet (forces shingle ties and
+    // rounding-free jaccard edge values)
+    val rand = new scala.util.Random(19)
+    def corpus(n: Int): org.apache.spark.sql.DataFrame = {
+      val alphabet = "abc d"
+      val rows = (0 until n).map { i =>
+        val len = rand.nextInt(60)
+        val text =
+          if (i % 11 == 0) "" // empty
+          else if (i % 7 == 0) "ab" // shorter than a shingle
+          else (0 until len).map(_ => alphabet(rand.nextInt(alphabet.length))).mkString
+        (i.toLong, s"src${i % 2}", text)
+      }
+      // every 5th doc duplicates its predecessor exactly
+      rows.map { case (id, src, t) =>
+        if (id % 5 == 4) (id, src, rows((id - 1).toInt)._3) else (id, src, t)
+      }.toDF("doc_id", "source", "text")
+    }
+    for (t <- Seq(0.5, 0.3); c <- Seq(corpus(40))) {
+      val all = DedupQueries.charShingleAllPairs(c, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      val pre = DedupQueries.charShinglePrefixJoin(c, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      assert(pre == all, s"t=$t: only-prefix=${pre -- all}, only-all=${all -- pre}")
+      assert(all.nonEmpty) // the planted exact duplicates always qualify
+    }
+  }
+
   test("simhash surfaces planted near-duplicates with small hamming distance") {
     val cand = DedupQueries.simhashCandidates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
