@@ -24,31 +24,46 @@ object GtfsRt {
 
   // ── wire-format primitives ──
 
+  /** Bounds discipline (malformed input must FAIL, caught by the ingest's
+    * corrupt-feed skip — it must never hang or overrun): every advance of
+    * `pos` is validated against `end`. In particular a crafted varint
+    * decoding to a NEGATIVE length would otherwise move `pos` backwards
+    * and cycle the field loop forever — a task hang that no try/catch
+    * rescues; and a nested message's reader must not read its siblings'
+    * bytes past its own `end`. */
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed protobuf: $msg at $pos")
     def readVarint(): Long = {
       var shift = 0
       var result = 0L
-      while (true) {
+      while (shift <= 63) {
+        if (pos >= end) fail("varint overruns message bounds")
         val b = buf(pos)
         pos += 1
         result |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return result
         shift += 7
       }
-      result
+      fail("varint longer than 64 bits")
+    }
+    private def advance(len: Int): Int = {
+      if (len < 0 || pos + len > end || pos + len < pos) fail(s"length $len")
+      val start = pos
+      pos += len
+      start
     }
     def readLengthDelimited(): (Int, Int) = {
       val len = readVarint().toInt
-      val start = pos
-      pos += len
+      val start = advance(len)
       (start, start + len)
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => val len = readVarint().toInt; pos += len
-      case 5 => pos += 4
+      case 1 => advance(8)
+      case 2 => advance(readVarint().toInt)
+      case 5 => advance(4)
       case other => throw new IllegalArgumentException(s"unsupported wire type $other")
     }
   }
@@ -76,6 +91,12 @@ object GtfsRt {
     decodeFeedMessage(raw)
   }
 
+  /** Inflation cap: real GTFS-RT feeds are a few MB; a zip bomb
+    * (kilobytes inflating to gigabytes) must fail the file — caught by
+    * the corrupt-feed skip — before it can OOM the executor, which a
+    * try/catch would not rescue. */
+  private val MaxInflatedBytes = 256 * 1024 * 1024
+
   private def unzipFirstEntry(bytes: Array[Byte]): Array[Byte] = {
     val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
     try {
@@ -85,7 +106,11 @@ object GtfsRt {
       val out = new ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
       var n = zis.read(chunk)
-      while (n >= 0) { out.write(chunk, 0, n); n = zis.read(chunk) }
+      while (n >= 0) {
+        require(out.size() + n <= MaxInflatedBytes, "zip entry exceeds inflation cap")
+        out.write(chunk, 0, n)
+        n = zis.read(chunk)
+      }
       out.toByteArray
     } finally zis.close()
   }

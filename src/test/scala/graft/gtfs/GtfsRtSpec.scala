@@ -48,4 +48,42 @@ class GtfsRtSpec extends AnyFunSuite {
     val extra = encode(msg) ++ Array[Byte]((15 << 3).toByte, 0x01)
     assert(decode(extra) == msg)
   }
+
+  test("malformed feeds terminate with a failure, never hang or overrun") {
+    import graft.gtfs.RtIngest.decodeOrEmpty
+    val good = encode(msg)
+    // a length-delimited field whose varint decodes to a NEGATIVE Int32:
+    // without bounds discipline pos would move BACKWARDS and the field
+    // loop would cycle forever (task hang, uncatchable)
+    val negativeLen = Array[Byte](0x0a.toByte, // field 1 (header), wire 2
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x7f) // len < 0
+    assert(decodeOrEmpty(negativeLen, "evil.pb").isEmpty)
+    // a varint of endless continuation bytes must fail, not scan past end
+    assert(decodeOrEmpty(Array.fill[Byte](64)(0x80.toByte), "evil2.pb").isEmpty)
+    // truncations of a valid feed at every prefix length: fail or parse,
+    // never throw past decodeOrEmpty, never hang
+    (0 until good.length by 3).foreach { n =>
+      decodeOrEmpty(good.take(n), s"trunc$n.pb")
+    }
+    // seeded single-byte corruptions of a valid feed
+    val rand = new scala.util.Random(5)
+    (0 until 200).foreach { i =>
+      val mutated = good.clone()
+      mutated(rand.nextInt(mutated.length)) = rand.nextInt(256).toByte
+      decodeOrEmpty(mutated, s"mut$i.pb")
+    }
+  }
+
+  test("zip bomb fails the file instead of exhausting executor memory") {
+    // ~300 MB of zeros deflates to ~300 KB; the 256 MB inflation cap must
+    // reject it (OutOfMemoryError is not rescuable by the corrupt-feed
+    // skip, so the cap has to fire first)
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("feed.pb"))
+    val chunk = new Array[Byte](1 << 20)
+    (0 until 300).foreach(_ => zos.write(chunk))
+    zos.closeEntry(); zos.close()
+    assert(graft.gtfs.RtIngest.decodeOrEmpty(bos.toByteArray, "bomb.zip").isEmpty)
+  }
 }
