@@ -494,14 +494,36 @@ object DedupQueries {
         Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))))
       .filter(col("rk") <= prefixLen)
       .select(col("source"), col("s"), col("doc_id"), col("n"))
-    val candidates = prefixes
-      .select(col("source"), col("s"), col("doc_id").as("id1"), col("n").as("n1"))
-      .join(prefixes
-        .select(col("source"), col("s"), col("doc_id").as("id2"), col("n").as("n2")),
-        Seq("source", "s"))
-      .filter(col("id1") < col("id2") &&
-        least(col("n1"), col("n2")) >= greatest(col("n1"), col("n2")) * threshold)
-      .select(col("id1"), col("id2")).distinct()
+    // candidate pairs per POSTING LIST (the Vernica et al. reducer): group
+    // the prefix index by (source, shingle) and emit length-filtered pairs
+    // group-locally. One aggregation over ONE prefix computation — a
+    // prefix self-join would (and, measured, did) run the whole
+    // explode→freq→rank pipeline twice, since the join sides stop being
+    // canonically equal once AQE plans them. Posting-list sizes are
+    // bounded by docs-per-rare-shingle — exactly what the prefix filter
+    // guarantees (see the precondition note above).
+    val pairGen = udf((docs: Seq[org.apache.spark.sql.Row]) => {
+      val arr = docs.map(r => (r.getLong(0), r.getInt(1)))
+      val out = Seq.newBuilder[(Long, Long)]
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          val (a, na) = arr(i)
+          val (b, nb) = arr(j)
+          if (math.min(na, nb) >= math.max(na, nb) * threshold && a != b)
+            out += (if (a < b) (a, b) else (b, a))
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }).asNondeterministic() // pure; collapse barrier
+    val candidates = prefixes.groupBy(col("source"), col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .select(explode(pairGen(col("ds"))).as("p"))
+      .select(col("p._1").as("id1"), col("p._2").as("id2"))
+      .distinct()
     candidates
       .join(docs.select(col("doc_id").as("id1"), col("sh").as("s1")), Seq("id1"))
       .join(docs.select(col("doc_id").as("id2"), col("sh").as("s2")), Seq("id2"))
