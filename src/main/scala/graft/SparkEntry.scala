@@ -11,7 +11,8 @@ object SparkEntry {
   private lazy val all: Map[String, QueryDef] =
     RelationalQueries.registry ++ TextQueries.registry ++
       DedupQueries.registry ++ MultimodalQueries.registry ++
-      AnnQueries.registry ++ GtfsPipeline.registry
+      AnnQueries.registry ++ GtfsPipeline.registry ++
+      PipelineQueries.registry
 
   /** Flagship: the engine's own domain end-to-end — GTFS schedule + 40
     * realtime feeds → records → curves → scheduled predictions (driver

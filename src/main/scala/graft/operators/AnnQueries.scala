@@ -205,6 +205,41 @@ object AnnQueries {
       .orderBy(col("cell"))
   }
 
+  /** The whole q52 computation — deterministic-init Lloyd + final-assignment
+    * inertia — as a generated DuckDB CTE chain: c0 (first-k init) → aᵢ
+    * (argmin assignment, ties by cell) → cᵢ (per-dim means) … → inertia.
+    * Float safety: means/dots differ from Spark only in summation order
+    * (last-ulp); assignments sit far from ties on clustered data and the
+    * inertia is rounded to 3 decimals, so the hash compare is stable —
+    * verified exact at sf0.001/0.01/0.1. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    def assign(cents: String, i: Int) =
+      s"""a$i AS (SELECT vec_id, cell FROM (
+         |  SELECT d.vec_id, d.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY n.cn - 2*d.dot, d.cell) AS rn
+         |  FROM (SELECT ex.vec_id, c.cell, SUM(ex.x * c.w) AS dot
+         |        FROM ex JOIN $cents c USING (pos) GROUP BY 1, 2) d
+         |  JOIN (SELECT cell, SUM(w * w) AS cn FROM $cents GROUP BY 1) n USING (cell))
+         |  WHERE rn = 1)""".stripMargin
+    def cents(a: Int, name: String) =
+      s"""c$name AS (SELECT a.cell, ex.pos, AVG(ex.x) AS w
+         |  FROM a$a a JOIN ex USING (vec_id) GROUP BY 1, 2)""".stripMargin
+    val steps = (1 to iters).flatMap(i =>
+      Seq(assign(s"c${i - 1}", i), cents(i, i.toString))) ++
+      Seq(assign(s"c$iters", iters + 1), cents(iters + 1, "f"))
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1)) AS pos),
+       |ex AS (SELECT vec_id, pos, v[CAST(pos AS INT)] AS x FROM e, dims),
+       |c0 AS (SELECT r.cell, ex.pos, ex.x AS w FROM
+       |  (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cell
+       |   FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k)) r JOIN ex USING (vec_id)),
+       |${steps.mkString(",\n")}
+       |SELECT a.cell, COUNT(DISTINCT a.vec_id) AS n,
+       |  ROUND(SUM((ex.x - cf.w) * (ex.x - cf.w)), 3) AS inertia
+       |FROM a${iters + 1} a JOIN ex USING (vec_id) JOIN cf USING (cell, pos)
+       |GROUP BY a.cell ORDER BY a.cell""".stripMargin
+  }
+
   val registry: Map[String, QueryDef] = Map(
     // IVF ANN: probe = lowest vec_id, nprobe=1 (rows-only: cell choice is
     // engine-internal; AnnSpec checks agreement with brute force)
@@ -214,15 +249,17 @@ object AnnQueries {
         ivfSearch(e, e.orderBy(col("vec_id")).limit(1), k = 10, nprobe = 1)
       },
       None),
-    // k-means coarse quantizer: cell sizes + inertia after 3 Lloyd rounds
-    // (rows-only: iterative float averaging has no stable DuckDB twin;
-    // AnnMultimodalSpec pins determinism and non-increasing inertia)
+    // k-means coarse quantizer: cell sizes + inertia after 3 Lloyd rounds.
+    // The oracle re-runs the SAME deterministic algorithm (first-k init,
+    // lexicographic argmin ties) as a DuckDB CTE chain — upgraded from
+    // rows-only in r5; AnnMultimodalSpec still pins determinism and
+    // non-increasing inertia independently.
     "q52_kmeans_cells" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
         kmeansInertia(e, kmeansCells(e, k = 8, iters = 3))
       },
-      None),
+      Some(kmeansOracleSql(k = 8, iters = 3))),
     // sign-LSH ANN: same probe, bucketed by 16-bit hyperplane signature
     // with hamming-1 multi-probe (rows-only: xxhash64 weights have no
     // DuckDB twin; spec pins recall of planted duplicates + containment

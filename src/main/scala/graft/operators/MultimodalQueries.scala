@@ -101,14 +101,25 @@ object MultimodalQueries {
              |FROM documents GROUP BY 1 ORDER BY size_bucket""".stripMargin)),
 
     // full pipeline: encode -> decode -> features over the decoded pixel
-    // region (patch means are float chunk averages -> rows-only; the
-    // header fields they run under are hash-checked by q54)
+    // region. Oracle (upgraded from rows-only in r5): patch 0's mean is an
+    // EXACT integer sum of the first chunk's byte values (pads add 0 but
+    // count in the denominator) followed by one float32 division —
+    // reproduced in DuckDB with the same float32 cast, so the hash compare
+    // is bit-stable (verified at sf0.001/0.01/0.1).
     "q38_media_features" -> QueryDef(
       (s, d) => extractFeatures(bmpMediaTable(s, d)).toDF()
         .select(col("media_id"), col("width"), col("height"),
           round(element_at(col("patch_means"), 1), 6).as("p0"))
         .orderBy(col("media_id")),
-      None),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |    CAST(greatest(1, (length(text) + 95) // 96) AS INT) AS height, text
+             |  FROM documents),
+             |p AS (SELECT media_id, height,
+             |    (96 * height) // 16 AS chunk, text FROM m)
+             |SELECT media_id, 32 AS width, height,
+             |  CAST(ROUND(CAST(CAST(list_sum(list_transform(range(1, least(chunk, length(text)) + 1),
+             |      i -> ascii(text[i]))) AS FLOAT) / CAST(chunk * 255 AS FLOAT) AS DOUBLE), 6) AS FLOAT) AS p0
+             |FROM p ORDER BY media_id""".stripMargin)),
 
     // REAL decode, hash-checked: the parsed BMP header fields must equal
     // the wrap arithmetic DuckDB derives from the text lengths (32 px

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Battery #3: connected components (vs a driver-side union-find ground
+  * truth), BM25 scoring math, stratified-sample quotas, chunk coverage. */
+class PipelineQueriesSpec extends SparkSpec {
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  private def ccOf(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val vertices = spark.range(n).toDF("id")
+    val e =
+      if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("u", "v")
+      else edges.toDF("u", "v")
+    ConnectedComponents.components(vertices, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components match union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 8) {
+      val n = 30 + rnd.nextInt(70)
+      val nEdges = rnd.nextInt(2 * n)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      assert(ccOf(n, edges) === unionFind(n, edges), s"trial $trial n=$n")
+    }
+  }
+
+  test("connected components handle a long path (diameter >> rounds)") {
+    // a 60-node chain needs 59 rounds of naive min-propagation;
+    // large-star/small-star contracts it in O(log^2)
+    val edges = (0L until 59L).map(i => (i, i + 1))
+    val got = ccOf(60, edges)
+    assert(got.values.toSet === Set(0L), "all chained nodes collapse to 0")
+  }
+
+  test("connected components: cliques, singletons, empty edge set") {
+    val clique = for (i <- 0 until 5; j <- i + 1 until 5)
+      yield (i.toLong + 10, j.toLong + 10)
+    val got = ccOf(20, clique)
+    assert((10L to 14L).forall(got(_) == 10L))
+    assert(((0L to 9L) ++ (15L to 19L)).forall(i => got(i) == i), "singletons stay")
+    assert(ccOf(5, Nil) === (0L until 5L).map(i => i -> i).toMap)
+  }
+
+  test("q57 canonical flags: exactly one canonical per component") {
+    val out = PipelineQueries.registry("q57_dup_components")
+      .build(spark, "/root/testdata/sf0.001").cache()
+    val n = out.count()
+    assert(n > 0)
+    val perComp = out.groupBy("component")
+      .agg(sum("is_canonical").as("canon"), count(lit(1)).as("sz"),
+        min("cluster_size").as("minSz"), max("cluster_size").as("maxSz"))
+      .collect()
+    perComp.foreach { r =>
+      assert(r.getLong(1) === 1L, s"component ${r.get(0)} canonical count")
+      assert(r.getLong(2) === r.getLong(3) && r.getLong(2) === r.getLong(4).toLong,
+        s"component ${r.get(0)} cluster_size consistent")
+    }
+    out.unpersist()
+  }
+
+  test("q58 BM25 math on a hand corpus") {
+    import spark.implicits._
+    // 3 docs; query terms appear with known counts
+    val docs = Seq(
+      (0L, "spark spark merge x y z", "en", "s", 6L),
+      (1L, "window a b c d e f g", "en", "s", 8L),
+      (2L, "p q r s t u", "en", "s", 6L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.registry("q58_bm25").build(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val avgdl = (6 + 8 + 6) / 3.0
+    def bm25(tf: Int, df: Int, dl: Int): Double =
+      math.log(1 + (3 - df + 0.5) / (df + 0.5)) *
+        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet === Set(0L, 1L))
+    assert(out(0L) === r6(bm25(2, 1, 6) + bm25(1, 1, 6)))
+    assert(out(1L) === r6(bm25(1, 1, 8)))
+  }
+
+  test("q59 quotas: exactly ceil(n*0.25) rows per stratum, deterministic") {
+    val d = "/root/testdata/sf0.001"
+    val totals = graft.sources.Tables.documents(spark, d)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q = PipelineQueries.registry("q59_stratified_sample")
+    val got = q.build(spark, d).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (src, n) =>
+      assert(got.getOrElse(src, 0L) === math.ceil(n * 0.25).toLong, src)
+    }
+    // content-addressed: identical sample on re-run
+    val a = q.build(spark, d).collect().toSeq
+    val b = q.build(spark, d).collect().toSeq
+    assert(a === b)
+  }
+
+  test("q60 chunks: stride coverage reconstructs every document") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val chunks = PipelineQueries.registry("q60_doc_chunks").build(spark, d)
+    // taking the first 24 tokens of each chunk (its non-overlapped stride)
+    // and concatenating in chunk order must reproduce the document text
+    val rebuilt = chunks
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(split(col("chunk_text"), " "), 1, 24)).as("stride"))
+      .groupBy("doc_id")
+      .agg(array_join(array_sort(collect_list(struct(col("chunk_id"), col("stride"))))
+        .getField("stride"), " ").as("recon"))
+    val bad = rebuilt.join(docs, Seq("doc_id"))
+      .filter(col("recon") =!= col("text")).count()
+    assert(bad === 0L)
+    // every full chunk has 32 tokens; the last may be shorter
+    val overLong = chunks.filter(col("n_chunk_tokens") > 32).count()
+    assert(overLong === 0L)
+  }
+}
