@@ -241,14 +241,33 @@ object AnnQueries {
   }
 
   val registry: Map[String, QueryDef] = Map(
-    // IVF ANN: probe = lowest vec_id, nprobe=1 (rows-only: cell choice is
-    // engine-internal; AnnSpec checks agreement with brute force)
+    // IVF ANN: probe = lowest vec_id, nprobe=1. Oracle (upgraded from
+    // rows-only in r5): label cells + first-k probe are fully
+    // deterministic, so DuckDB re-derives centroid ranking and the
+    // probed cell's brute-force top-10; cos_sim rounded to 6 absorbs
+    // centroid summation-order ulps (cell ARGMAX is far from ties on
+    // clustered data — verified exact at sf0.001/0.01/0.1).
     "q39_ivf_ann" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
         ivfSearch(e, e.orderBy(col("vec_id")).limit(1), k = 10, nprobe = 1)
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings ORDER BY vec_id LIMIT 1),
+             |dims AS (SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1)) AS pos),
+             |ex AS (SELECT vec_id, cell, pos, v[CAST(pos AS INT)] AS x FROM e, dims),
+             |cents AS (SELECT cell, pos, AVG(x) AS w FROM ex GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT c.cell,
+             |    SUM(c.w * p.pv[CAST(c.pos AS INT)])
+             |      / (SQRT(SUM(c.w * c.w)) * SQRT(list_inner_product(p.pv, p.pv))) AS cell_sim
+             |  FROM cents c, probe p GROUP BY c.cell, p.pv
+             |  ORDER BY cell_sim DESC LIMIT 1)
+             |SELECT e.vec_id,
+             |  ROUND(list_inner_product(e.v, p.pv)
+             |    / (SQRT(list_inner_product(e.v, e.v)) * SQRT(list_inner_product(p.pv, p.pv))), 6) AS cos_sim
+             |FROM e JOIN ranked r ON e.cell = r.cell, probe p
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
     // k-means coarse quantizer: cell sizes + inertia after 3 Lloyd rounds.
     // The oracle re-runs the SAME deterministic algorithm (first-k init,
     // lexicographic argmin ties) as a DuckDB CTE chain — upgraded from

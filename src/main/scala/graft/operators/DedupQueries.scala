@@ -22,15 +22,16 @@ object DedupQueries {
   private def tokens(c: Column): Column = split(c, " ")
 
   /** Polynomial 31-base hash of the 8-gram starting at 1-based position i —
-    * identical arithmetic on both engines (all-BIGINT, mod 1e9+7). */
-  private def gramHash(text: Column, i: Column): Column = {
+    * identical arithmetic on both engines (all-BIGINT, mod 1e9+7). Shared
+    * with PipelineQueries' decontamination join (q61). */
+  private[operators] def gramHash(text: Column, i: Column): Column = {
     val terms = (0 until 8).map { k =>
       ascii(text.substr(i + lit(k), lit(1))).cast("long") * lit(math.pow(31, k).toLong)
     }
     terms.reduce(_ + _) % lit(1000000007L)
   }
 
-  private def gramHashSql(k: Int): String =
+  private[operators] def gramHashSql(k: Int): String =
     s"ascii(substr(text,i+$k,1))*CAST(${math.pow(31, k).toLong} AS BIGINT)"
 
   /** +1 when bit j of the hash is set, else -1 (SimHash vote). */

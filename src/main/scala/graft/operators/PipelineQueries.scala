@@ -140,6 +140,165 @@ object PipelineQueries {
              |SELECT doc_id, source FROM r WHERE rk <= CEIL(n * 0.25)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ── benchmark decontamination: a training document (source ≠ src0,
+    //    the held-out "eval" slice) is contaminated if it shares ANY
+    //    8-char-gram fingerprint with any eval document — the C4/Dolma
+    //    train-test overlap scrub. The gram universe is hashed (the same
+    //    cross-engine polynomial as q33), the eval side collapses to a
+    //    DISTINCT gram set (eval corpora are small → broadcast at scale),
+    //    and the join counts per-doc distinct hits. ──
+    "q61_decontaminate" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val g = docs.select(col("doc_id"), col("source"),
+          array_distinct(transform(sequence(lit(1), length(col("text")) - 7),
+            i => DedupQueries.gramHash(col("text"), i))).as("gs"))
+        val ev = g.filter(col("source") === "src0")
+          .select(explode(col("gs")).as("g")).distinct()
+        val tr = g.filter(col("source") =!= "src0")
+          .select(col("doc_id"), explode(col("gs")).as("g"))
+        // per-doc grams are already distinct, so plain count = distinct hits
+        tr.join(ev, Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH g AS (SELECT doc_id, source,
+             |    list_distinct(list_transform(generate_series(1, length(text) - 7),
+             |      i -> (${(0 until 8).map(DedupQueries.gramHashSql).mkString(" + ")})
+             |           % 1000000007)) AS gs
+             |  FROM documents),
+             |ev AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE source = 'src0'),
+             |tr AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE source <> 'src0')
+             |SELECT tr.doc_id, COUNT(*) AS n_hits
+             |FROM tr JOIN ev ON tr.g = ev.g
+             |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── intra-document repetition (quality filter): fraction of repeated
+    //    token trigrams — high values flag boilerplate/spam. Pure per-row
+    //    array math, no shuffle. ──
+    "q62_repetition" -> QueryDef(
+      (s, d) => {
+        val tk = tokens(col("text"))
+        val tris = transform(sequence(lit(1), size(tk) - 2),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+            element_at(tk, i + 2)))
+        Tables.documents(s, d)
+          .filter(size(tk) >= 3)
+          .select(col("doc_id"), tris.as("tris"))
+          .select(col("doc_id"), size(col("tris")).cast("long").as("n_tri"),
+            size(array_distinct(col("tris"))).cast("long").as("n_distinct"))
+          .withColumn("rep_ratio",
+            round(lit(1) - col("n_distinct").cast("double") / col("n_tri"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+             |tri AS (SELECT doc_id, [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |                        for i in generate_series(1, len(tk)-2)] AS tris
+             |        FROM t WHERE len(tk) >= 3)
+             |SELECT doc_id, CAST(len(tris) AS BIGINT) AS n_tri,
+             |  CAST(len(list_distinct(tris)) AS BIGINT) AS n_distinct,
+             |  ROUND(1 - CAST(len(list_distinct(tris)) AS DOUBLE)/len(tris), 6) AS rep_ratio
+             |FROM tri ORDER BY doc_id""".stripMargin)),
+
+    // ── rare-token rate (OOV-style quality signal): a token is "rare"
+    //    when its corpus frequency is under half the MEAN token frequency
+    //    — the threshold is data-derived and compared in exact integer
+    //    arithmetic (f · 2 · n_distinct < total_tokens), so both engines
+    //    agree bit-for-bit. Corpus frequency table is vocabulary-sized →
+    //    broadcast; AQE picks it without a hint. ──
+    "q63_rare_tokens" -> QueryDef(
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
+        val totals = freq.agg(sum(col("f")).as("total"),
+          count(lit(1)).as("n_distinct"))
+        tok.join(freq, Seq("t")).crossJoin(broadcast(totals))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("f") * 2 * col("n_distinct") < col("total"), 1L)
+              .otherwise(0L)).as("n_rare"))
+          .withColumn("rare_ratio",
+            round(col("n_rare").cast("double") / col("n_tokens"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+             |freq AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY 1),
+             |tot AS (SELECT SUM(f) AS total, COUNT(*) AS n_distinct FROM freq),
+             |d AS (SELECT tok.doc_id, COUNT(*) AS n_tokens,
+             |        SUM(CASE WHEN f.f * 2 * t.n_distinct < t.total THEN 1 ELSE 0 END) AS n_rare
+             |      FROM tok JOIN freq f USING (t), tot t GROUP BY 1)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_rare AS BIGINT) AS n_rare,
+             |  ROUND(CAST(n_rare AS DOUBLE)/n_tokens, 6) AS rare_ratio
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // ── corpus mixing under a token budget: per source stratum, admit
+    //    documents in content-hash order until the cumulative token count
+    //    reaches the budget — the deterministic "data mixture" step of a
+    //    training run (same hash as q59, so mixture ⊆ sample decisions
+    //    stay consistent across pipeline stages). ──
+    "q64_token_budget_mix" -> QueryDef(
+      (s, d) => {
+        val hv = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("hv"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"), hv.as("hv"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= 500)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tokens,
+             |    (doc_id * 2654435761) % 1000000007 AS hv FROM documents),
+             |c AS (SELECT doc_id, source, n_tokens,
+             |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM d)
+             |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+             |FROM c WHERE cum_tokens <= 500 ORDER BY doc_id""".stripMargin)),
+
+    // ── Gopher/C4-style rule filter: per-document keep decision plus a
+    //    reason bitmask (1 = token count outside [24,88], 2 = mean token
+    //    length outside [4,5], 4 = stopword ratio < 0.08). Ratio
+    //    comparisons are exact int-division doubles — identical operands
+    //    both engines. Scalar per-row expressions: no shuffle. ──
+    "q65_rule_filter" -> QueryDef(
+      (s, d) => {
+        val tk = tokens(col("text"))
+        val nTok = size(tk)
+        val atl = (length(col("text")) - nTok + 1).cast("double") / nTok
+        val stopRatio = size(filter(tk,
+          t => t.isInCollection(Seq("the", "data", "row", "scan", "join", "query"))))
+          .cast("double") / nTok
+        val maskTok = when(nTok < 24 || nTok > 88, 1).otherwise(0)
+        val maskAtl = when(atl < 4.0 || atl > 5.0, 2).otherwise(0)
+        val maskStop = when(stopRatio < 0.08, 4).otherwise(0)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            (maskTok + maskAtl + maskStop).as("reason_mask"))
+          .withColumn("keep", when(col("reason_mask") === 0, 1).otherwise(0))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |    len(string_split(text,' ')) AS n_tokens,
+             |    CAST(LENGTH(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+             |      / len(string_split(text,' ')) AS atl,
+             |    CAST(len(list_filter(string_split(text,' '),
+             |        t -> t IN ('the','data','row','scan','join','query'))) AS DOUBLE)
+             |      / len(string_split(text,' ')) AS stop_ratio
+             |  FROM documents)
+             |SELECT doc_id,
+             |  (CASE WHEN n_tokens < 24 OR n_tokens > 88 THEN 1 ELSE 0 END
+             |   + CASE WHEN atl < 4.0 OR atl > 5.0 THEN 2 ELSE 0 END
+             |   + CASE WHEN stop_ratio < 0.08 THEN 4 ELSE 0 END) AS reason_mask,
+             |  CASE WHEN n_tokens < 24 OR n_tokens > 88 OR atl < 4.0 OR atl > 5.0
+             |       OR stop_ratio < 0.08 THEN 0 ELSE 1 END AS keep
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     // ── document chunking: 32-token windows at stride 24 (8-token
     //    overlap), trailing partial window kept — the standard
     //    context-window preparation step. Pure per-row explode: no

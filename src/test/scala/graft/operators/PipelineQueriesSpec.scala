@@ -112,6 +112,63 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("q61 decontamination flags exactly the docs sharing an 8-gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "evaluation benchmark holdout text", "en", "src0", 33L),
+      (1L, "training doc with the evaluation benchmark inside", "en", "srcX", 49L),
+      (2L, "completely unrelated words here", "en", "srcX", 31L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineQueries.registry("q61_decontaminate").build(spark, dir)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got === Set(1L), "only the doc containing eval 8-grams is flagged")
+  }
+
+  test("q62 repetition: planted repeats score, distinct docs score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c a b c a b c", "en", "s", 17L), // trigram "a b c" repeats
+      (1L, "one two three four five six", "en", "s", 27L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineQueries.registry("q62_repetition").build(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(0L) > 0.5, "heavy repetition detected")
+    assert(got(1L) === 0.0, "all-distinct trigrams")
+  }
+
+  test("q64 mixture: kept set is the maximal hash-order prefix per source") {
+    val d = "/root/testdata/sf0.001"
+    val out = PipelineQueries.registry("q64_token_budget_mix").build(spark, d)
+    assert(out.filter(col("cum_tokens") > 500).count() === 0L)
+    // recompute the prefix driver-side from the raw table
+    val raw = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = raw.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.toSeq.sortBy(r => ((r._1 * 2654435761L) % 1000000007L, r._1))
+      var cum = 0L
+      ordered.takeWhile { r => cum += r._3; cum <= 500 }.map(_._1)
+    }.toSet
+    val got = out.collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
+  test("q65 rule filter: keep is exactly reason_mask == 0") {
+    val out = PipelineQueries.registry("q65_rule_filter")
+      .build(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (mask, keep) = (r.getInt(1), r.getInt(2))
+      assert((keep == 1) === (mask == 0))
+      assert(mask >= 0 && mask <= 7)
+    }
+  }
+
   test("q60 chunks: stride coverage reconstructs every document") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, d)
