@@ -58,6 +58,20 @@ object DocBench {
       docs.groupBy(xxhash64(col("text"))).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).count()
     }
+    // duplicate-GROUP resolution over the full near-dup candidate relation:
+    // large-star/small-star connected components on millions of edges
+    // (including the degenerate 2%-identical cluster -> one giant
+    // component) + canonical-representative count. The O(log^2) round
+    // bound is what matters: the candidate graph's structure (2k-node
+    // near-clique + 5k 2-node clusters) must not change round count.
+    time("connected components over minhash candidates") {
+      val edges = graft.operators.DedupQueries.minhashCandidates(
+        docs, heavyBucketThreshold = 1000, salt = 16)
+        .select(col("id1").as("u"), col("id2").as("v"))
+      val comps = graft.operators.ConnectedComponents.components(
+        docs.select(col("doc_id").as("id")), edges)
+      comps.filter(col("id") =!= col("component")).count()
+    }
     // 4 source blocks of nDocs/4: all-pairs would be ~4 * C(n/4, 2) pairs
     // (1.25G at 100k docs) - the prefix-filtered exact join must stay
     // tractable, including the degenerate 2% identical-text cluster.

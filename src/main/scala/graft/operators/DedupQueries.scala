@@ -173,6 +173,19 @@ object DedupQueries {
     "q30_minhash_lsh" -> QueryDef(
       (s, d) => minhashCandidates(Tables.documents(s, d)), None),
 
+    // ── the SAME shingle→minhash→band→bucket-join pipeline over a
+    //    PORTABLE hash family, so the whole LSH construction is
+    //    oracle-checked end to end (q30's xxhash64 signatures are
+    //    Spark-internal; here signatures are min over 16 affine
+    //    permutations (aₖ·g + bₖ) mod p of the polynomial 8-gram
+    //    fingerprints, and a band's bucket key is the raw 4-tuple of
+    //    signatures instead of a re-hash — everything DuckDB reproduces
+    //    bit-for-bit). Same explode + 16 codegen'd min() layout and the
+    //    same banded self-join shape as q30. ──
+    "q66_minhash_portable" -> QueryDef(
+      (s, d) => minhashPortable(Tables.documents(s, d)),
+      Some(minhashPortableOracleSql)),
+
     // ── SimHash near-dup candidates, 16-bit-band blocking + hamming cut ──
     "q31_simhash" -> QueryDef(
       (s, d) => simhashCandidates(Tables.documents(s, d)), None),
@@ -214,12 +227,13 @@ object DedupQueries {
              |FROM best b JOIN documents d USING (doc_id) WHERE rn = 1
              |GROUP BY 1, 2 ORDER BY pred, actual""".stripMargin)),
 
-    // ── rolling-hash document fingerprint: min polynomial 8-gram hash ──
+    // ── rolling-hash document fingerprint: min polynomial 8-gram hash
+    //    (native GramHashArray: one compiled loop per row, not an
+    //    interpreted per-window lambda) ──
     "q33_fingerprint" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
-          array_min(transform(sequence(lit(1), length(col("text")) - 7),
-            i => gramHash(col("text"), i))).as("fp"))
+          array_min(graft.functions.GramHashArray(col("text"))).as("fp"))
         .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id,
               |  list_min(list_transform(generate_series(1, length(text)-7),
@@ -358,6 +372,74 @@ object DedupQueries {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
       .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Shared constants of the portable MinHash family (q66): 16 affine
+    * permutations over the mod-p gram-fingerprint universe. aₖ·g stays
+    * under 2⁶³ (both factors < p ≈ 2³⁰), so the arithmetic is exact
+    * BIGINT on both engines. */
+  // `final` with a literal: a compile-time constant, safe to reference
+  // from `registry` above despite declaration order
+  private final val MinhashP = 1000000007L
+  private def minhashA(k: Int): Long = ((2L * k + 1) * 2654435761L) % MinhashP
+  private def minhashB(k: Int): Long = (40503L * k + 17) % MinhashP
+
+  /** Portable-hash MinHash-LSH (q66): 8-char-gram fingerprints at stride
+    * 4, 16 signature permutations, 4 bands of 4 keyed by the signature
+    * tuple. Exposed for DedupSpec (exact duplicates must collide in every
+    * band). */
+  def minhashPortable(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.GramHashArray(col("text"), stride = 4))).as("g"))
+    val sigs = grams.groupBy("doc_id")
+      .agg(min((col("g") * minhashA(0) + minhashB(0)) % MinhashP).as("sig0"),
+        (1 until 16).map(k =>
+          min((col("g") * minhashA(k) + minhashB(k)) % MinhashP).as(s"sig$k")): _*)
+    val bands = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        col(s"sig${4 * b}").as("s0"), col(s"sig${4 * b + 1}").as("s1"),
+        col(s"sig${4 * b + 2}").as("s2"), col(s"sig${4 * b + 3}").as("s3")))
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.s0").as("s0"),
+        col("b.s1").as("s1"), col("b.s2").as("s2"), col("b.s3").as("s3"))
+    val a = banded.select(col("band"), col("s0"), col("s1"), col("s2"),
+      col("s3"), col("doc_id").as("id1"))
+    val b = banded.select(col("band"), col("s0"), col("s1"), col("s2"),
+      col("s3"), col("doc_id").as("id2"))
+    a.join(b, Seq("band", "s0", "s1", "s2", "s3"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** DuckDB twin of [[minhashPortable]], generated from the same
+    * constants. */
+  private def minhashPortableOracleSql: String = {
+    val gram = (0 until 8).map(gramHashSql).mkString(" + ")
+    val sigExprs = (0 until 16).map(k =>
+      s"list_min(list_transform(gs, g -> (g * ${minhashA(k)} + ${minhashB(k)}) % $MinhashP)) AS sig$k")
+      .mkString(",\n    ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, sig${4 * b} AS s0, sig${4 * b + 1} AS s1, " +
+        s"sig${4 * b + 2} AS s2, sig${4 * b + 3} AS s3 FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH g AS (SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, length(text) - 7, 4),
+       |      i -> ($gram) % $MinhashP)) AS gs
+       |  FROM documents WHERE length(text) >= 8),
+       |sigs AS (SELECT doc_id,
+       |    $sigExprs
+       |  FROM g),
+       |bands AS (
+       |  $bandRows)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0
+       |  AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3
+       |  AND a.doc_id < b.doc_id
+       |ORDER BY id1, id2""".stripMargin
   }
 
   /** 64-bit SimHash from token xxhash64 bit votes; candidates share one of

@@ -151,8 +151,7 @@ object PipelineQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val g = docs.select(col("doc_id"), col("source"),
-          array_distinct(transform(sequence(lit(1), length(col("text")) - 7),
-            i => DedupQueries.gramHash(col("text"), i))).as("gs"))
+          array_distinct(graft.functions.GramHashArray(col("text"))).as("gs"))
         val ev = g.filter(col("source") === "src0")
           .select(explode(col("gs")).as("g")).distinct()
         val tr = g.filter(col("source") =!= "src0")

@@ -169,6 +169,27 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q66 portable MinHash: planted duplicates collide, disjoint texts don't") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def doc(seed: Int): String =
+      Seq.fill(40)(s"w${rnd.nextInt(200) + seed * 1000}").mkString(" ")
+    val base = doc(0)
+    val nearDup = base.split(" ").updated(3, "changed").mkString(" ")
+    val docs = (Seq((0L, base), (1L, base), (2L, nearDup)) ++
+      (3L until 20L).map(i => (i, doc(i.toInt)))) // disjoint vocabularies
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupQueries.minhashPortable(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)), "exact dup pair is a candidate")
+    assert(got.contains((0L, 2L)) || got.contains((1L, 2L)),
+      "near dup collides in at least one band")
+    // docs with disjoint token universes share no gram, hence no band key
+    assert(!got.exists { case (a, b) => a >= 3L || (b >= 3L && a >= 3L) },
+      s"no candidates among disjoint docs: $got")
+  }
+
   test("q60 chunks: stride coverage reconstructs every document") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, d)
