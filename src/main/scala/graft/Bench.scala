@@ -32,7 +32,14 @@ object Bench {
     }
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // materialize the query's OWN plan (toRdd), not count() on top of
+      // it: a count-driven Aggregate lets Catalyst prune every projected
+      // column and eliminate the final sort, so scalar-heavy queries
+      // would time the scan only (r5: q33's fingerprints were never
+      // computed under count()). toRdd evaluates all output columns and
+      // the ordering — what a consumer of the query actually pays.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

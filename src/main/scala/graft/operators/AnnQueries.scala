@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import QueryDef.OrderedResultOps
 
 /** Approximate-nearest-neighbor search over the embeddings table.
   * q26 (TextQueries) is the brute-force baseline; this battery adds the
@@ -202,7 +203,7 @@ object AnnQueries {
       .groupBy(col("cell"))
       .agg(count_distinct(col("vec_id")).as("n"),
         round(sum((col("x") - col("w")) * (col("x") - col("w"))), 3).as("inertia"))
-      .orderBy(col("cell"))
+      .orderedResult(col("cell"))
   }
 
   /** The whole q52 computation — deterministic-init Lloyd + final-assignment

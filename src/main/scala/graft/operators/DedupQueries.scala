@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import QueryDef.OrderedResultOps
 
 /** Training-data-pipeline battery #2: deduplication (exact was q22;
   * here MinHash-LSH, SimHash, n-gram Jaccard), similarity search,
@@ -72,12 +73,14 @@ object DedupQueries {
         val a = toks.select(col("source"), col("doc_id").as("id1"), col("t").as("t1"))
         val b = toks.select(col("source"), col("doc_id").as("id2"), col("t").as("t2"))
         a.join(b, Seq("source")).filter(col("id1") < col("id2"))
-          .withColumn("jac",
+          // barrier: without it the filter inlines the intersection and
+          // union, running both array scans twice per pair
+          .withColumn("jac", graft.functions.CollapseBarrier(
             size(array_intersect(col("t1"), col("t2"))).cast("double") /
-              size(array_union(col("t1"), col("t2"))))
+              size(array_union(col("t1"), col("t2")))))
           .filter(col("jac") >= 0.4)
           .select(col("id1"), col("id2"), col("jac"))
-          .orderBy(col("id1"), col("id2"))
+          .orderedResult(col("id1"), col("id2"))
       },
       Some("""WITH toks AS (SELECT doc_id, source,
              |    list_distinct(string_split(text, ' ')) AS t FROM documents)
@@ -137,7 +140,7 @@ object DedupQueries {
             (col("n1") + col("n2") - col("inter")))
           .filter(col("jac") >= 0.4)
           .select(col("id1"), col("id2"), col("jac"))
-          .orderBy(col("id1"), col("id2"))
+          .orderedResult(col("id1"), col("id2"))
       },
       Some("""WITH toks AS (SELECT doc_id, source,
              |    list_distinct(string_split(text, ' ')) AS t FROM documents)
@@ -211,7 +214,7 @@ object DedupQueries {
         best.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
           .groupBy(col("profile_lang").as("pred"), col("lang").as("actual"))
           .agg(count(lit(1)).as("n"))
-          .orderBy(col("pred"), col("actual"))
+          .orderedResult(col("pred"), col("actual"))
       },
       Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
              |            FROM documents),
@@ -283,10 +286,12 @@ object DedupQueries {
         val b = e.select(col("label"), col("vec_id").as("id2"),
           col("v").as("v2"), col("norm").as("n2"))
         a.join(b, Seq("label")).filter(col("id1") < col("id2"))
-          .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+          // barrier: the dot product must not inline into filter + round
+          .withColumn("cos", graft.functions.CollapseBarrier(
+            dot(col("v1"), col("v2")) / (col("n1") * col("n2"))))
           .filter(col("cos") > 0.3)
           .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
-          .orderBy(col("id1"), col("id2"))
+          .orderedResult(col("id1"), col("id2"))
       },
       Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
              |  ROUND(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
@@ -371,7 +376,7 @@ object DedupQueries {
     lightPairs.unionByName(heavyPairs)
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
-      .orderBy(col("id1"), col("id2"))
+      .orderedResult(col("id1"), col("id2"))
   }
 
   /** Shared constants of the portable MinHash family (q66): 16 affine
@@ -412,7 +417,7 @@ object DedupQueries {
     a.join(b, Seq("band", "s0", "s1", "s2", "s3"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
-      .orderBy(col("id1"), col("id2"))
+      .orderedResult(col("id1"), col("id2"))
   }
 
   /** DuckDB twin of [[minhashPortable]], generated from the same
@@ -478,7 +483,7 @@ object DedupQueries {
       .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .filter(col("hamming") <= 16)
       .select(col("id1"), col("id2"), col("hamming")).distinct()
-      .orderBy(col("id1"), col("id2"))
+      .orderedResult(col("id1"), col("id2"))
   }
 
   /** `n`-char shingles sampled at `stride` (~len/stride per doc): bounded
@@ -506,12 +511,16 @@ object DedupQueries {
     // |union| = n1 + n2 - |inter| for distinct arrays: one array scan
     // per pair instead of two (intersect + union), measured ~40% less
     a.join(b, Seq("source")).filter(col("id1") < col("id2"))
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      // barrier: `inter` is referenced by jac (twice) and jac by the
+      // filter + projection — unbarriered, the intersection inlines into
+      // every reference and the array scan runs 3x per pair
+      .withColumn("inter", graft.functions.CollapseBarrier(
+        size(array_intersect(col("s1"), col("s2")))))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("s1")) + size(col("s2")) - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("id1"), col("id2"), col("jac"))
-      .orderBy(col("id1"), col("id2"))
+      .orderedResult(col("id1"), col("id2"))
   }
 
   /** Exact char-shingle Jaccard join via PREFIX FILTERING — the classic
@@ -610,11 +619,14 @@ object DedupQueries {
     candidates
       .join(docs.select(col("doc_id").as("id1"), col("sh").as("s1")), Seq("id1"))
       .join(docs.select(col("doc_id").as("id2"), col("sh").as("s2")), Seq("id2"))
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      // barrier: verification must touch each candidate's arrays ONCE
+      // (see charShingleAllPairs for the inlining trap)
+      .withColumn("inter", graft.functions.CollapseBarrier(
+        size(array_intersect(col("s1"), col("s2")))))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("s1")) + size(col("s2")) - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("id1"), col("id2"), col("jac"))
-      .orderBy(col("id1"), col("id2"))
+      .orderedResult(col("id1"), col("id2"))
   }
 }

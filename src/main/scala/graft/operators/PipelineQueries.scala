@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import QueryDef.OrderedResultOps
 
 /** Training-data-pipeline battery #3: the corpus-curation steps DOWNSTREAM
   * of candidate generation — duplicate-group resolution (connected
@@ -45,7 +46,7 @@ object PipelineQueries {
           .select(col("id").as("doc_id"), col("component"),
             col("cluster_size"),
             (col("id") === col("component")).cast("int").as("is_canonical"))
-          .orderBy(col("doc_id"))
+          .orderedResult(col("doc_id"))
       },
       Some(s"""WITH RECURSIVE ${jaccardPairsCte(0.5)},
              |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
@@ -159,7 +160,7 @@ object PipelineQueries {
         // per-doc grams are already distinct, so plain count = distinct hits
         tr.join(ev, Seq("g"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-          .orderBy(col("doc_id"))
+          .orderedResult(col("doc_id"))
       },
       Some(s"""WITH g AS (SELECT doc_id, source,
              |    list_distinct(list_transform(generate_series(1, length(text) - 7),
@@ -173,19 +174,20 @@ object PipelineQueries {
              |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin)),
 
     // ── intra-document repetition (quality filter): fraction of repeated
-    //    token trigrams — high values flag boilerplate/spam. Pure per-row
-    //    array math, no shuffle. ──
+    //    token trigrams — high values flag boilerplate/spam. Native
+    //    TokenNgramStats: one compiled pass per row (the HOF formulation
+    //    ran interpreted and scanned the trigram array twice — 6.8 s at
+    //    sf0.1 vs ~0.3 s native); barrier so the struct's two field
+    //    extractions don't re-inline the pass. ──
     "q62_repetition" -> QueryDef(
       (s, d) => {
         val tk = tokens(col("text"))
-        val tris = transform(sequence(lit(1), size(tk) - 2),
-          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-            element_at(tk, i + 2)))
         Tables.documents(s, d)
           .filter(size(tk) >= 3)
-          .select(col("doc_id"), tris.as("tris"))
-          .select(col("doc_id"), size(col("tris")).cast("long").as("n_tri"),
-            size(array_distinct(col("tris"))).cast("long").as("n_distinct"))
+          .select(col("doc_id"), graft.functions.CollapseBarrier(
+            graft.functions.TokenNgramStats(col("text"), 3)).as("st"))
+          .select(col("doc_id"), col("st.n_gram").as("n_tri"),
+            col("st.n_distinct").as("n_distinct"))
           .withColumn("rep_ratio",
             round(lit(1) - col("n_distinct").cast("double") / col("n_tri"), 6))
           .orderBy(col("doc_id"))
@@ -219,7 +221,7 @@ object PipelineQueries {
               .otherwise(0L)).as("n_rare"))
           .withColumn("rare_ratio",
             round(col("n_rare").cast("double") / col("n_tokens"), 6))
-          .orderBy(col("doc_id"))
+          .orderedResult(col("doc_id"))
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
              |freq AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY 1),

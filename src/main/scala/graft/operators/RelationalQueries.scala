@@ -11,6 +11,22 @@ import graft.model.{RouteSection, TimeSlot}
 final case class QueryDef(build: (SparkSession, String) => DataFrame,
                           oracle: Option[String])
 
+object QueryDef {
+  /** Deterministic total order for a RESULT-SIZED relation with an
+    * EXPENSIVE child: one shuffle to a single partition, then a local
+    * sort. `orderBy` would plan a range exchange whose partitioner
+    * SAMPLES the child — executing the entire upstream pipeline twice
+    * (measured: q29's join ran 16.3 s ordered vs 8.3 s unordered; the
+    * extra 8 s was the sampling pass, not the sort). Only for outputs
+    * bounded enough to sort on one core (every registry result is); a
+    * corpus-sized relation should keep `orderBy`'s range sort and eat
+    * the sampling pass. */
+  implicit class OrderedResultOps(private val df: DataFrame) extends AnyVal {
+    def orderedResult(cols: Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+  }
+}
+
 /** Relational operator battery over the driver's synthetic tables.
   *
   * Each query maps one operator family from SURVEY.md §2 onto the
