@@ -70,14 +70,18 @@ object DedupQueries {
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), array_distinct(tokens(col("text"))).as("t"))
-        val a = toks.select(col("source"), col("doc_id").as("id1"), col("t").as("t1"))
-        val b = toks.select(col("source"), col("doc_id").as("id2"), col("t").as("t2"))
+        val a = toks.select(col("source"), col("doc_id").as("id1"),
+          col("t").as("t1"), size(col("t")).as("n1"))
+        val b = toks.select(col("source"), col("doc_id").as("id2"),
+          col("t").as("t2"), size(col("t")).as("n2"))
         a.join(b, Seq("source")).filter(col("id1") < col("id2"))
-          // barrier: without it the filter inlines the intersection and
-          // union, running both array scans twice per pair
-          .withColumn("jac", graft.functions.CollapseBarrier(
-            size(array_intersect(col("t1"), col("t2"))).cast("double") /
-              size(array_union(col("t1"), col("t2")))))
+          // |union| = n1 + n2 - |inter| for distinct arrays: ONE array
+          // scan per pair; barrier so filter + projection don't re-inline
+          // the intersection
+          .withColumn("inter", graft.functions.CollapseBarrier(
+            size(array_intersect(col("t1"), col("t2")))))
+          .withColumn("jac", col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")))
           .filter(col("jac") >= 0.4)
           .select(col("id1"), col("id2"), col("jac"))
           .orderedResult(col("id1"), col("id2"))

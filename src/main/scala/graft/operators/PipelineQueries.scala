@@ -15,6 +15,22 @@ object PipelineQueries {
 
   private def tokens(c: org.apache.spark.sql.Column) = split(c, " ")
 
+  /** q65's reason bitmask over a `text` column (1 = token count outside
+    * [24,88], 2 = mean token length outside [4,5], 4 = stopword ratio
+    * < 0.08) — shared with the streaming curation pipeline
+    * ([[graft.streaming.DocStream]]). */
+  private[graft] def ruleMask: org.apache.spark.sql.Column = {
+    val tk = tokens(col("text"))
+    val nTok = size(tk)
+    val atl = (length(col("text")) - nTok + 1).cast("double") / nTok
+    val stopRatio = size(filter(tk,
+      t => t.isInCollection(Seq("the", "data", "row", "scan", "join", "query"))))
+      .cast("double") / nTok
+    when(nTok < 24 || nTok > 88, 1).otherwise(0) +
+      when(atl < 4.0 || atl > 5.0, 2).otherwise(0) +
+      when(stopRatio < 0.08, 4).otherwise(0)
+  }
+
   /** q56's oracle CTE fragment: token-Jaccard pairs at threshold `t`
     * within source blocks — reused by q57 as the duplicate edge set. */
   private def jaccardPairsCte(t: Double): String =
@@ -268,22 +284,10 @@ object PipelineQueries {
     //    comparisons are exact int-division doubles — identical operands
     //    both engines. Scalar per-row expressions: no shuffle. ──
     "q65_rule_filter" -> QueryDef(
-      (s, d) => {
-        val tk = tokens(col("text"))
-        val nTok = size(tk)
-        val atl = (length(col("text")) - nTok + 1).cast("double") / nTok
-        val stopRatio = size(filter(tk,
-          t => t.isInCollection(Seq("the", "data", "row", "scan", "join", "query"))))
-          .cast("double") / nTok
-        val maskTok = when(nTok < 24 || nTok > 88, 1).otherwise(0)
-        val maskAtl = when(atl < 4.0 || atl > 5.0, 2).otherwise(0)
-        val maskStop = when(stopRatio < 0.08, 4).otherwise(0)
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            (maskTok + maskAtl + maskStop).as("reason_mask"))
-          .withColumn("keep", when(col("reason_mask") === 0, 1).otherwise(0))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), ruleMask.as("reason_mask"))
+        .withColumn("keep", when(col("reason_mask") === 0, 1).otherwise(0))
+        .orderBy(col("doc_id")),
       Some("""WITH s AS (SELECT doc_id,
              |    len(string_split(text,' ')) AS n_tokens,
              |    CAST(LENGTH(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
