@@ -31,4 +31,31 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
     assert(capped.length <= 120 && capped.length >= 2)
   }
+
+  test("RewriteIntersectSize: size(array_intersect) optimizes to a set count") {
+    import spark.implicits._
+    // parquet round-trip: a literal LocalRelation would be constant-folded
+    // before the plan can be inspected
+    val dir = java.nio.file.Files.createTempDirectory("graft-isz").toString
+    Seq(
+      (0L, Seq("a", "b", "c", "b"), Seq("b", "c", "d")),
+      (1L, Seq.empty[String], Seq("x")),
+      (2L, Seq("n", null, "m"), Seq(null, "n")))
+      .toDF("id", "x", "y").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .selectExpr("id", "size(array_intersect(x, y)) AS n")
+    assert(df.queryExecution.optimizedPlan.toString.contains("intersect_size"),
+      df.queryExecution.optimizedPlan.toString)
+    // semantics identical to the unrewritten expression (null counted once
+    // when present on both sides, duplicates collapsed)
+    val got = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(0L -> 2, 1L -> 0, 2L -> 2))
+    // float arrays are NOT rewritten (NaN set semantics differ)
+    Seq((Seq(1.0, 2.0), Seq(2.0))).toDF("x", "y")
+      .write.mode("overwrite").parquet(dir)
+    val floats = spark.read.parquet(dir)
+      .selectExpr("size(array_intersect(x, y)) AS n")
+    assert(!floats.queryExecution.optimizedPlan.toString.contains("intersect_size"))
+    assert(floats.collect().head.getInt(0) === 1)
+  }
 }
