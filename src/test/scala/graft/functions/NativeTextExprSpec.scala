@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge cases for the r5 native text expressions, pinned against the
+  * Column/driver-side formulations they replaced. */
+class NativeTextExprSpec extends SparkSpec {
+
+  private def gramHashRef(s: String, gramLen: Int, stride: Int): Seq[Long] = {
+    if (s.length < gramLen) return Seq.empty
+    (0 to s.length - gramLen by stride).map { i =>
+      (0 until gramLen).map(k => s.charAt(i + k).toLong *
+        math.pow(31, k).toLong).sum % 1000000007L
+    }
+  }
+
+  test("GramHashArray matches the reference walk incl. edges") {
+    import spark.implicits._
+    val texts = Seq("", "a", "exactly8", "short", "a bc def ghij klmno",
+      "the quick brown fox jumps over the lazy dog", "aaaaaaaaaa",
+      "x" * 7, "x" * 8, "x" * 9)
+    for (stride <- Seq(1, 4)) {
+      val got = texts.toDF("text")
+        .select(GramHashArray(col("text"), 8, stride).as("g"))
+        .collect().map(_.getAs[scala.collection.Seq[Long]](0).toSeq)
+      val want = texts.map(gramHashRef(_, 8, stride))
+      assert(got.toSeq === want, s"stride=$stride")
+    }
+  }
+
+  test("GramHashArray: null text yields null") {
+    import spark.implicits._
+    val r = Seq(Option.empty[String]).toDF("text")
+      .select(GramHashArray(col("text")).as("g")).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("TokenNgramStats matches split-semantics reference incl. empty tokens") {
+    import spark.implicits._
+    def ref(s: String, n: Int): (Long, Long) = {
+      val toks = s.split(" ", -1).toSeq
+      val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      (grams.length.toLong, grams.distinct.length.toLong)
+    }
+    val texts = Seq("", "a", "a b", "a b c", "a b c a b c a b c",
+      "a  b   c", " leading", "trailing ", "a b c d e")
+    val got = texts.toDF("text")
+      .select(TokenNgramStats(col("text"), 3).as("st"))
+      .collect().map(r => { val s = r.getStruct(0); (s.getLong(0), s.getLong(1)) })
+    assert(got.toSeq === texts.map(ref(_, 3)))
+  }
+
+  test("CollapseBarrier is transparent for values and nulls") {
+    import spark.implicits._
+    val out = Seq(Some(1), None, Some(3)).toDF("x")
+      .select(CollapseBarrier(col("x") * 2).as("y"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(out.toSeq === Seq(Some(2), None, Some(6)))
+  }
+
+  test("IntersectSizeOps counts set cardinality like array_intersect+size") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((
+      Seq.fill(rnd.nextInt(12))(rnd.nextInt(8).toString),
+      Seq.fill(rnd.nextInt(12))(rnd.nextInt(8).toString)))
+    val df = rows.toDF("x", "y")
+    val native = df.select(
+      org.apache.spark.sql.graft.ColumnBridge.column(IntersectSize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("x")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("y")))))
+      .collect().map(_.getInt(0))
+    val want = rows.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+    assert(native.toSeq === want)
+  }
+}
