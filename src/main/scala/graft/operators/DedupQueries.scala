@@ -275,28 +275,8 @@ object DedupQueries {
 
     // ── embedding-cosine near-dup pairs, label-blocked ──
     "q35_embed_neardup" -> QueryDef(
-      (s, d) => {
-        def dot(x: Column, y: Column) =
-          aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
-        // norms are computed once per row BEFORE the self-join: the join
-        // multiplies rows, so per-pair norm recomputation would cost
-        // O(pairs * dim) instead of O(rows * dim)
-        val e = Tables.embeddings(s, d)
-          .select(col("label"), col("vec_id"),
-            transform(col("embedding"), _.cast("double")).as("v"))
-          .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-        val a = e.select(col("label"), col("vec_id").as("id1"),
-          col("v").as("v1"), col("norm").as("n1"))
-        val b = e.select(col("label"), col("vec_id").as("id2"),
-          col("v").as("v2"), col("norm").as("n2"))
-        a.join(b, Seq("label")).filter(col("id1") < col("id2"))
-          // barrier: the dot product must not inline into filter + round
-          .withColumn("cos", graft.functions.CollapseBarrier(
-            dot(col("v1"), col("v2")) / (col("n1") * col("n2"))))
-          .filter(col("cos") > 0.3)
-          .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
-          .orderedResult(col("id1"), col("id2"))
-      },
+      (s, d) => embedNearDupPairs(Tables.embeddings(s, d))
+        .orderedResult(col("id1"), col("id2")),
       Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
              |  ROUND(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
              |    / (SQRT(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
@@ -381,6 +361,31 @@ object DedupQueries {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
       .orderedResult(col("id1"), col("id2"))
+  }
+
+  /** Embedding-cosine near-dup pairs within `label` blocks (q35; also the
+    * edge relation of q67's semantic duplicate groups): unordered
+    * (id1 < id2, cos_sim rounded to 6). Norms are computed once per row
+    * BEFORE the self-join — the join multiplies rows, so per-pair norm
+    * recomputation would cost O(pairs·dim) instead of O(rows·dim). */
+  def embedNearDupPairs(embeddings: DataFrame,
+                        threshold: Double = 0.3): DataFrame = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+    val e = embeddings
+      .select(col("label"), col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val a = e.select(col("label"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("norm").as("n1"))
+    val b = e.select(col("label"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("norm").as("n2"))
+    a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+      // barrier: the dot product must not inline into filter + round
+      .withColumn("cos", graft.functions.CollapseBarrier(
+        dot(col("v1"), col("v2")) / (col("n1") * col("n2"))))
+      .filter(col("cos") > threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
   }
 
   /** Shared constants of the portable MinHash family (q66): 16 affine

@@ -81,6 +81,49 @@ object PipelineQueries {
              |                   FROM comps GROUP BY 1) n USING (component)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ── SEMANTIC duplicate groups: the same components operator over a
+    //    different edge relation — embedding-cosine pairs (q35 semantics)
+    //    instead of token Jaccard. Textual (q57) and semantic (q67) dedup
+    //    share one group-resolution stage; oracle again re-derives
+    //    reachability as a recursive CTE over the SQL edge set. ──
+    "q67_semantic_dup_groups" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = DedupQueries.embedNearDupPairs(emb)
+          .select(col("id1").as("u"), col("id2").as("v"))
+        val comps = ConnectedComponents.components(
+          emb.select(col("vec_id").as("id")), edges)
+        val sizes = comps.groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+        comps.join(sizes, Seq("component"))
+          .select(col("id").as("vec_id"), col("component"),
+            col("cluster_size"),
+            (col("id") === col("component")).cast("int").as("is_canonical"))
+          .orderedResult(col("vec_id"))
+      },
+      Some("""WITH RECURSIVE pairs AS (
+             |  SELECT a.vec_id AS id1, b.vec_id AS id2
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.label = b.label AND a.vec_id < b.vec_id
+             |  WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             |      / (SQRT(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             |       * SQRT(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) > 0.3),
+             |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+             |          UNION ALL SELECT id2, id1 FROM pairs),
+             |reach AS (
+             |  SELECT vec_id AS id, vec_id AS comp FROM embeddings
+             |  UNION
+             |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id
+             |  WHERE r.comp < e.v),
+             |comps AS (SELECT id AS vec_id, MIN(comp) AS component
+             |          FROM reach GROUP BY id)
+             |SELECT c.vec_id, c.component,
+             |  CAST(n.cluster_size AS BIGINT) AS cluster_size,
+             |  CAST(c.vec_id = c.component AS INT) AS is_canonical
+             |FROM comps c JOIN (SELECT component, COUNT(*) AS cluster_size
+             |                   FROM comps GROUP BY 1) n USING (component)
+             |ORDER BY vec_id""".stripMargin)),
+
     // ── BM25 retrieval (k1=1.2, b=0.75) for a fixed query, top-20. tf
     //    joins carry integer counts; the only floats are the final scoring
     //    expression, identical term-for-term in both engines, rounded to
