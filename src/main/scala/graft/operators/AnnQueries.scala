@@ -15,8 +15,9 @@ import QueryDef.OrderedResultOps
   * trade-off. */
 object AnnQueries {
 
-  def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+  /** Native compiled loop (graft.functions.VecDot) — bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaced, which ran interpreted. */
+  def dot(x: Column, y: Column): Column = graft.functions.VecDot(x, y)
 
   /** Per-cell centroids: one row per label, centroid as Array[Double].
     * posexplode + groupBy(label, pos) is a single shuffle of (rows x dim)

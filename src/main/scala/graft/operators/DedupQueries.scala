@@ -370,8 +370,7 @@ object DedupQueries {
     * recomputation would cost O(pairs·dim) instead of O(rows·dim). */
   def embedNearDupPairs(embeddings: DataFrame,
                         threshold: Double = 0.3): DataFrame = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+    def dot(x: Column, y: Column) = graft.functions.VecDot(x, y)
     val e = embeddings
       .select(col("label"), col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))

@@ -67,16 +67,11 @@ object TextQueries {
         val e = Tables.embeddings(s, d)
         val probe = e.orderBy(col("vec_id")).limit(1)
           .select(col("embedding").as("probe"))
-        val dot = aggregate(
-          zip_with(col("embedding"), col("probe"),
-            (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
-        val normA = sqrt(aggregate(
-          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, v) => acc + v))
-        val normB = sqrt(aggregate(
-          transform(col("probe"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, v) => acc + v))
+        // native VecDot: same per-element double casts and left-to-right
+        // fold as the HOF formulation (bit-identical), compiled
+        val dot = graft.functions.VecDot(col("embedding"), col("probe"))
+        val normA = sqrt(graft.functions.VecDot(col("embedding"), col("embedding")))
+        val normB = sqrt(graft.functions.VecDot(col("probe"), col("probe")))
         e.crossJoin(broadcast(probe))
           .select(col("vec_id"), round(dot / (normA * normB), 6).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
