@@ -73,6 +73,19 @@ object DocBench {
         docs.select(col("doc_id").as("id")), edges)
       comps.filter(col("id") =!= col("component")).count()
     }
+    // adversarial CC shape: ONE chain of nDocs*10 nodes (diameter = n-1).
+    // Min-label propagation would need a round per hop — ~1M rounds here;
+    // large-star/small-star must collapse it in O(log^2 n). This is the
+    // structure a pathological near-dup corpus produces (each doc similar
+    // only to its neighbor, e.g. sliding-window crawl snapshots).
+    time("connected components over a 1M-node chain") {
+      val n = nDocs * 10
+      val chain = spark.range(n - 1)
+        .select(col("id").as("u"), (col("id") + 1).as("v"))
+      val comps = graft.operators.ConnectedComponents.components(
+        spark.range(n).toDF("id"), chain)
+      comps.filter(col("component") =!= 0L).count() // all must reach node 0
+    }
     // 4 source blocks of nDocs/4: all-pairs would be ~4 * C(n/4, 2) pairs
     // (1.25G at 100k docs) - the prefix-filtered exact join must stay
     // tractable, including the degenerate 2% identical-text cluster.
