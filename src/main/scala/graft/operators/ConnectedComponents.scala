@@ -63,7 +63,7 @@ object ConnectedComponents {
   /** Star forest of the undirected graph `edges` (columns u, v; any
     * orientation, self-loops tolerated): one (node, componentMin) row per
     * non-min node of each component. Empty input → empty output. */
-  def starForest(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def starForest(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
     var e = orient(edges).localCheckpoint()
     // fixpoint = star forest (both ops leave stars unchanged); detected by
     // (count, order-independent hash-xor) of the canonical edge set (xor,

@@ -182,7 +182,10 @@ object PipelineQueries {
     //    quota, no window) — both shapes share the hash column. ──
     "q59_stratified_sample" -> QueryDef(
       (s, d) => {
-        val hv = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+        // doc_id reduced mod p BEFORE the multiply: keeps the product
+        // under 2^63 for ANY 64-bit doc id (unreduced, ids past ~3.4e9
+        // would overflow under ANSI mode); identity for ids < p
+        val hv = ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"), hv.as("hv"))
           .withColumn("rk", row_number().over(
@@ -193,7 +196,7 @@ object PipelineQueries {
           .orderBy(col("doc_id"))
       },
       Some("""WITH h AS (SELECT doc_id, source,
-             |    (doc_id * 2654435761) % 1000000007 AS hv FROM documents),
+             |    ((doc_id % 1000000007) * 2654435761) % 1000000007 AS hv FROM documents),
              |r AS (SELECT doc_id, source, hv,
              |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk,
              |    COUNT(*) OVER (PARTITION BY source) AS n FROM h)
@@ -300,7 +303,10 @@ object PipelineQueries {
     //    stay consistent across pipeline stages). ──
     "q64_token_budget_mix" -> QueryDef(
       (s, d) => {
-        val hv = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+        // doc_id reduced mod p BEFORE the multiply: keeps the product
+        // under 2^63 for ANY 64-bit doc id (unreduced, ids past ~3.4e9
+        // would overflow under ANSI mode); identity for ids < p
+        val hv = ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
         val w = Window.partitionBy(col("source"))
           .orderBy(col("hv"), col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -313,7 +319,7 @@ object PipelineQueries {
           .orderBy(col("doc_id"))
       },
       Some("""WITH d AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tokens,
-             |    (doc_id * 2654435761) % 1000000007 AS hv FROM documents),
+             |    ((doc_id % 1000000007) * 2654435761) % 1000000007 AS hv FROM documents),
              |c AS (SELECT doc_id, source, n_tokens,
              |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
              |      ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM d)

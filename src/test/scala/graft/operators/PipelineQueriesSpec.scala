@@ -150,7 +150,8 @@ class PipelineQueriesSpec extends SparkSpec {
         size(split(col("text"), " ")).cast("long").as("n"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val expected = raw.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
-      val ordered = rows.toSeq.sortBy(r => ((r._1 * 2654435761L) % 1000000007L, r._1))
+      val ordered = rows.toSeq.sortBy(r =>
+        (((r._1 % 1000000007L) * 2654435761L) % 1000000007L, r._1))
       var cum = 0L
       ordered.takeWhile { r => cum += r._3; cum <= 500 }.map(_._1)
     }.toSet
