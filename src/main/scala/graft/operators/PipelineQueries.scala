@@ -124,6 +124,56 @@ object PipelineQueries {
              |                   FROM comps GROUP BY 1) n USING (component)
              |ORDER BY vec_id""".stripMargin)),
 
+    // ── training-example assembly: the composition the batteries build
+    //    toward — rule filter (q65) + exact-dedup canonical pick (q22) +
+    //    embedding join + chunk count (q60 arithmetic) + deterministic
+    //    train-split gate (q59's hash, windowless scale shape) in ONE
+    //    plan. Catalyst keeps it a single pass over documents with a
+    //    broadcast dedup side and a doc_id-keyed embedding join. ──
+    "q68_training_examples" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("label"))
+        val hv = ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) %
+          lit(1000000007L)
+        val tk = tokens(col("text"))
+        val canon = docs.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("keep_doc"))
+        docs
+          .withColumn("reason_mask", ruleMask)
+          .filter(col("reason_mask") === 0)
+          .join(canon, md5(col("text")) === col("h") &&
+            col("doc_id") === col("keep_doc"))
+          .join(emb, Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("label"),
+            size(tk).cast("long").as("n_tokens"),
+            size(sequence(lit(1), size(tk), lit(24))).cast("long").as("n_chunks"),
+            (hv % 100 < 50).cast("int").as("in_train_split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH canon AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_doc
+             |               FROM documents GROUP BY 1),
+             |s AS (SELECT doc_id, source, text,
+             |    len(string_split(text,' ')) AS n_tokens,
+             |    CAST(LENGTH(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+             |      / len(string_split(text,' ')) AS atl,
+             |    CAST(len(list_filter(string_split(text,' '),
+             |        t -> t IN ('the','data','row','scan','join','query'))) AS DOUBLE)
+             |      / len(string_split(text,' ')) AS stop_ratio
+             |  FROM documents)
+             |SELECT s.doc_id, s.source, e.label,
+             |  CAST(s.n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(len(range(1, s.n_tokens + 1, 24)) AS BIGINT) AS n_chunks,
+             |  CAST(((s.doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 50
+             |    AS INT) AS in_train_split
+             |FROM s
+             |JOIN canon c ON md5(s.text) = c.h AND s.doc_id = c.keep_doc
+             |JOIN embeddings e ON e.vec_id = s.doc_id
+             |WHERE s.n_tokens BETWEEN 24 AND 88 AND s.atl BETWEEN 4.0 AND 5.0
+             |  AND s.stop_ratio >= 0.08
+             |ORDER BY doc_id""".stripMargin)),
+
     // ── BM25 retrieval (k1=1.2, b=0.75) for a fixed query, top-20. tf
     //    joins carry integer counts; the only floats are the final scoring
     //    expression, identical term-for-term in both engines, rounded to
