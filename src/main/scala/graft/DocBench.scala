@@ -78,7 +78,7 @@ object DocBench {
     // large-star/small-star must collapse it in O(log^2 n). This is the
     // structure a pathological near-dup corpus produces (each doc similar
     // only to its neighbor, e.g. sliding-window crawl snapshots).
-    time("connected components over a 1M-node chain") {
+    time(s"connected components over a ${nDocs * 10}-node chain") {
       val n = nDocs * 10
       val chain = spark.range(n - 1)
         .select(col("id").as("u"), (col("id") + 1).as("v"))
