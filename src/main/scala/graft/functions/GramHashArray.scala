@@ -53,6 +53,89 @@ object GramHashArrayOps {
   }
 }
 
+/** Content-anchored span fingerprints for exact substring-overlap dedup:
+  * gram fingerprints at EVERY position (stride 1), span hash at start i =
+  * Σ of `spanGrams` gram values spaced `gramLen` apart (covering
+  * gramLen·spanGrams chars) mod p, keeping only spans whose hash ≡ 0 mod
+  * `keepMod` — Broder-style mod sampling. Selection depends on CONTENT,
+  * not offset, so two documents sharing a long span emit the same
+  * fingerprints regardless of where the span sits in each (a fixed-stride
+  * sample only matches spans aligned mod the stride). One compiled pass;
+  * output distinct, order unspecified (consumers treat it as a set). */
+object SpanFingerprintsOps {
+  def spans(text: UTF8String, gramLen: Int, spanGrams: Int, keepMod: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val spanChars = gramLen * spanGrams
+    if (n < spanChars) return new GenericArrayData(Array.emptyLongArray)
+    val grams = n - gramLen + 1
+    val g = new Array[Long](grams)
+    val pows = new Array[Long](gramLen)
+    var p = 1L
+    var k = 0
+    while (k < gramLen) { pows(k) = p; p *= 31L; k += 1 }
+    var i = 0
+    while (i < grams) {
+      var h = 0L
+      k = 0
+      while (k < gramLen) { h += s.charAt(i + k).toLong * pows(k); k += 1 }
+      g(i) = h % GramHashArrayOps.Mod
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]
+    i = 0
+    val lastStart = n - spanChars
+    while (i <= lastStart) {
+      var sum = 0L
+      k = 0
+      while (k < spanGrams) { sum += g(i + k * gramLen); k += 1 }
+      val w = sum % GramHashArrayOps.Mod
+      if (w % keepMod == 0) out.add(w)
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+case class SpanFingerprints(child: Expression, gramLen: Int,
+                            spanGrams: Int, keepMod: Int)
+    extends UnaryExpression {
+
+  require(gramLen > 0 && spanGrams > 0 && keepMod > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text must be STRING, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    SpanFingerprintsOps.spans(text.asInstanceOf[UTF8String],
+      gramLen, spanGrams, keepMod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SpanFingerprintsOps.spans($c, $gramLen, $spanGrams, $keepMod);")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanFingerprints =
+    copy(child = newChild)
+
+  override def prettyName: String = "span_fingerprints"
+}
+
+object SpanFingerprints {
+  def apply(text: Column, gramLen: Int = 8, spanGrams: Int = 8,
+            keepMod: Int = 8): Column =
+    ColumnBridge.column(SpanFingerprints(
+      ColumnBridge.expression(text), gramLen, spanGrams, keepMod))
+}
+
 case class GramHashArray(child: Expression, gramLen: Int, stride: Int)
     extends UnaryExpression {
 

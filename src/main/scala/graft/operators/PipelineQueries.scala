@@ -124,6 +124,43 @@ object PipelineQueries {
              |                   FROM comps GROUP BY 1) n USING (component)
              |ORDER BY vec_id""".stripMargin)),
 
+    // ── EXACT substring-overlap dedup (the "long repeated span" flavor —
+    //    Lee et al., "Deduplicating Training Data Makes Language Models
+    //    Better": boilerplate/licenses/quotes shared verbatim across
+    //    otherwise-different documents, which document-level Jaccard
+    //    misses). 64-char windows sampled every 8 chars, window
+    //    fingerprint = Σ of the eight 8-char-gram fingerprints inside it
+    //    (mod p) — composed from the same native GramHashArray primitive,
+    //    exact in both engines. Inverted-index join on (source, window
+    //    hash) counts shared windows per doc pair. ──
+    "q69_substring_overlap" -> QueryDef(
+      (s, d) => {
+        val e = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(graft.functions.SpanFingerprints(col("text"))).as("wh"))
+        val a = e.select(col("source"), col("wh"), col("doc_id").as("id1"))
+        val b = e.select(col("source"), col("wh"), col("doc_id").as("id2"))
+        a.join(b, Seq("source", "wh")).filter(col("id1") < col("id2"))
+          .groupBy(col("id1"), col("id2"))
+          .agg(count(lit(1)).as("n_shared_windows"))
+          .orderedResult(col("id1"), col("id2"))
+      },
+      Some(s"""WITH g AS (SELECT doc_id, source,
+             |    list_transform(generate_series(1, length(text) - 7),
+             |      i -> (${(0 until 8).map(DedupQueries.gramHashSql).mkString(" + ")})
+             |           % 1000000007) AS gs
+             |  FROM documents),
+             |w AS (SELECT doc_id, source,
+             |    list_distinct(list_filter(
+             |      [(${(0 until 8).map(j => s"gs[i + ${8 * j}]").mkString(" + ")}) % 1000000007
+             |       for i in range(1, len(gs) - 55)],
+             |      x -> x % 8 = 0)) AS ws FROM g),
+             |e AS (SELECT doc_id, source, unnest(ws) AS wh FROM w)
+             |SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared_windows
+             |FROM e a JOIN e b ON a.source = b.source AND a.wh = b.wh
+             |  AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 ORDER BY id1, id2""".stripMargin)),
+
     // ── training-example assembly: the composition the batteries build
     //    toward — rule filter (q65) + exact-dedup canonical pick (q22) +
     //    embedding join + chunk count (q60 arithmetic) + deterministic

@@ -191,6 +191,23 @@ class PipelineQueriesSpec extends SparkSpec {
       s"no candidates among disjoint docs: $got")
   }
 
+  test("q69 substring overlap: planted shared span found, disjoint docs not") {
+    import spark.implicits._
+    val span = (0 until 30).map(i => s"shared$i").mkString(" ") // ~250 chars
+    val docs = Seq(
+      (0L, s"alpha bravo charlie $span delta echo foxtrot", "s"),
+      (1L, s"one two three four five six seven $span eight", "s"),
+      (2L, (0 until 40).map(i => s"other$i").mkString(" "), "s"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-span").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineQueries.registry("q69_substring_overlap").build(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.keySet === Set((0L, 1L)), s"got $got")
+    assert(got((0L, 1L)) >= 1L, "at least one shared 64-char window")
+  }
+
   test("q60 chunks: stride coverage reconstructs every document") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, d)
