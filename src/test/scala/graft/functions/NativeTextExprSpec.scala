@@ -51,6 +51,29 @@ class NativeTextExprSpec extends SparkSpec {
     assert(got.toSeq === texts.map(ref(_, 3)))
   }
 
+  test("SpanFingerprints matches the reference walk; anchoring is offset-free") {
+    import spark.implicits._
+    def ref(s: String): Set[Long] = {
+      if (s.length < 64) return Set.empty
+      val g = (0 to s.length - 8).map(i =>
+        (0 until 8).map(k => s.charAt(i + k).toLong * math.pow(31, k).toLong)
+          .sum % 1000000007L)
+      (0 to s.length - 64).map(i =>
+        (0 until 8).map(j => g(i + 8 * j)).sum % 1000000007L)
+        .filter(_ % 8 == 0).toSet
+    }
+    val span = "z" * 10 + (0 until 20).map(i => s"core$i").mkString(" ") + "y" * 10
+    val texts = Seq("", "short", "x" * 63, "x" * 64,
+      "prefix " + span, "a much longer and different prefix " + span)
+    val got = texts.toDF("text")
+      .select(SpanFingerprints(col("text")).as("w"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]](0).toSet)
+    assert(got.toSeq === texts.map(ref))
+    // the shared span sits at offsets differing by 28 (not a multiple of
+    // 8) — content anchoring must still produce common fingerprints
+    assert((got(4) intersect got(5)).nonEmpty)
+  }
+
   test("CollapseBarrier is transparent for values and nulls") {
     import spark.implicits._
     val out = Seq(Some(1), None, Some(3)).toDF("x")
