@@ -46,7 +46,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // second pass with the count() action rounds r1-r4 used: count-driven
+    // aggregation lets Catalyst prune projections and final sorts, so this
+    // measures LESS work — reported alongside for cross-round
+    // comparability only (see PERF.md "Bench honesty fix")
+    val countTotal = picked.toSeq.sortBy(_._1).map { case (_, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"toRdd","count_action_total":$countTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
