@@ -159,9 +159,8 @@ object AnnQueries {
       .iterator.zipWithIndex.map { case (r, i) =>
         (i + 1, r.getAs[scala.collection.Seq[Double]]("v").toSeq)
       }.toSeq.toDF("cell", "v")
-    var cents = init
-      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "w")))
-      .localCheckpoint()
+    var cents = Checkpoints.truncate(init
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "w"))))
     var assigned: DataFrame = null
     def doAssign(): DataFrame = {
       // argmin_c |v - c|^2 = argmin_c (|c|^2 - 2 v·c); |v|^2 is constant
@@ -175,19 +174,18 @@ object AnnQueries {
           col("cell").as("cell"))).as("m"))
         .select(col("vec_id"), col("m.cell").as("cell"))
     }
-    // localCheckpoint (eager) after EVERY step: `doAssign` references
+    // Checkpoints.truncate (eager) after EVERY step: `doAssign` references
     // `cents` twice and `cents` is rebuilt from `assigned`, so without
     // truncation the lineage doubles per Lloyd round — by iteration 3 the
     // plan held ~2^4 copies of the base scan (80.8 s in BENCH_r02; < 2 s
-    // checkpointed). On a multi-executor cluster swap localCheckpoint for
-    // a reliable `checkpoint` dir; the algorithm is unchanged.
+    // checkpointed). With a reliable checkpoint dir set (cluster mode) the
+    // rounds persist to fault-tolerant storage; else localCheckpoint.
     for (_ <- 0 until iters) {
-      assigned = doAssign().localCheckpoint()
-      cents = assigned.join(exploded, Seq("vec_id"))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("w"))
-        .localCheckpoint()
+      assigned = Checkpoints.truncate(doAssign())
+      cents = Checkpoints.truncate(assigned.join(exploded, Seq("vec_id"))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("w")))
     }
-    val result = doAssign().localCheckpoint() // eager: safe to unpersist below
+    val result = Checkpoints.truncate(doAssign()) // eager: safe to unpersist below
     exploded.unpersist()
     result
   }

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * executor.
   *
   * Iterative-lineage discipline (same lesson as AnnQueries.kmeansCells):
-  * every round's edge set is `localCheckpoint`ed — without truncation the
-  * plan doubles per round. On a multi-executor cluster swap for a reliable
-  * `checkpoint` dir; the algorithm is unchanged.
+  * every round's edge set is checkpointed via [[Checkpoints.truncate]] —
+  * without truncation the plan doubles per round. On a cluster, set a
+  * reliable checkpoint dir (`sparkContext.setCheckpointDir`) and rounds
+  * persist to fault-tolerant storage; without one the operator falls back
+  * to `localCheckpoint` (single-JVM / test mode).
   */
 object ConnectedComponents {
 
@@ -64,20 +66,25 @@ object ConnectedComponents {
     * orientation, self-loops tolerated): one (node, componentMin) row per
     * non-min node of each component. Empty input → empty output. */
   def starForest(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
-    var e = orient(edges).localCheckpoint()
+    var e = Checkpoints.truncate(orient(edges))
     // fixpoint = star forest (both ops leave stars unchanged); detected by
-    // (count, order-independent hash-xor) of the canonical edge set (xor,
-    // not sum: overflow-free under ANSI mode, and the edge set is distinct
-    // so xor never cancels duplicates)
-    def checksum(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(u, v))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // a checksum of the canonical edge set: (count, order-independent
+    // hash-xor, min u, max u, min v, max v). xor, not sum: overflow-free
+    // under ANSI mode, and the edge set is distinct so xor never cancels
+    // duplicates. The extrema cost nothing extra (same single aggregate)
+    // and harden the ~2^-64 xor-collision risk: a collision between
+    // successive NON-equal edge sets must now also preserve all four
+    // extrema to cause a silent early exit.
+    def checksum(df: DataFrame): (Long, Long, Long, Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))"),
+        min(col("u")), max(col("u")), min(col("v")), max(col("v"))).head()
+      def l(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      (r.getLong(0), l(1), l(2), l(3), l(4), l(5))
     }
     var prev = checksum(e)
     var rounds = 0
     while (prev._1 > 0 && rounds < maxRounds) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = Checkpoints.truncate(smallStar(largeStar(e)))
       val cur = checksum(e)
       if (cur == prev) return e
       prev = cur

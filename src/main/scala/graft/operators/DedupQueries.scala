@@ -581,27 +581,48 @@ object DedupQueries {
   /** Exact Jaccard similarity join over per-document element arrays
     * `(doc_id, source, sh)` via prefix filtering — see
     * [[charShinglePrefixJoin]] for the algorithm and its selectivity
-    * precondition. */
-  def prefixSimilarityJoin(docArrays: DataFrame, threshold: Double): DataFrame = {
+    * precondition.
+    *
+    * Heavy-posting-list guard: the per-list pair generator is quadratic
+    * INSIDE ONE TASK, so a hot element that survives into prefixes (tiny
+    * alphabets, boilerplate-heavy corpora — the degeneracy the
+    * precondition note describes, and the exact corpus that previously
+    * killed a DocBench run at shingleLen=3) would wall a single core.
+    * Lists with ≥ `heavyListThreshold` prefix entries are counted up
+    * front (heavy keys are few by definition → broadcastable, same
+    * argument as [[minhashCandidates]]'s bucket guard) and routed through
+    * a salted self-join instead: probe side scattered `salt` ways by doc
+    * id, build side replicated, so any task's probe input is bounded by
+    * list/salt rows. The two paths partition the key space; their union
+    * is exactly the unguarded generator's candidate set (spec-pinned on
+    * the previously run-killing corpus). */
+  def prefixSimilarityJoin(docArrays: DataFrame, threshold: Double,
+                           heavyListThreshold: Int = 4096,
+                           salt: Int = 16): DataFrame = {
     val docs = docArrays.withColumn("n", size(col("sh")))
     val exploded = docs.select(col("source"), col("doc_id"), col("n"),
       explode(col("sh")).as("s"))
     val freq = exploded.groupBy(col("source"), col("s"))
       .agg(count(lit(1)).as("f"))
     val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
-    val prefixes = exploded.join(freq, Seq("source", "s"))
+    // truncate: the guard gives the prefix index FOUR consumers (size
+    // count, light pairs, both salted sides) — materialize the
+    // explode→freq→rank pipeline once instead of re-executing it per
+    // consumer (reliable checkpoint on a cluster, local blocks here)
+    val prefixes = Checkpoints.truncate(exploded.join(freq, Seq("source", "s"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))))
       .filter(col("rk") <= prefixLen)
-      .select(col("source"), col("s"), col("doc_id"), col("n"))
-    // candidate pairs per POSTING LIST (the Vernica et al. reducer): group
-    // the prefix index by (source, shingle) and emit length-filtered pairs
-    // group-locally. One aggregation over ONE prefix computation — a
-    // prefix self-join would (and, measured, did) run the whole
-    // explode→freq→rank pipeline twice, since the join sides stop being
-    // canonically equal once AQE plans them. Posting-list sizes are
-    // bounded by docs-per-rare-shingle — exactly what the prefix filter
-    // guarantees (see the precondition note above).
+      .select(col("source"), col("s"), col("doc_id"), col("n")))
+    val heavyKeys = prefixes.groupBy(col("source"), col("s"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= heavyListThreshold)
+      .select(col("source"), col("s"), lit(true).as("__heavy"))
+    val flagged = prefixes.join(broadcast(heavyKeys), Seq("source", "s"), "left")
+    // LIGHT lists: candidate pairs per POSTING LIST (the Vernica et al.
+    // reducer): group the prefix index by (source, shingle) and emit
+    // length-filtered pairs group-locally. Task input bounded by
+    // heavyListThreshold.
     val pairGen = udf((docs: Seq[org.apache.spark.sql.Row]) => {
       val arr = docs.map(r => (r.getLong(0), r.getInt(1)))
       val out = Seq.newBuilder[(Long, Long)]
@@ -619,11 +640,23 @@ object DedupQueries {
       }
       out.result()
     }).asNondeterministic() // pure; collapse barrier
-    val candidates = prefixes.groupBy(col("source"), col("s"))
+    val lightCands = flagged.filter(col("__heavy").isNull)
+      .groupBy(col("source"), col("s"))
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
       .select(explode(pairGen(col("ds"))).as("p"))
       .select(col("p._1").as("id1"), col("p._2").as("id2"))
-      .distinct()
+    // HEAVY lists: scatter/replicate self-join — same pairs (id1 < id2
+    // keeps each unordered pair once; the length filter matches pairGen),
+    // quadratic WORK spread over `salt` tasks instead of one
+    val heavy = flagged.filter(col("__heavy").isNotNull)
+    val heavyCands = Salting.saltedJoin(
+      heavy.select(col("source"), col("s"), col("doc_id").as("id1"), col("n").as("n1")),
+      heavy.select(col("source"), col("s"), col("doc_id").as("id2"), col("n").as("n2")),
+      Seq("source", "s"), scatterCols = Seq(col("id1")), salt = salt)
+      .filter(col("id1") < col("id2") &&
+        least(col("n1"), col("n2")) >= greatest(col("n1"), col("n2")) * threshold)
+      .select(col("id1"), col("id2"))
+    val candidates = lightCands.unionByName(heavyCands).distinct()
     candidates
       .join(docs.select(col("doc_id").as("id1"), col("sh").as("s1")), Seq("id1"))
       .join(docs.select(col("doc_id").as("id2"), col("sh").as("s2")), Seq("id2"))

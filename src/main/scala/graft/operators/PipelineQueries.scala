@@ -15,6 +15,163 @@ object PipelineQueries {
 
   private def tokens(c: org.apache.spark.sql.Column) = split(c, " ")
 
+  /** Multiplicative content hash of doc_id, shared by the sampling (q59),
+    * mixing (q64) and split-gate (q68) stages so their keep decisions stay
+    * consistent across the pipeline. doc_id is reduced mod p BEFORE the
+    * multiply: keeps the product under 2^63 for ANY 64-bit doc id
+    * (unreduced, ids past ~3.4e9 would overflow under ANSI mode); identity
+    * for ids < p. Range: [0, 1e9+7). */
+  private[operators] def docHash: org.apache.spark.sql.Column =
+    ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
+
+  /** q59's WINDOW formulation — exact per-stratum quota via
+    * `row_number over (partition by source order by hv, doc_id)`. Correct,
+    * and the one the SQL oracle uses, but the window serializes each
+    * stratum through ONE task: at corpus scale a training mix has few,
+    * huge sources (CommonCrawl is most of the data), so the whole
+    * stratum's stream sorts through a single core. Kept as the
+    * ground-truth twin for [[stratifiedSample]] (spec-pinned equal). */
+  def stratifiedSampleByRank(docs: org.apache.spark.sql.DataFrame,
+                             rate: Double): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), docHash.as("hv"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rk") <= ceil(col("n") * rate))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Scale-safe exact-quota stratified sampling (q59): selects the same
+    * rows as [[stratifiedSampleByRank]] — the k = ceil(n·rate) smallest
+    * (hv, doc_id) pairs per source — WITHOUT a per-stratum window.
+    *
+    * Hash-threshold selection: because hv is (near-)uniform on [0, p),
+    * the k-th order statistic is located by histogram, not by sorting:
+    *  1. per-(source, bucket) counts, bucket = hv >> bucketShift — a
+    *     dimension-sized relation (sources × ≤ p/2^shift rows), so the
+    *     cumulative window over IT is cheap;
+    *  2. the cutoff bucket per source is the one whose cumulative range
+    *     straddles k; rank ONLY that bucket's rows (≤ n/buckets per
+    *     source per task — bucketShift is the bound knob) to find the
+    *     exact k-th (hv, doc_id) threshold;
+    *  3. filter the corpus by the broadcast thresholds — embarrassingly
+    *     parallel, no per-stratum funnel.
+    * Three column-pruned scans of (doc_id, source) replace one
+    * single-task-per-source sort; at 100 TB the scans parallelize across
+    * the cluster while the window shape walls at the biggest source. */
+  def stratifiedSample(docs: org.apache.spark.sql.DataFrame, rate: Double,
+                       bucketShift: Int = 22): org.apache.spark.sql.DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"), docHash.as("hv"))
+    val bucket = shiftright(col("hv"), bucketShift)
+    val hist = d.groupBy(col("source"), bucket.as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(wSrc), lit(0L)))
+    val quota = hist.groupBy(col("source"))
+      .agg(ceil(sum(col("cnt")) * rate).cast("long").as("k"))
+    val cut = cum.join(quota, Seq("source"))
+      .filter(col("cum_before") < col("k") &&
+        col("cum_before") + col("cnt") >= col("k"))
+      .select(col("source"), col("b").as("cut_b"),
+        (col("k") - col("cum_before")).as("r_in_bucket"))
+    // rank only the cutoff bucket's rows; the window partition is bounded
+    // by the bucket population, not the stratum
+    val thr = d.join(broadcast(cut), Seq("source"))
+      .filter(bucket === col("cut_b"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))))
+      .filter(col("rk") === col("r_in_bucket"))
+      .select(col("source"), col("hv").as("thr_hv"), col("doc_id").as("thr_id"))
+    d.join(broadcast(thr), Seq("source"))
+      .filter(col("hv") < col("thr_hv") ||
+        (col("hv") === col("thr_hv") && col("doc_id") <= col("thr_id")))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q64's WINDOW formulation — running token sum via
+    * `sum over (partition by source order by hv, doc_id rows unbounded
+    * preceding)`: the same one-task-per-stratum wall as
+    * [[stratifiedSampleByRank]]. Kept as the ground-truth twin for
+    * [[tokenBudgetMix]] (spec-pinned equal). */
+  def tokenBudgetMixWindow(docs: org.apache.spark.sql.DataFrame,
+                           budget: Long): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hv"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"), docHash.as("hv"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Scale-safe token-budget corpus mixing (q64): identical output to
+    * [[tokenBudgetMixWindow]] via the classic TWO-PHASE DISTRIBUTED PREFIX
+    * SUM instead of a per-stratum running-sum window.
+    *
+    *  1. per-(source, bucket) token subtotals (bucket = hv >> bucketShift;
+    *     the bucket order IS the per-source (hv, doc_id) order, coarsened)
+    *     — a dimension-sized aggregate, collected and turned into
+    *     exclusive per-source prefix OFFSETS;
+    *  2. buckets whose offset already exceeds the budget are pruned
+    *     BEFORE the shuffle — only each source's budget-prefix moves;
+    *  3. survivors hash-partition by bucket, sort within partitions by
+    *     (bucket, source, hv, doc_id), and a single mapPartitions pass
+    *     seeds each (bucket, source) segment with its offset and emits
+    *     exact running sums.
+    * Every step is deterministic (no range-partitioner sampling) and no
+    * task ever holds more than a bucket of one source — the giant-source
+    * corpus that serializes the window shape parallelizes here. */
+  def tokenBudgetMix(docs: org.apache.spark.sql.DataFrame, budget: Long,
+                     bucketShift: Int = 22): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"), docHash.as("hv"))
+      .withColumn("b", shiftright(col("hv"), bucketShift))
+    val subs = d.groupBy(col("source"), col("b"))
+      .agg(sum(col("n_tokens")).as("sub"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exclusive prefix offsets per source in bucket order — driver-side
+    // over a dimension-sized relation (sources × buckets), the documented
+    // collect class (same as k-means centroid seeds)
+    val offsets = subs.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (src, bk, sub) =>
+        val o = (src, bk, acc); acc += sub; o
+      }
+    }.toSeq
+    val offDf = offsets.toDF("source", "b", "off")
+    val shift = bucketShift
+    val parted = d.join(broadcast(offDf), Seq("source", "b"))
+      .filter(col("off") <= budget) // bucket can't contribute once offset passes budget
+      .repartition(col("b"))
+      .sortWithinPartitions(col("b"), col("source"), col("hv"), col("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("hv"), col("off"))
+      .as[(Long, String, Long, Long, Long)]
+    parted.mapPartitions { it =>
+      var curB = Long.MinValue
+      var curS: String = null
+      var run = 0L
+      it.map { case (id, src, nt, hv, off) =>
+        val bk = hv >> shift
+        if (bk != curB || src != curS) { curB = bk; curS = src; run = off }
+        run += nt
+        (id, src, nt, run)
+      }
+    }.toDF("doc_id", "source", "n_tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .orderBy(col("doc_id"))
+  }
+
   /** q65's reason bitmask over a `text` column (1 = token count outside
     * [24,88], 2 = mean token length outside [4,5], 4 = stopword ratio
     * < 0.08) — shared with the streaming curation pipeline
@@ -172,8 +329,7 @@ object PipelineQueries {
         val docs = Tables.documents(s, d)
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id").as("doc_id"), col("label"))
-        val hv = ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) %
-          lit(1000000007L)
+        val hv = docHash
         val tk = tokens(col("text"))
         val canon = docs.groupBy(md5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("keep_doc"))
@@ -262,26 +418,13 @@ object PipelineQueries {
     //    stratum, membership decided by a multiplicative integer hash of
     //    doc_id (identical arithmetic both engines — content-addressed, so
     //    the sample is stable across runs, partitionings and cluster
-    //    sizes, unlike rand()-based sampling). Exact quota via per-stratum
-    //    rank; the window shuffles once on `source` — stratum counts are
-    //    corpus-sized/cardinality-bounded, and at 100 TB the same operator
-    //    drops the rank and keeps `hv % 10000 < rate*10000` (approximate
-    //    quota, no window) — both shapes share the hash column. ──
+    //    sizes, unlike rand()-based sampling). Exact quota via HASH
+    //    THRESHOLDS ([[stratifiedSample]]): histogram → cutoff bucket →
+    //    exact k-th threshold → parallel filter; the window formulation
+    //    the oracle uses ([[stratifiedSampleByRank]]) is spec-pinned
+    //    equal but serializes each stratum through one task. ──
     "q59_stratified_sample" -> QueryDef(
-      (s, d) => {
-        // doc_id reduced mod p BEFORE the multiply: keeps the product
-        // under 2^63 for ANY 64-bit doc id (unreduced, ids past ~3.4e9
-        // would overflow under ANSI mode); identity for ids < p
-        val hv = ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), hv.as("hv"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
-          .filter(col("rk") <= ceil(col("n") * 0.25))
-          .select(col("doc_id"), col("source"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => stratifiedSample(Tables.documents(s, d), rate = 0.25),
       Some("""WITH h AS (SELECT doc_id, source,
              |    ((doc_id % 1000000007) * 2654435761) % 1000000007 AS hv FROM documents),
              |r AS (SELECT doc_id, source, hv,
@@ -387,24 +530,12 @@ object PipelineQueries {
     //    documents in content-hash order until the cumulative token count
     //    reaches the budget — the deterministic "data mixture" step of a
     //    training run (same hash as q59, so mixture ⊆ sample decisions
-    //    stay consistent across pipeline stages). ──
+    //    stay consistent across pipeline stages). Two-phase distributed
+    //    prefix sum ([[tokenBudgetMix]]); the running-sum window the
+    //    oracle uses ([[tokenBudgetMixWindow]]) is spec-pinned equal but
+    //    serializes each stratum through one task. ──
     "q64_token_budget_mix" -> QueryDef(
-      (s, d) => {
-        // doc_id reduced mod p BEFORE the multiply: keeps the product
-        // under 2^63 for ANY 64-bit doc id (unreduced, ids past ~3.4e9
-        // would overflow under ANSI mode); identity for ids < p
-        val hv = ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
-        val w = Window.partitionBy(col("source"))
-          .orderBy(col("hv"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            size(tokens(col("text"))).cast("long").as("n_tokens"), hv.as("hv"))
-          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-          .filter(col("cum_tokens") <= 500)
-          .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => tokenBudgetMix(Tables.documents(s, d), budget = 500L),
       Some("""WITH d AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tokens,
              |    ((doc_id % 1000000007) * 2654435761) % 1000000007 AS hv FROM documents),
              |c AS (SELECT doc_id, source, n_tokens,

@@ -129,8 +129,11 @@ object UpsertSink {
         .filter(col("rn") === 1)
         .drop("rn")
         // cut lineage to the files about to be replaced (cannot overwrite a
-        // path that is also being read from); micro-batch-sized, so cheap
-        .localCheckpoint(true)
+        // path that is also being read from); micro-batch-sized, so cheap.
+        // Reliable checkpoint when a dir is configured: if an executor is
+        // lost between the cut and the overwrite, local blocks would be
+        // unrecoverable while the target files are mid-replacement.
+        .transform(graft.operators.Checkpoints.truncate)
     } else batch
     merged.write
       .mode("overwrite")

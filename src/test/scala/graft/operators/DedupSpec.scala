@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, expr, explode, size}
 
 /** Planted-duplicate verification for the hash-based near-dup detectors
   * (q30 MinHash-LSH, q31 SimHash) that have no DuckDB oracle. */
@@ -136,6 +137,45 @@ class DedupSpec extends SparkSpec {
       assert(pre == all, s"t=$t: only-prefix=${pre -- all}, only-all=${all -- pre}")
       assert(all.nonEmpty) // the planted exact duplicates always qualify
     }
+  }
+
+  test("heavy posting lists route through the salted path with identical output") {
+    import spark.implicits._
+    // THE corpus that previously killed a DocBench run: digit-heavy text
+    // with 3-char shingles — the distinct-shingle universe is tiny, every
+    // shingle is hot, every posting list is block-sized. The guard must
+    // route those lists through the salted scatter join and still produce
+    // exactly the unguarded generator's pairs.
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 400L).map { i =>
+      // 30-digit strings over {0..9}: 1000 possible 3-shingles, 200 docs
+      // per source block -> most lists hold a large share of the block;
+      // every 5th doc empty (shorter-than-shingle edge case)
+      val text = if (i % 5 == 4) ""
+                 else (0 until 30).map(_ => rnd.nextInt(10)).mkString
+      (i, text, s"src${i % 2}")
+    }.toDF("doc_id", "text", "source")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val arrays = docs.select(col("doc_id"), col("source"),
+      expr("array_distinct(transform(sequence(1, greatest(length(text)-2,1), 1), i -> substr(text, i, 3)))").as("sh"))
+    // threshold low enough that prefixes keep most shingles (worst case)
+    val guarded = key(DedupQueries.prefixSimilarityJoin(arrays, 0.5,
+      heavyListThreshold = 8, salt = 4))
+    val unguarded = key(DedupQueries.prefixSimilarityJoin(arrays, 0.5,
+      heavyListThreshold = Int.MaxValue))
+    assert(guarded === unguarded,
+      s"only-guarded=${(guarded -- unguarded).take(5)}, only-unguarded=${(unguarded -- guarded).take(5)}")
+    assert(guarded.nonEmpty, "degenerate corpus must produce similar pairs")
+    // the guard genuinely fired: with threshold 8 on a 400-doc two-block
+    // digit corpus, hot lists exist
+    val prefixes = {
+      val d2 = arrays.withColumn("n", size(col("sh")))
+      d2.select(col("source"), explode(col("sh")).as("s")).groupBy("source", "s")
+        .count().filter(col("count") >= 8).count()
+    }
+    assert(prefixes > 0, "corpus failed to produce hot shingles (test setup)")
   }
 
   test("simhash surfaces planted near-duplicates with small hamming distance") {

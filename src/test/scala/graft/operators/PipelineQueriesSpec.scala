@@ -112,6 +112,41 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("q59/q64 scale shapes match their window formulations (incl. one giant source)") {
+    import spark.implicits._
+    // the adversarial stratum shape: ONE source holding almost everything
+    // (a real training mix is mostly CommonCrawl) — the per-source window
+    // serializes it; the hash-threshold / two-phase shapes must not
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 3000L).map { i =>
+      val src = if (i % 100 == 0) s"small${i % 3}" else "giant"
+      val text = Seq.fill(3 + rnd.nextInt(12))(s"t${rnd.nextInt(50)}").mkString(" ")
+      (i, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (shift <- Seq(18, 22, 27)) { // many buckets … only ~8 buckets
+      val sNew = PipelineQueries.stratifiedSample(docs, 0.25, shift)
+        .collect().toSeq
+      val sOld = PipelineQueries.stratifiedSampleByRank(docs, 0.25)
+        .collect().toSeq
+      assert(sNew === sOld, s"stratified sample, bucketShift=$shift")
+      val mNew = PipelineQueries.tokenBudgetMix(docs, 2000L, shift)
+        .collect().toSeq
+      val mOld = PipelineQueries.tokenBudgetMixWindow(docs, 2000L)
+        .collect().toSeq
+      assert(mNew === mOld, s"token budget mix, bucketShift=$shift")
+    }
+    // rate edges: full corpus and a single row per stratum
+    assert(PipelineQueries.stratifiedSample(docs, 1.0).count() === 3000L)
+    assert(PipelineQueries.stratifiedSample(docs, 1e-9).collect().toSeq ===
+      PipelineQueries.stratifiedSampleByRank(docs, 1e-9).collect().toSeq)
+    // the scale property itself: no Window node anywhere in q64's plan
+    // (q59 keeps two windows, but both consume bucket-bounded relations —
+    // the histogram and the single cutoff bucket — never the corpus)
+    val mixPlan = PipelineQueries.tokenBudgetMix(docs, 2000L)
+      .queryExecution.optimizedPlan.toString
+    assert(!mixPlan.contains("Window"), "q64 shape is window-free")
+  }
+
   test("q61 decontamination flags exactly the docs sharing an 8-gram") {
     import spark.implicits._
     val docs = Seq(
@@ -186,9 +221,11 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got.contains((0L, 1L)), "exact dup pair is a candidate")
     assert(got.contains((0L, 2L)) || got.contains((1L, 2L)),
       "near dup collides in at least one band")
-    // docs with disjoint token universes share no gram, hence no band key
-    assert(!got.exists { case (a, b) => a >= 3L || (b >= 3L && a >= 3L) },
-      s"no candidates among disjoint docs: $got")
+    // docs with disjoint token universes share no gram, hence no band key:
+    // no candidate pair may TOUCH a disjoint doc (ids 3+) at all — since
+    // id1 < id2, checking id2 covers both endpoints
+    assert(!got.exists { case (_, b) => b >= 3L },
+      s"no candidates touching disjoint docs: $got")
   }
 
   test("q69 substring overlap: planted shared span found, disjoint docs not") {
