@@ -197,6 +197,17 @@ object DedupQueries {
     "q31_simhash" -> QueryDef(
       (s, d) => simhashCandidates(Tables.documents(s, d)), None),
 
+    // ── the SAME vote→signature→band→bucket-join SimHash pipeline over a
+    //    PORTABLE bit family, so the whole construction is oracle-checked
+    //    end to end (q31's xxhash64 bit votes are Spark-internal; here bit
+    //    j of gram g is parity of the affine permutation (aⱼ·g + bⱼ) mod p
+    //    over the polynomial 8-gram fingerprints — exact BIGINT both
+    //    engines). Same 64 codegen'd sum() votes, same 4×16-bit banding,
+    //    same hamming ≤ 16 cut as q31. ──
+    "q70_simhash_portable" -> QueryDef(
+      (s, d) => simhashPortable(Tables.documents(s, d)),
+      Some(simhashPortableOracleSql)),
+
     // ── language-ID: per-lang top-10 token profiles, argmax classification ──
     "q32_lang_id" -> QueryDef(
       (s, d) => {
@@ -452,6 +463,88 @@ object DedupQueries {
        |FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0
        |  AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3
        |  AND a.doc_id < b.doc_id
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Portable SimHash bit family (q70): bit j of gram fingerprint g is
+    * the parity of an affine permutation (aⱼ·g + bⱼ) mod p — a distinct
+    * multiplier family from the MinHash permutations so the two sketches
+    * stay uncorrelated. Both factors < p ≈ 2³⁰ keep aⱼ·g exact BIGINT. */
+  private def simhashA(j: Int): Long = ((2L * j + 1) * 2246822519L) % MinhashP
+  private def simhashB(j: Int): Long = (68279L * j + 29) % MinhashP
+
+  /** Portable-hash SimHash (q70): 8-char-gram fingerprints at stride 4
+    * (same gram universe as [[minhashPortable]]), 64 parity bit votes,
+    * signature assembled as FOUR 16-bit band values (kept separate — no
+    * 64-bit sign-extension pitfalls crossing engines), candidates share a
+    * band value and have hamming distance ≤ 16 across all four. Exposed
+    * for DedupSpec. */
+  def simhashPortable(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.GramHashArray(col("text"), stride = 4))).as("g"))
+    def vote(j: Int) = sum(
+      ((col("g") * simhashA(j) + simhashB(j)) % MinhashP % 2) * 2 - 1).as(s"v$j")
+    val votes = grams.groupBy("doc_id")
+      .agg(vote(0), (1 until 64).map(vote): _*)
+    def bandVal(b: Int) = (0 until 16).map(jj =>
+      when(col(s"v${16 * b + jj}") > 0, lit(1L << jj)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = votes.select(col("doc_id") +: (0 until 4)
+      .map(b => bandVal(b).as(s"b$b")): _*)
+    val bandRows = (0 until 4).map(b =>
+      struct(lit(b).as("band"), col(s"b$b").as("bucket")))
+    val banded = sigs
+      .select(col("doc_id") +: col("b0") +: col("b1") +: col("b2") +: col("b3") +:
+        Seq(explode(array(bandRows: _*)).as("bb")): _*)
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("b0"), col("b1"), col("b2"), col("b3"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val c = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    a.join(c, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .withColumn("hamming", (0 until 4).map(i =>
+        bit_count(col(s"a$i").bitwiseXOR(col(s"c$i")))).reduce(_ + _))
+      .filter(col("hamming") <= 16)
+      .select(col("id1"), col("id2"), col("hamming")).distinct()
+      .orderedResult(col("id1"), col("id2"))
+  }
+
+  /** DuckDB twin of [[simhashPortable]], generated from the same
+    * constants. */
+  private def simhashPortableOracleSql: String = {
+    val gram = (0 until 8).map(gramHashSql).mkString(" + ")
+    val voteExprs = (0 until 64).map(j =>
+      s"list_sum(list_transform(gs, g -> (((g * ${simhashA(j)} + ${simhashB(j)}) % $MinhashP) % 2) * 2 - 1)) AS v$j")
+      .mkString(",\n    ")
+    val bandExprs = (0 until 4).map(b =>
+      (0 until 16).map(jj =>
+        s"(CASE WHEN v${16 * b + jj} > 0 THEN ${1L << jj} ELSE 0 END)")
+        .mkString("(", " + ", s") AS b$b"))
+      .mkString(",\n    ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, b$b AS bucket, b0, b1, b2, b3 FROM sigs")
+      .mkString("\n  UNION ALL ")
+    val ham = (0 until 4).map(i => s"bit_count(xor(a.b$i, b.b$i))").mkString(" + ")
+    s"""WITH g AS (SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, length(text) - 7, 4),
+       |      i -> ($gram) % $MinhashP)) AS gs
+       |  FROM documents WHERE length(text) >= 8),
+       |votes AS (SELECT doc_id,
+       |    $voteExprs
+       |  FROM g),
+       |sigs AS (SELECT doc_id,
+       |    $bandExprs
+       |  FROM votes),
+       |bands AS (
+       |  $bandRows)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |  CAST($ham AS INT) AS hamming
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  AND a.doc_id < b.doc_id
+       |WHERE $ham <= 16
        |ORDER BY id1, id2""".stripMargin
   }
 

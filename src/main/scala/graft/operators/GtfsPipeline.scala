@@ -278,6 +278,14 @@ object GtfsPipeline {
   private def fixtureRecords(s: SparkSession): DataFrame =
     checkpointed(s, "records")(records(s))
 
+  /** Spec access (GtfsGoldenPinSpec pins curve bytes). */
+  private[operators] def fixtureProjectedForSpec(s: SparkSession): DataFrame =
+    fixtureProjected(s)
+
+  /** Spec access (GtfsGoldenPinSpec pins prediction curve bytes). */
+  private[operators] def fixturePredictionsForSpec(s: SparkSession)
+  : (GtfsStatic.Schedule, DataFrame) = fixturePredictions(s)
+
   private def fixtureProjected(s: SparkSession): DataFrame =
     checkpointed(s, "projected") {
       DelayAnalysis.projectedRecords(fixtureRecords(s), fixtureSchedule(s))

@@ -219,7 +219,9 @@ object PipelineQueries {
           .select(col("id").as("doc_id"), col("component"),
             col("cluster_size"),
             (col("id") === col("component")).cast("int").as("is_canonical"))
-          .orderedResult(col("doc_id"))
+          // per-document output: parallel range sort over checkpointed
+          // blocks, never a single-partition funnel (see orderedOutput)
+          .orderedOutput(col("doc_id"))
       },
       Some(s"""WITH RECURSIVE ${jaccardPairsCte(0.5)},
              |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
@@ -256,7 +258,8 @@ object PipelineQueries {
           .select(col("id").as("vec_id"), col("component"),
             col("cluster_size"),
             (col("id") === col("component")).cast("int").as("is_canonical"))
-          .orderedResult(col("vec_id"))
+          // per-vector output: see orderedOutput note on q57
+          .orderedOutput(col("vec_id"))
       },
       Some("""WITH RECURSIVE pairs AS (
              |  SELECT a.vec_id AS id1, b.vec_id AS id2
@@ -452,7 +455,8 @@ object PipelineQueries {
         // per-doc grams are already distinct, so plain count = distinct hits
         tr.join(ev, Seq("g"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-          .orderedResult(col("doc_id"))
+          // per-document output: see orderedOutput note on q57
+          .orderedOutput(col("doc_id"))
       },
       Some(s"""WITH g AS (SELECT doc_id, source,
              |    list_distinct(list_transform(generate_series(1, length(text) - 7),
@@ -513,7 +517,8 @@ object PipelineQueries {
               .otherwise(0L)).as("n_rare"))
           .withColumn("rare_ratio",
             round(col("n_rare").cast("double") / col("n_tokens"), 6))
-          .orderedResult(col("doc_id"))
+          // per-document output: see orderedOutput note on q57
+          .orderedOutput(col("doc_id"))
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
              |freq AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY 1),

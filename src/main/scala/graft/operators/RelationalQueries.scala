@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.model.{RouteSection, TimeSlot}
+import QueryDef.OrderedResultOps
 
 /** One verifiable operator: a DataFrame build plus (when SQL-expressible)
   * an ANSI-SQL oracle DuckDB runs on the same parquet tables. */
@@ -12,18 +13,28 @@ final case class QueryDef(build: (SparkSession, String) => DataFrame,
                           oracle: Option[String])
 
 object QueryDef {
-  /** Deterministic total order for a RESULT-SIZED relation with an
-    * EXPENSIVE child: one shuffle to a single partition, then a local
-    * sort. `orderBy` would plan a range exchange whose partitioner
-    * SAMPLES the child — executing the entire upstream pipeline twice
-    * (measured: q29's join ran 16.3 s ordered vs 8.3 s unordered; the
-    * extra 8 s was the sampling pass, not the sort). Only for outputs
-    * bounded enough to sort on one core (every registry result is); a
-    * corpus-sized relation should keep `orderBy`'s range sort and eat
-    * the sampling pass. */
+  /** Deterministic total orders for registry outputs. Two shapes, picked
+    * by OUTPUT size:
+    *
+    *  - [[orderedResult]] — one shuffle to a single partition + local
+    *    sort. Only for outputs bounded enough to sort on one core
+    *    (top-k, per-group summaries, thresholded pair sets). Exists
+    *    because `orderBy` over an UN-SHUFFLED expensive child samples
+    *    that child twice (measured: q29's broadcast-join tail ran 16.3 s
+    *    ordered vs 8.3 s unordered — the sampling pass re-ran the join).
+    *  - [[orderedOutput]] — a plain parallel range sort. For CORPUS-SIZED
+    *    outputs (per-document relations) that must never funnel through
+    *    one task at 100 TB. When the child's tail is a shuffle stage —
+    *    every groupBy/join output — AQE has already materialized it, so
+    *    the range partitioner's sampling pass re-reads shuffle files
+    *    rather than re-executing the pipeline (measured on q16/q57/q61/
+    *    q63/q67: orderBy beat both repartition(1) and an explicit
+    *    checkpoint-then-sort). A named alias so the size policy is
+    *    visible at every call site. */
   implicit class OrderedResultOps(private val df: DataFrame) extends AnyVal {
     def orderedResult(cols: Column*): DataFrame =
       df.repartition(1).sortWithinPartitions(cols: _*)
+    def orderedOutput(cols: Column*): DataFrame = df.orderBy(cols: _*)
   }
 }
 
@@ -305,7 +316,9 @@ object RelationalQueries {
             when(col("avg_spec").isNotNull, lit(0))
               .when(col("avg_semi").isNotNull, lit(2))
               .otherwise(lit(5)).as("precision_type"))
-          .orderBy(col("l_partkey"), col("l_suppkey"))
+          // requests-sized output (grows with the corpus): parallel range
+          // sort, never a single-partition funnel
+          .orderedOutput(col("l_partkey"), col("l_suppkey"))
       },
       Some("""WITH specific AS (
              |  SELECT l_partkey, l_suppkey,

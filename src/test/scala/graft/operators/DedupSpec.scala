@@ -178,6 +178,31 @@ class DedupSpec extends SparkSpec {
     assert(prefixes > 0, "corpus failed to produce hot shingles (test setup)")
   }
 
+  test("portable simhash: exact dups at hamming 0, near dups collide, disjoint don't pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // long docs: simhash bit votes have sigma ~ sqrt(#grams), so the
+    // single-token edit must stay small relative to the gram population
+    // for a 16-bit band to survive untouched
+    def doc(seed: Int): String =
+      Seq.fill(400)(s"w${rnd.nextInt(200) + seed * 1000}").mkString(" ")
+    val base = doc(0)
+    // a one-character edit touches <= 3 sampled grams out of ~400: votes
+    // shift by <= 6 against sigma ~ 20, so bands survive with margin
+    val nearDup = base.updated(30, 'z')
+    val docs = (Seq((0L, base), (1L, base), (2L, nearDup)) ++
+      (3L until 20L).map(i => (i, doc(i.toInt))))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupQueries.simhashPortable(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got.get((0L, 1L)) === Some(0), "exact dup pair at hamming 0")
+    assert(got.contains((0L, 2L)) || got.contains((1L, 2L)),
+      "near dup shares a band and passes the hamming cut")
+    assert(!got.keySet.exists { case (_, b) => b >= 3L },
+      s"no candidates touching disjoint-vocabulary docs: $got")
+  }
+
   test("simhash surfaces planted near-duplicates with small hamming distance") {
     val cand = DedupQueries.simhashCandidates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
