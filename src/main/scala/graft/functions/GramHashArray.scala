@@ -23,15 +23,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * decontamination join. This expression emits the whole array from ONE
   * compiled rolling loop per row: measured 41 s → ~2 s for q61.
   *
-  * Codepoint note: matches `ascii()` (first codepoint) for the BMP;
-  * identical to the DuckDB oracle on ASCII corpora, which is the stated
-  * domain of the polynomial hash (see q33). */
+  * Codepoint note: positions and values are Unicode CODEPOINTS (not
+  * UTF-16 units), matching both the interpreted `ascii(substr(...))`
+  * Column form and DuckDB's substr/ascii on every input including
+  * non-BMP text (emoji land as one window position with their full
+  * codepoint value, exactly as the oracle computes them). */
 object GramHashArrayOps {
   final val Mod = 1000000007L
 
+  /** The string's codepoints — one array hop per row so the window loops
+    * below index O(1) by codepoint, as SQL substr does. */
+  private[functions] def codepoints(text: UTF8String): Array[Int] =
+    text.toString.codePoints().toArray
+
   def grams(text: UTF8String, gramLen: Int, stride: Int): ArrayData = {
-    val s = text.toString
-    val n = s.length
+    val cps = codepoints(text)
+    val n = cps.length
     if (n < gramLen) return new GenericArrayData(Array.emptyLongArray)
     val pows = new Array[Long](gramLen)
     var p = 1L
@@ -44,7 +51,7 @@ object GramHashArrayOps {
     while (idx < count) {
       var h = 0L
       k = 0
-      while (k < gramLen) { h += s.charAt(i + k).toLong * pows(k); k += 1 }
+      while (k < gramLen) { h += cps(i + k).toLong * pows(k); k += 1 }
       out(idx) = h % Mod
       idx += 1
       i += stride
@@ -64,8 +71,10 @@ object GramHashArrayOps {
   * output distinct, order unspecified (consumers treat it as a set). */
 object SpanFingerprintsOps {
   def spans(text: UTF8String, gramLen: Int, spanGrams: Int, keepMod: Int): ArrayData = {
-    val s = text.toString
-    val n = s.length
+    // codepoint domain, same as GramHashArrayOps.grams — span anchoring
+    // must agree with the q69 oracle's substr positions on non-BMP text
+    val cps = GramHashArrayOps.codepoints(text)
+    val n = cps.length
     val spanChars = gramLen * spanGrams
     if (n < spanChars) return new GenericArrayData(Array.emptyLongArray)
     val grams = n - gramLen + 1
@@ -78,7 +87,7 @@ object SpanFingerprintsOps {
     while (i < grams) {
       var h = 0L
       k = 0
-      while (k < gramLen) { h += s.charAt(i + k).toLong * pows(k); k += 1 }
+      while (k < gramLen) { h += cps(i + k).toLong * pows(k); k += 1 }
       g(i) = h % GramHashArrayOps.Mod
       i += 1
     }

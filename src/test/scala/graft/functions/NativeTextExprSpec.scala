@@ -74,6 +74,39 @@ class NativeTextExprSpec extends SparkSpec {
     assert((got(4) intersect got(5)).nonEmpty)
   }
 
+  test("GramHashArray/SpanFingerprints hash CODEPOINTS: non-BMP text matches ascii(substr) form") {
+    import spark.implicits._
+    // emoji are surrogate PAIRS in UTF-16: a code-unit walk would shift
+    // every window position after one and hash surrogate halves; the
+    // codepoint walk must agree with the interpreted ascii(substr(...))
+    // Column form (Spark substr/ascii are codepoint-based, like DuckDB's)
+    val texts = Seq(
+      "café with 😀 emoji and more text to cover spans",
+      "😀😁😂 leading emoji then plain ascii text",
+      ("pad " * 12) + "😀 shared span sits here with plenty of characters " + ("tail " * 12))
+    val gramHashCol = transform(
+      sequence(lit(1), greatest(length(col("text")) - 7, lit(0))),
+      i => (0 until 8).map(k =>
+        ascii(col("text").substr(i + lit(k), lit(1))).cast("long") *
+          lit(math.pow(31, k).toLong)).reduce(_ + _) % lit(1000000007L))
+    val rows = texts.toDF("text")
+      .select(GramHashArray(col("text")).as("native"), gramHashCol.as("interp"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getAs[scala.collection.Seq[Long]](0).toSeq ===
+        r.getAs[scala.collection.Seq[Long]](1).toSeq, s"text: $t")
+    }
+    // spans: offset-free anchoring must survive non-BMP content — the
+    // shared emoji-bearing span sits at different offsets in both docs
+    val span = "😀 the shared boilerplate block " + ("s" * 40) + " 😂 end"
+    val a = "intro " + span
+    val b = "a different and much longer introduction " + span
+    val got = Seq(a, b).toDF("text")
+      .select(SpanFingerprints(col("text")).as("w"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]](0).toSet)
+    assert((got(0) intersect got(1)).nonEmpty, "common span fingerprints")
+  }
+
   test("CollapseBarrier is transparent for values and nulls") {
     import spark.implicits._
     val out = Seq(Some(1), None, Some(3)).toDF("x")
