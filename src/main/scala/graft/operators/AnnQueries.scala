@@ -105,13 +105,43 @@ object AnnQueries {
         .otherwise(0L)).as("signature"))
   }
 
+  /** Portable sign-LSH signatures (q71): the [[signSignatures]]
+    * construction with xxhash64 weights replaced by a cross-engine hash
+    * family AND the projection made EXACT INTEGER arithmetic:
+    * components quantize as floor(x · 2²⁰) (float→double is exact and
+    * 2²⁰ is a power of two, so the floor is bit-identical on both
+    * engines), weights are ((plane·4096 + pos + 1)·2654435761 mod p)
+    * mod 2001 − 1000 ∈ [−1000, 1000]. The projection sign — the only
+    * thing the signature keeps — is then immune to summation order, so
+    * DuckDB reproduces every bit without float caveats. Same
+    * posexplode + broadcast-planes + two keyed aggregations shape. */
+  def signSignaturesPortable(embeddings: DataFrame, planes: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    val planeIds = spark.range(planes).toDF("plane")
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .crossJoin(broadcast(planeIds))
+      .withColumn("xi", floor(col("v").cast("double") * 1048576.0).cast("long"))
+      .withColumn("wi",
+        ((col("plane") * 4096 + col("pos") + 1) * lit(2654435761L))
+          % lit(1000000007L) % 2001L - 1000L)
+      .groupBy(col("vec_id"), col("plane"))
+      .agg(sum(col("xi") * col("wi")).as("proj"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("proj") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"))
+        .otherwise(0L)).as("signature"))
+  }
+
   /** Sign-LSH search: candidates share the probe's signature bucket or any
     * bucket at hamming distance 1 (multi-probe, the recall knob analogous
     * to IVF's nprobe); exact cosine re-ranks the candidates. */
   def lshSearch(embeddings: DataFrame, probe: DataFrame,
-                k: Int = 10, planes: Int = 16): DataFrame = {
-    val sigs = signSignatures(embeddings, planes)
-    val probeSig = signSignatures(probe.withColumn("vec_id", lit(-1L)), planes)
+                k: Int = 10, planes: Int = 16,
+                signatures: (DataFrame, Int) => DataFrame = signSignatures)
+  : DataFrame = {
+    val sigs = signatures(embeddings, planes)
+    val probeSig = signatures(probe.withColumn("vec_id", lit(-1L)), planes)
       .select(col("signature").as("psig"))
     // probe bucket + the `planes` hamming-1 neighbours: tiny literal table
     val probed = probeSig.select(explode(array(
@@ -290,5 +320,40 @@ object AnnQueries {
         // fill k=10 at bench scale; raise planes as the corpus grows
         lshSearch(e, e.orderBy(col("vec_id")).limit(1), k = 10, planes = 8)
       },
-      None))
+      None),
+    // the SAME bucket + hamming-1 multiprobe + cosine re-rank pipeline
+    // over the portable INTEGER-projection signatures — the whole sign-LSH
+    // construction hash-checked in DuckDB (mirrors q66/q70's treatment of
+    // MinHash/SimHash; q49 keeps the xxhash64 family for raw throughput)
+    "q71_lsh_ann_portable" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        lshSearch(e, e.orderBy(col("vec_id")).limit(1), k = 10, planes = 8,
+          signatures = signSignaturesPortable)
+      },
+      Some(lshPortableOracleSql(planes = 8))))
+
+  /** DuckDB twin of the portable sign-LSH search: signature bits from the
+    * identical integer arithmetic (1-based DuckDB lambda index i =
+    * Spark's pos + 1), candidates by bucket or hamming-1, cosine re-rank
+    * rounded to 6 (the q39 precedent for in-order double dot products). */
+  private def lshPortableOracleSql(planes: Int): String = {
+    def projSql(j: Int): String =
+      s"list_sum(list_transform(v, (x, i) -> CAST(floor(x * 1048576) AS BIGINT)" +
+        s" * ((($j * 4096 + i) * CAST(2654435761 AS BIGINT)) % 1000000007 % 2001 - 1000)))"
+    val sigExpr = (0 until planes).map(j =>
+      s"(CASE WHEN ${projSql(j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val probed = (s"s.sig = p.psig" +:
+      (0 until planes).map(j => s"s.sig = xor(p.psig, ${1L << j})"))
+      .mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sigs AS (SELECT vec_id, v, $sigExpr AS sig FROM e),
+       |probe AS (SELECT v AS pv, sig AS psig FROM sigs ORDER BY vec_id LIMIT 1)
+       |SELECT s.vec_id,
+       |  ROUND(list_inner_product(s.v, p.pv)
+       |    / (SQRT(list_inner_product(s.v, s.v)) * SQRT(list_inner_product(p.pv, p.pv))), 6) AS cos_sim
+       |FROM sigs s, probe p WHERE $probed
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+  }
 }

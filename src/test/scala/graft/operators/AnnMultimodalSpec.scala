@@ -67,6 +67,30 @@ class AnnMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("portable sign-LSH: planted duplicate retrieved; integer projections deterministic") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val probe = e.orderBy(col("vec_id")).limit(1)
+    val probeRow = probe.collect().head
+    val dup = Seq((99999L,
+      probeRow.getAs[scala.collection.Seq[Float]]("embedding").toSeq,
+      probeRow.getAs[Int]("label"))).toDF("vec_id", "embedding", "label")
+    val planted = e.unionByName(dup)
+    val got = AnnQueries.lshSearch(planted, probe, k = 10, planes = 8,
+        signatures = AnnQueries.signSignaturesPortable)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).contains(99999L), s"got ${got.toSeq}")
+    assert(got.find(_._1 == 99999L).get._2 == 1.0)
+    assert(got.sliding(2).forall(w => w(0)._2 >= w(1)._2))
+    // integer projections: signature identical across runs and in range
+    val a = AnnQueries.signSignaturesPortable(e, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = AnnQueries.signSignaturesPortable(e, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.forall(s => s >= 0L && s < (1L << 8)))
+  }
+
   test("signatures: 16-bit range, deterministic across invocations") {
     val e = Tables.embeddings(spark, sf)
     val a = AnnQueries.signSignatures(e).collect()

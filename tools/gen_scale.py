@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Synthesize a 10x (or Nx) scale probe dataset from an existing sf dir.
+
+Usage: python3 tools/gen_scale.py <srcSfDir> <outDir> [copies]
+
+Each fact table is replicated `copies` times with keys shifted by a
+disjoint per-copy offset, preserving referential integrity (orders ->
+customer, lineitem -> orders/part/supplier, events.user_id -> customer,
+embeddings.vec_id -> documents.doc_id) and exact dtypes (including the
+events table's INT64 TIMESTAMP(NANOS) column). Document text gets a
+per-copy marker token prepended (n_chars updated) so exact-dup structure
+is preserved per copy instead of planting 10-way duplicate clusters;
+embeddings get a small per-copy additive perturbation for the same
+reason. region/nation stay single-copy (dimensions).
+
+Dev tooling only (scale probes) — NOT part of the shipped library and
+NOT a replacement for the driver's testdata.
+"""
+import sys, os
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+OFF = 10_000_000  # > every key in the source tables
+
+def shifted(table: pa.Table, i: int, keycols: list[str]) -> pa.Table:
+    for c in keycols:
+        idx = table.schema.get_field_index(c)
+        col = pc.add(table.column(c), pa.scalar(OFF * i, table.schema.field(c).type))
+        table = table.set_column(idx, table.schema.field(c), col)
+    return table
+
+def main():
+    src, out = sys.argv[1], sys.argv[2]
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(out, exist_ok=True)
+
+    plain_keys = {
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id", "user_id"],
+    }
+    for t in ["region", "nation"]:
+        pq.write_table(pq.read_table(f"{src}/{t}.parquet"), f"{out}/{t}.parquet")
+    for t, keys in plain_keys.items():
+        base = pq.read_table(f"{src}/{t}.parquet")
+        writer = pq.ParquetWriter(f"{out}/{t}.parquet", base.schema)
+        for i in range(copies):
+            writer.write_table(shifted(base, i, keys))
+        writer.close()
+
+    docs = pq.read_table(f"{src}/documents.parquet")
+    writer = pq.ParquetWriter(f"{out}/documents.parquet", docs.schema)
+    for i in range(copies):
+        t = shifted(docs, i, ["doc_id"])
+        if i > 0:
+            marker = f"c{i} "
+            text = pc.binary_join_element_wise(
+                pa.scalar(marker), t.column("text"), pa.scalar(""))
+            ti = t.schema.get_field_index("text")
+            t = t.set_column(ti, t.schema.field("text"), text)
+            ni = t.schema.get_field_index("n_chars")
+            nc = pc.add(t.column("n_chars"),
+                        pa.scalar(len(marker), t.schema.field("n_chars").type))
+            t = t.set_column(ni, t.schema.field("n_chars"), nc)
+        writer.write_table(t)
+    writer.close()
+
+    emb = pq.read_table(f"{src}/embeddings.parquet")
+    writer = pq.ParquetWriter(f"{out}/embeddings.parquet", emb.schema)
+    etype = emb.schema.field("embedding").type
+    for i in range(copies):
+        t = shifted(emb, i, ["vec_id"])
+        if i > 0:
+            flat = t.column("embedding").combine_chunks()
+            assert isinstance(flat, pa.ListArray) or isinstance(flat, pa.LargeListArray)
+            vals = pc.add(flat.values, pa.scalar(0.01 * i, flat.values.type))
+            newcol = type(flat).from_arrays(flat.offsets, vals)
+            ei = t.schema.get_field_index("embedding")
+            t = t.set_column(ei, t.schema.field("embedding"), newcol.cast(etype))
+        writer.write_table(t)
+    writer.close()
+    print(f"wrote {copies}x of {src} to {out}")
+
+if __name__ == "__main__":
+    main()
