@@ -14,6 +14,15 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // NOTE (r6, measured): the bench tables are one compact parquet
+      // file each, so the 4 MB open-cost floor caps e.g. the 6 MB
+      // documents file at ~2 input splits. Lowering openCostInBytes to
+      // 64 KB to widen the map side was A/B-tested and REGRESSED the
+      // full registry 86.5 s -> 109.7 s at sf0.1 — scheduling + shuffle
+      // file overhead of 32-way tiny map tasks outweighs the extra
+      // width at these input sizes. Real corpora arrive as many files
+      // (the 10x probe generator shards per copy), which widens scans
+      // without the per-task overhead; defaults kept.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

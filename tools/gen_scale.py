@@ -43,18 +43,30 @@ def main():
         "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
         "events": ["event_id", "user_id"],
     }
+    # one FILE per (copy, slice): a single compact parquet file is ONE
+    # Spark input split (maxPartitionBytes >> file size), which starves
+    # map-side parallelism for the explode-heavy document queries — and
+    # misrepresents a real corpus, which is always many files
+    SLICES = 4
+    def write_sharded(t, make_copy):
+        d = f"{out}/{t}.parquet"
+        os.makedirs(d, exist_ok=True)
+        for i in range(copies):
+            tab = make_copy(i)
+            n = tab.num_rows
+            for sl in range(SLICES):
+                lo = n * sl // SLICES
+                hi = n * (sl + 1) // SLICES
+                pq.write_table(tab.slice(lo, hi - lo),
+                               f"{d}/part-{i:02d}-{sl}.parquet")
     for t in ["region", "nation"]:
         pq.write_table(pq.read_table(f"{src}/{t}.parquet"), f"{out}/{t}.parquet")
     for t, keys in plain_keys.items():
         base = pq.read_table(f"{src}/{t}.parquet")
-        writer = pq.ParquetWriter(f"{out}/{t}.parquet", base.schema)
-        for i in range(copies):
-            writer.write_table(shifted(base, i, keys))
-        writer.close()
+        write_sharded(t, lambda i, base=base, keys=keys: shifted(base, i, keys))
 
     docs = pq.read_table(f"{src}/documents.parquet")
-    writer = pq.ParquetWriter(f"{out}/documents.parquet", docs.schema)
-    for i in range(copies):
+    def doc_copy(i):
         t = shifted(docs, i, ["doc_id"])
         if i > 0:
             marker = f"c{i} "
@@ -66,23 +78,21 @@ def main():
             nc = pc.add(t.column("n_chars"),
                         pa.scalar(len(marker), t.schema.field("n_chars").type))
             t = t.set_column(ni, t.schema.field("n_chars"), nc)
-        writer.write_table(t)
-    writer.close()
+        return t
+    write_sharded("documents", doc_copy)
 
     emb = pq.read_table(f"{src}/embeddings.parquet")
-    writer = pq.ParquetWriter(f"{out}/embeddings.parquet", emb.schema)
     etype = emb.schema.field("embedding").type
-    for i in range(copies):
+    def emb_copy(i):
         t = shifted(emb, i, ["vec_id"])
         if i > 0:
             flat = t.column("embedding").combine_chunks()
-            assert isinstance(flat, pa.ListArray) or isinstance(flat, pa.LargeListArray)
             vals = pc.add(flat.values, pa.scalar(0.01 * i, flat.values.type))
             newcol = type(flat).from_arrays(flat.offsets, vals)
             ei = t.schema.get_field_index("embedding")
             t = t.set_column(ei, t.schema.field("embedding"), newcol.cast(etype))
-        writer.write_table(t)
-    writer.close()
+        return t
+    write_sharded("embeddings", emb_copy)
     print(f"wrote {copies}x of {src} to {out}")
 
 if __name__ == "__main__":
