@@ -99,6 +99,29 @@ object DocBench {
         shingleLen = 8)
         .count()
     }
+    // ONE GIANT SOURCE: the stratum shape of a real training mix (one
+    // source holds ~99% of the corpus). The r5 window formulations
+    // serialize the giant stratum through a single task; the r6
+    // hash-threshold / two-phase-prefix-sum shapes must parallelize it.
+    // 10x the base corpus: at 1M docs the old shape's single task sorts
+    // 1M rows alone while these stay partition-parallel.
+    val giant = spark.range(nDocs * 10)
+      .select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(100)) === 0,
+          concat(lit("small"), pmod(col("id"), lit(3))))
+          .otherwise(lit("giant")).as("source"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          i => concat(lit("w"), pmod(xxhash64(col("id") * 20 + i), lit(5000)))))
+          .as("text"))
+      .cache()
+    println(s"[doc-bench] giant-source corpus: ${giant.count()} docs")
+    time(s"stratified sample (hash-threshold) over ${nDocs * 10} docs, one giant source") {
+      graft.operators.PipelineQueries.stratifiedSample(giant, 0.25).count()
+    }
+    time(s"token-budget mix (two-phase prefix sum), budget covers ~half the giant source") {
+      graft.operators.PipelineQueries.tokenBudgetMix(giant, nDocs * 10L).count()
+    }
+    giant.unpersist()
     spark.stop()
   }
 }
