@@ -576,6 +576,91 @@ object PipelineQueries {
              |       OR stop_ratio < 0.08 THEN 0 ELSE 1 END AS keep
              |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // ── corpus-trained bigram LM quality score (the KenLM-style
+    //    perplexity filter of C4/Gopher pipelines, self-trained): score =
+    //    mean over a doc's token bigrams of ln P(t2|t1) under add-one
+    //    smoothing, P = (C2+1)/(C1+V) with corpus-wide counts. Bigram
+    //    counts shuffle-join on (t1,t2) — bigram-vocabulary-sized, the
+    //    scale-correct shape; unigram counts and V are vocabulary-sized
+    //    (AQE broadcasts when small). ln ulp differences and
+    //    summation-order noise (~1e-14) sit far below the 6-decimal
+    //    rounding, the q58 BM25 precedent. ──
+    "q72_bigram_lm_score" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tk = tokens(col("text"))
+        val big = docs.filter(size(tk) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(tk) - 1),
+            i => struct(element_at(tk, i).as("t1"),
+              element_at(tk, i + 1).as("t2")))).as("b"))
+          .select(col("doc_id"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+        val uni = docs.select(explode(tk).as("t"))
+        val c2 = big.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c2"))
+        val c1 = uni.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+        val v = uni.agg(count_distinct(col("t")).as("v"))
+        big.join(c2, Seq("t1", "t2"))
+          .join(c1, col("t") === col("t1")).drop("t")
+          .crossJoin(broadcast(v))
+          .withColumn("logp", log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("logp")) / count(lit(1)), 6).as("lm_score"))
+          .orderedOutput(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+             |big AS (SELECT doc_id, tk[i] AS t1, tk[i+1] AS t2
+             |        FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-1)) AS i)
+             |        WHERE len(tk) >= 2),
+             |uni AS (SELECT unnest(string_split(text,' ')) AS t FROM documents),
+             |c2 AS (SELECT t1, t2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+             |c1 AS (SELECT t, COUNT(*) AS c1 FROM uni GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT t) AS v FROM uni)
+             |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             |  ROUND(SUM(ln((c.c2 + 1.0) / (u.c1 + w.v))) / COUNT(*), 6) AS lm_score
+             |FROM big b JOIN c2 c USING (t1, t2) JOIN c1 u ON u.t = b.t1, v w
+             |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── PII scrub (the C4-style redaction pass): per-doc counts of
+    //    email-, IPv4- and long-digit-run-shaped spans plus the post-
+    //    redaction length. Patterns restricted to syntax Java regex and
+    //    RE2 share (no lookaround/backrefs); replacements applied in a
+    //    fixed order (email → ip → digit run) so both engines see
+    //    identical intermediate strings. Pure per-row expressions: no
+    //    shuffle, embarrassingly parallel. ──
+    "q73_pii_scrub" -> QueryDef(
+      (s, d) => {
+        val email = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z][a-z]+"
+        val ip = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+        val num = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+        val r1 = regexp_replace(col("text"), email, "<PII>")
+        val r2 = regexp_replace(r1, ip, "<PII>")
+        val r3 = regexp_replace(r2, num, "<PII>")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(email), lit(0)))
+              .cast("long").as("n_email"),
+            size(regexp_extract_all(r1, lit(ip), lit(0)))
+              .cast("long").as("n_ip"),
+            size(regexp_extract_all(r2, lit(num), lit(0)))
+              .cast("long").as("n_longnum"),
+            length(r3).cast("long").as("redacted_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+\.[a-z][a-z]+')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+\.[a-z][a-z]+', '<PII>', 'g'),
+             |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ip,
+             |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+             |      '[a-z0-9.]+@[a-z0-9.]+\.[a-z][a-z]+', '<PII>', 'g'),
+             |      '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<PII>', 'g'),
+             |    '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_longnum,
+             |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+             |      '[a-z0-9.]+@[a-z0-9.]+\.[a-z][a-z]+', '<PII>', 'g'),
+             |      '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<PII>', 'g'),
+             |    '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+', '<PII>', 'g')) AS BIGINT) AS redacted_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ── document chunking: 32-token windows at stride 24 (8-token
     //    overlap), trailing partial window kept — the standard
     //    context-window preparation step. Pure per-row explode: no

@@ -194,6 +194,45 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q72 bigram LM score: hand-computed add-one model on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b", "en", "s", 7L),
+      (1L, "a b", "en", "s", 3L),
+      (2L, "c c", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineQueries.registry("q72_bigram_lm_score").build(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus: bigrams ab×3, ba×1, cc×1; unigrams a×3, b×3, c×2; V=3
+    def p(c2: Int, c1: Int) = math.log((c2 + 1.0) / (c1 + 3))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0L)._1 === 3L)
+    assert(got(0L)._2 === r6((p(3, 3) + p(1, 3) + p(3, 3)) / 3))
+    assert(got(1L) === ((1L, r6(p(3, 3)))))
+    assert(got(2L) === ((1L, r6(p(1, 2)))))
+  }
+
+  test("q73 PII scrub: planted emails/IPs/digit runs counted and redacted") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "contact me at j.doe@example.com or admin@site.org thanks", "en", "s", 1L),
+      (1L, "server 10.0.0.1 and 192.168.255.254 plus id 12345678", "en", "s", 1L),
+      (2L, "nothing sensitive here just words and 123 456", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineQueries.registry("q73_pii_scrub").build(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L)._1 === 2L, "two emails")
+    assert(got(1L) === ((0L, 2L, 1L,
+      "server <PII> and <PII> plus id <PII>".length.toLong)))
+    assert(got(2L) === ((0L, 0L, 0L,
+      "nothing sensitive here just words and 123 456".length.toLong)))
+  }
+
   test("q65 rule filter: keep is exactly reason_mask == 0") {
     val out = PipelineQueries.registry("q65_rule_filter")
       .build(spark, "/root/testdata/sf0.001").collect()
