@@ -65,25 +65,34 @@ object DedupQueries {
              |        AND CAST(o_orderdate AS DATE) <= CAST(as_of AS DATE))
              |SELECT event_id, o_orderkey FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin)),
 
-    // ── n-gram (token-set) Jaccard near-dup, source-blocked self-join ──
+    // ── n-gram (token-set) Jaccard near-dup, source-grouped all-pairs
+    //    through the TRIANGLE-BLOCKED self-join cover ([[Blocking]]):
+    //    a plain source-keyed self-join parallelizes only by #sources
+    //    (five tasks forever, each block-quadratic); blocking spreads the
+    //    same pairs over sources × B(B+1)/2 tasks. Output identical
+    //    (spec-pinned vs the plain join), oracle unchanged. ──
     "q29_jaccard_pairs" -> QueryDef(
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), array_distinct(tokens(col("text"))).as("t"))
-        val a = toks.select(col("source"), col("doc_id").as("id1"),
-          col("t").as("t1"), size(col("t")).as("n1"))
-        val b = toks.select(col("source"), col("doc_id").as("id2"),
-          col("t").as("t2"), size(col("t")).as("n2"))
-        a.join(b, Seq("source")).filter(col("id1") < col("id2"))
+        val (lft, rgt) = Blocking.triangleSides(toks, col("doc_id"), blocks = 8)
+        val a = lft.select(col("source"), col("__bi"), col("__bj"),
+          col("doc_id").as("ida"), col("t").as("ta"), size(col("t")).as("na"))
+        val b = rgt.select(col("source"), col("__bi"), col("__bj"),
+          col("doc_id").as("idb"), col("t").as("tb"), size(col("t")).as("nb"))
+        a.join(b, Seq("source", "__bi", "__bj"))
+          .filter(Blocking.pairPredicate(col("ida"), col("idb")))
           // |union| = n1 + n2 - |inter| for distinct arrays: ONE array
           // scan per pair; barrier so filter + projection don't re-inline
           // the intersection
           .withColumn("inter", graft.functions.CollapseBarrier(
-            size(array_intersect(col("t1"), col("t2")))))
+            size(array_intersect(col("ta"), col("tb")))))
           .withColumn("jac", col("inter").cast("double") /
-            (col("n1") + col("n2") - col("inter")))
+            (col("na") + col("nb") - col("inter")))
           .filter(col("jac") >= 0.4)
-          .select(col("id1"), col("id2"), col("jac"))
+          // cross-bucket rows arrive in either id order; jac is symmetric
+          .select(least(col("ida"), col("idb")).as("id1"),
+            greatest(col("ida"), col("idb")).as("id2"), col("jac"))
           .orderedResult(col("id1"), col("id2"))
       },
       Some("""WITH toks AS (SELECT doc_id, source,
@@ -378,7 +387,11 @@ object DedupQueries {
     * edge relation of q67's semantic duplicate groups): unordered
     * (id1 < id2, cos_sim rounded to 6). Norms are computed once per row
     * BEFORE the self-join — the join multiplies rows, so per-pair norm
-    * recomputation would cost O(pairs·dim) instead of O(rows·dim). */
+    * recomputation would cost O(pairs·dim) instead of O(rows·dim).
+    * Triangle-blocked ([[Blocking]]): a label-keyed self-join would cap
+    * parallelism at #labels; blocking spreads each label's pairs over
+    * B(B+1)/2 tasks. Cosine is symmetric, so cross-bucket id order is
+    * canonicalized at the end. */
   def embedNearDupPairs(embeddings: DataFrame,
                         threshold: Double = 0.3): DataFrame = {
     def dot(x: Column, y: Column) = graft.functions.VecDot(x, y)
@@ -386,16 +399,20 @@ object DedupQueries {
       .select(col("label"), col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val a = e.select(col("label"), col("vec_id").as("id1"),
-      col("v").as("v1"), col("norm").as("n1"))
-    val b = e.select(col("label"), col("vec_id").as("id2"),
-      col("v").as("v2"), col("norm").as("n2"))
-    a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+    val (lft, rgt) = Blocking.triangleSides(e, col("vec_id"), blocks = 8)
+    val a = lft.select(col("label"), col("__bi"), col("__bj"),
+      col("vec_id").as("ida"), col("v").as("va"), col("norm").as("na"))
+    val b = rgt.select(col("label"), col("__bi"), col("__bj"),
+      col("vec_id").as("idb"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("label", "__bi", "__bj"))
+      .filter(Blocking.pairPredicate(col("ida"), col("idb")))
       // barrier: the dot product must not inline into filter + round
       .withColumn("cos", graft.functions.CollapseBarrier(
-        dot(col("v1"), col("v2")) / (col("n1") * col("n2"))))
+        dot(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("cos") > threshold)
-      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"),
+        round(col("cos"), 6).as("cos_sim"))
   }
 
   /** Shared constants of the portable MinHash family (q66): 16 affine
