@@ -714,35 +714,60 @@ object DedupQueries {
       explode(col("sh")).as("s"))
     val freq = exploded.groupBy(col("source"), col("s"))
       .agg(count(lit(1)).as("f"))
-    val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    // conservative prefix: ceil over a downward-nudged product, so a
+    // float product landing epsilon ABOVE the exact integer (0.4·30 =
+    // 12 + 2e-15 in doubles) cannot shorten the prefix below the
+    // theorem's bound and silently drop an exact-boundary pair
+    val prefixLen = (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast("int")
     // truncate: the guard gives the prefix index FOUR consumers (size
     // count, light pairs, both salted sides) — materialize the
     // explode→freq→rank pipeline once instead of re-executing it per
-    // consumer (reliable checkpoint on a cluster, local blocks here)
+    // consumer (reliable checkpoint on a cluster, local blocks here).
+    // rk (the element's 1-based position in the doc's frequency-sorted
+    // order) rides along for the PPJoin positional filter below.
     val prefixes = Checkpoints.truncate(exploded.join(freq, Seq("source", "s"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))))
       .filter(col("rk") <= prefixLen)
-      .select(col("source"), col("s"), col("doc_id"), col("n")))
+      .select(col("source"), col("s"), col("doc_id"), col("n"), col("rk")))
     val heavyKeys = prefixes.groupBy(col("source"), col("s"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= heavyListThreshold)
       .select(col("source"), col("s"), lit(true).as("__heavy"))
     val flagged = prefixes.join(broadcast(heavyKeys), Seq("source", "s"), "left")
+    // Candidate filters (exact — verification still decides): LENGTH
+    // (jac ≤ min/max ⇒ min(na,nb) ≥ t·max(na,nb)) and the PPJoin
+    // POSITIONAL filter (Xiao et al., WWW 2008): sharing the element at
+    // 1-based frequency-order positions (pa, pb) bounds the overlap by
+    // 1 + min(na − pa, nb − pb), while jac ≥ t needs overlap ≥
+    // ⌈t·(na+nb)/(1+t)⌉ — near-dup-heavy corpora prune most candidate
+    // occurrences before the verify join ever materializes them.
+    // BOTH filters run epsilon-slack: verification compares the float
+    // jac >= t, so prune predicates must never lose to last-ulp noise
+    // at exact-boundary pairs (jac == t) — slack only admits a few extra
+    // candidates, which verification rejects. The jac >= t overlap bound
+    // is used in product form (ub·(1+t) >= t·(na+nb)): no ceil, no
+    // division, one rounding per side.
+    def survives(na: Int, pa: Int, nb: Int, pb: Int): Boolean = {
+      val eps = 1e-9
+      val ub = 1.0 + math.min(na - pa, nb - pb)
+      math.min(na, nb) + eps >= math.max(na, nb) * threshold &&
+        ub * (1.0 + threshold) + eps >= threshold * (na + nb)
+    }
     // LIGHT lists: candidate pairs per POSTING LIST (the Vernica et al.
     // reducer): group the prefix index by (source, shingle) and emit
-    // length-filtered pairs group-locally. Task input bounded by
+    // filtered pairs group-locally. Task input bounded by
     // heavyListThreshold.
     val pairGen = udf((docs: Seq[org.apache.spark.sql.Row]) => {
-      val arr = docs.map(r => (r.getLong(0), r.getInt(1)))
+      val arr = docs.map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
       val out = Seq.newBuilder[(Long, Long)]
       var i = 0
       while (i < arr.length) {
         var j = i + 1
         while (j < arr.length) {
-          val (a, na) = arr(i)
-          val (b, nb) = arr(j)
-          if (math.min(na, nb) >= math.max(na, nb) * threshold && a != b)
+          val (a, na, pa) = arr(i)
+          val (b, nb, pb) = arr(j)
+          if (a != b && survives(na, pa, nb, pb))
             out += (if (a < b) (a, b) else (b, a))
           j += 1
         }
@@ -752,19 +777,22 @@ object DedupQueries {
     }).asNondeterministic() // pure; collapse barrier
     val lightCands = flagged.filter(col("__heavy").isNull)
       .groupBy(col("source"), col("s"))
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .agg(collect_list(struct(col("doc_id"), col("n"), col("rk"))).as("ds"))
       .select(explode(pairGen(col("ds"))).as("p"))
       .select(col("p._1").as("id1"), col("p._2").as("id2"))
     // HEAVY lists: scatter/replicate self-join — same pairs (id1 < id2
-    // keeps each unordered pair once; the length filter matches pairGen),
-    // quadratic WORK spread over `salt` tasks instead of one
+    // keeps each unordered pair once; filters match pairGen), quadratic
+    // WORK spread over `salt` tasks instead of one
+    val survivesUdf = udf(survives _).asNondeterministic()
     val heavy = flagged.filter(col("__heavy").isNotNull)
     val heavyCands = Salting.saltedJoin(
-      heavy.select(col("source"), col("s"), col("doc_id").as("id1"), col("n").as("n1")),
-      heavy.select(col("source"), col("s"), col("doc_id").as("id2"), col("n").as("n2")),
+      heavy.select(col("source"), col("s"), col("doc_id").as("id1"),
+        col("n").as("n1"), col("rk").as("p1")),
+      heavy.select(col("source"), col("s"), col("doc_id").as("id2"),
+        col("n").as("n2"), col("rk").as("p2")),
       Seq("source", "s"), scatterCols = Seq(col("id1")), salt = salt)
       .filter(col("id1") < col("id2") &&
-        least(col("n1"), col("n2")) >= greatest(col("n1"), col("n2")) * threshold)
+        survivesUdf(col("n1"), col("p1"), col("n2"), col("p2")))
       .select(col("id1"), col("id2"))
     val candidates = lightCands.unionByName(heavyCands).distinct()
     candidates

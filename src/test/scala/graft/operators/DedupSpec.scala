@@ -139,6 +139,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix join keeps pairs at EXACTLY the threshold (float-boundary regression)") {
+    import spark.implicits._
+    // A ⊂ B with |A|=12, |B|=30: jac = 12/30 = 0.4 == t exactly. The
+    // r6 positional filter originally dropped this pair because
+    // ceil(0.4·42/1.4) evaluates to ceil(12.000000000000002) = 13 in
+    // doubles; all prune predicates now run epsilon-slack.
+    val shared = (0 until 12).map(i => s"s$i")
+    val extra = (0 until 18).map(i => s"x$i")
+    val docs = Seq(
+      (0L, shared.mkString(" "), "src"),
+      (1L, (shared ++ extra).mkString(" "), "src"),
+      (2L, (0 until 20).map(i => s"z$i").mkString(" "), "src")
+    ).toDF("doc_id", "text", "source")
+    val got = DedupQueries.tokenPrefixJoin(docs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((0L, 1L, 0.4)), s"got $got")
+  }
+
   test("heavy posting lists route through the salted path with identical output") {
     import spark.implicits._
     // THE corpus that previously killed a DocBench run: digit-heavy text
