@@ -494,6 +494,45 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag")),
-      None)
+      None),
+
+    // ── KMV (k-minimum-values) distinct sketch over a PORTABLE hash —
+    //    the oracle-checkable counterpart of q47's HLL (whose Spark
+    //    sketch internals DuckDB cannot reproduce). A typed Aggregator
+    //    ([[graft.functions.KmvSketch]]) keeps the k smallest DISTINCT
+    //    multiplicative-hash values per group: bounded state, map-side
+    //    partial aggregation (no shuffle of distinct keys, no per-group
+    //    window), deterministic by set semantics. Estimate
+    //    D ≈ (k−1)·M/h₍k₎ (Bar-Yossef et al. 2002) — hash, ranks and
+    //    the one division are bit-identical in DuckDB. ──
+    "q74_kmv_distinct" -> QueryDef(
+      (s, d) => {
+        val k = 64
+        val hv = ((col("l_orderkey") % lit(1000000007L)) * lit(2654435761L)) %
+          lit(1000000007L)
+        val kmv = udaf(new graft.functions.KmvSketch(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), hv.as("hv"))
+          .groupBy(col("l_returnflag"))
+          .agg(kmv(col("hv")).as("sk"))
+          .select(col("l_returnflag"),
+            when(col("sk._1") < k, col("sk._1").cast("double"))
+              .otherwise(round(lit((k - 1).toDouble) * 1000000007.0 / col("sk._2"), 3))
+              .as("est_distinct"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT l_returnflag,
+             |    ((l_orderkey % 1000000007) * 2654435761) % 1000000007 AS hv
+             |  FROM lineitem),
+             |r AS (SELECT l_returnflag, hv,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rk
+             |  FROM h),
+             |s AS (SELECT l_returnflag, COUNT(*) AS n_kept, MAX(hv) AS kth
+             |      FROM r WHERE rk <= 64 GROUP BY 1)
+             |SELECT l_returnflag,
+             |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+             |       ELSE ROUND(63.0 * 1000000007.0 / kth, 3) END AS est_distinct
+             |FROM s ORDER BY l_returnflag""".stripMargin))
   )
 }
