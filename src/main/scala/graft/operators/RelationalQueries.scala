@@ -533,6 +533,30 @@ object RelationalQueries {
              |SELECT l_returnflag,
              |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
              |       ELSE ROUND(63.0 * 1000000007.0 / kth, 3) END AS est_distinct
-             |FROM s ORDER BY l_returnflag""".stripMargin))
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
+
+    // ── EXACT per-group median without sorting: iterative range-
+    //    refinement selection ([[Selection.kthSmallest]] — ≤4 aggregate
+    //    passes for a money domain, no global sort, no per-group window,
+    //    dimension-sized driver state). Values go through exact DECIMAL
+    //    cents so both engines select over identical longs; the oracle
+    //    re-derives the same k-th element by brute-force ranking. ──
+    "q75_exact_median" -> QueryDef(
+      (s, d) => {
+        val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")
+        Selection.median(
+          Tables.lineitem(s, d).select(col("l_returnflag"), cents.as("median_cents")),
+          "l_returnflag", "median_cents")
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH c AS (SELECT l_returnflag,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM lineitem),
+             |r AS (SELECT l_returnflag, cents,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rk,
+             |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM c)
+             |SELECT l_returnflag, cents AS median_cents
+             |FROM r WHERE rk = (n + 1) // 2 ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact per-group order statistics WITHOUT sorting the data — iterative
+  * radix-refinement selection (the distributed k-th-smallest algorithm;
+  * Munro-Paterson lineage).
+  *
+  * A per-group window sort is one task per group; a global orderBy is a
+  * full range sort of the corpus. This needs neither: round r buckets
+  * every value by its signed ARITHMETIC right shift `v >> shift_r`
+  * (shift descending 54, 44, …, 4, 0 — shifts preserve signed order and
+  * cannot overflow, unlike subtraction under ANSI mode), restricted to
+  * the group's prefix chosen so far. One aggregate pass per round
+  * produces the dimension-sized (group, bucket) histogram; the driver
+  * narrows each group's prefix to the bucket containing its k-th value
+  * and reduces k by the mass below. After the shift-0 round the bucket
+  * IS the value. Seven aggregate passes cover the full 64-bit domain —
+  * each embarrassingly parallel with map-side partial aggregation; no
+  * data shuffle, no per-group funnel, driver state is groups × 1. */
+object Selection {
+
+  /** The k-th smallest (1-based, k = kOfN(group count)) of `valueCol`
+    * per `groupCol`. Returns (groupCol: string, valueCol: long) — one
+    * row per group. */
+  def kthSmallest(data: DataFrame, groupCol: String, valueCol: String,
+                  kOfN: Long => Long, shiftStep: Int = 10): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val base = data.select(col(groupCol).cast("string").as("g"),
+      col(valueCol).cast("long").as("v"))
+    var k: Map[String, Long] = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> kOfN(r.getLong(1))).toMap
+    require(k.values.forall(_ >= 1), "kOfN must be >= 1")
+    // prefix(g) = the value's high bits fixed so far, at `prevShift`
+    var prefix: Map[String, Long] = Map.empty
+    var prevShift = 64
+    var shift = 64 - shiftStep
+    var result: Map[String, Long] = Map.empty
+    while (result.size < k.size) {
+      val cur = math.max(shift, 0)
+      val hist =
+        (if (prevShift >= 64) base
+         else {
+           val pre = prefix.toSeq.toDF("g", "p")
+           base.join(broadcast(pre), Seq("g"))
+             .filter(shiftright(col("v"), prevShift) === col("p"))
+         })
+          .groupBy(col("g"), shiftright(col("v"), cur).as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .groupBy(_._1)
+      val chosen = k.keys.filterNot(result.contains).map { g =>
+        val byBucket = hist(g).map(t => t._2 -> t._3).sortBy(_._1)
+        var rem = k(g)
+        var pick = Option.empty[Long]
+        val it = byBucket.iterator
+        while (pick.isEmpty && it.hasNext) {
+          val (b, c) = it.next()
+          if (rem <= c) pick = Some(b) else rem -= c
+        }
+        (g, pick.getOrElse(
+          throw new IllegalStateException(s"selection invariant broken: $g")), rem)
+      }
+      if (cur == 0) result = chosen.map(t => t._1 -> t._2).toMap
+      else {
+        prefix = chosen.map(t => t._1 -> t._2).toMap
+        k = chosen.map(t => t._1 -> t._3).toMap
+      }
+      prevShift = cur
+      shift = cur - shiftStep
+    }
+    result.toSeq.toDF(groupCol, valueCol)
+  }
+
+  /** Exact lower median per group: k = (n + 1) / 2. */
+  def median(data: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    kthSmallest(data, groupCol, valueCol, n => (n + 1) / 2)
+}

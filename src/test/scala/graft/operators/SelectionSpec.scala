@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Range-refinement selection vs brute-force sorting, including the
+  * degenerate distributions that stress bucket refinement: heavy ties,
+  * single-element groups, full-long-range values, adversarial skew. */
+class SelectionSpec extends SparkSpec {
+
+  test("kthSmallest matches sort-based ground truth on random distributions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 5000).map { i =>
+      val g = s"g${i % 7}"
+      val v = (i % 7) match {
+        case 0 => rnd.nextLong() // full 64-bit range
+        case 1 => rnd.nextInt(3).toLong // heavy ties
+        case 2 => 42L // constant group
+        case _ => rnd.nextInt(1000000).toLong - 500000
+      }
+      (g, v)
+    } :+ (("solo", 7L)) // single-element group
+    val df = rows.toDF("g", "v")
+    for (kOf <- Seq[(Long => Long, String)]((n => (n + 1) / 2, "median"),
+      (_ => 1L, "min"), (n => n, "max"), (n => math.max(1, n / 4), "q1"))) {
+      val got = Selection.kthSmallest(df, "g", "v", kOf._1)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.map(_._2).sorted
+        g -> sorted(kOf._1(sorted.length).toInt - 1)
+      }
+      assert(got === want, kOf._2)
+    }
+  }
+
+  test("q75 exact median matches a driver-side sort on the real table") {
+    val d = "/root/testdata/sf0.001"
+    val got = RelationalQueries.registry("q75_exact_median")
+      .build(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cents = graft.sources.Tables.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = cents.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      g -> sorted(((sorted.length + 1) / 2 - 1).toInt)
+    }
+    assert(got === want)
+  }
+}
