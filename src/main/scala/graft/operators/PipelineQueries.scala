@@ -598,7 +598,9 @@ object PipelineQueries {
         val uni = docs.select(explode(tk).as("t"))
         val c2 = big.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c2"))
         val c1 = uni.groupBy(col("t")).agg(count(lit(1)).as("c1"))
-        val v = uni.agg(count_distinct(col("t")).as("v"))
+        // V = |c1| — derive from the count relation instead of a second
+        // distinct pass over the exploded tokens
+        val v = c1.agg(count(lit(1)).as("v"))
         big.join(c2, Seq("t1", "t2"))
           .join(c1, col("t") === col("t1")).drop("t")
           .crossJoin(broadcast(v))
