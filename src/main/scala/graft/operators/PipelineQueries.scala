@@ -53,15 +53,18 @@ object PipelineQueries {
     *     cumulative window over IT is cheap;
     *  2. the cutoff bucket per source is the one whose cumulative range
     *     straddles k; rank ONLY that bucket's rows (≤ n/buckets per
-    *     source per task — bucketShift is the bound knob) to find the
-    *     exact k-th (hv, doc_id) threshold;
+    *     source per task — bucketShift is the bound knob: the default 14
+    *     gives 2^16 buckets, so even a 10^11-row source funnels ≤ ~1.5M
+    *     rows through the cutoff-bucket window while the histogram stays
+    *     sources × 65k; push lower for bigger strata) to find the exact
+    *     k-th (hv, doc_id) threshold;
     *  3. filter the corpus by the broadcast thresholds — embarrassingly
     *     parallel, no per-stratum funnel.
     * Three column-pruned scans of (doc_id, source) replace one
     * single-task-per-source sort; at 100 TB the scans parallelize across
     * the cluster while the window shape walls at the biggest source. */
   def stratifiedSample(docs: org.apache.spark.sql.DataFrame, rate: Double,
-                       bucketShift: Int = 22): org.apache.spark.sql.DataFrame = {
+                       bucketShift: Int = 14): org.apache.spark.sql.DataFrame = {
     val d = docs.select(col("doc_id"), col("source"), docHash.as("hv"))
     val bucket = shiftright(col("hv"), bucketShift)
     val hist = d.groupBy(col("source"), bucket.as("b"))
@@ -127,9 +130,12 @@ object PipelineQueries {
     *     exact running sums.
     * Every step is deterministic (no range-partitioner sampling) and no
     * task ever holds more than a bucket of one source — the giant-source
-    * corpus that serializes the window shape parallelizes here. */
+    * corpus that serializes the window shape parallelizes here. The
+    * default shift 18 (4096 buckets) sets both the shuffle parallelism
+    * cap (phase-2 hash-partitions by bucket) and the driver offsets size
+    * (sources × occupied buckets). */
   def tokenBudgetMix(docs: org.apache.spark.sql.DataFrame, budget: Long,
-                     bucketShift: Int = 22): org.apache.spark.sql.DataFrame = {
+                     bucketShift: Int = 18): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val d = docs

@@ -123,7 +123,7 @@ class PipelineQueriesSpec extends SparkSpec {
       val text = Seq.fill(3 + rnd.nextInt(12))(s"t${rnd.nextInt(50)}").mkString(" ")
       (i, text, "en", src, text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
-    for (shift <- Seq(18, 22, 27)) { // many buckets … only ~8 buckets
+    for (shift <- Seq(14, 18, 22, 27)) { // registry defaults … only ~8 buckets
       val sNew = PipelineQueries.stratifiedSample(docs, 0.25, shift)
         .collect().toSeq
       val sOld = PipelineQueries.stratifiedSampleByRank(docs, 0.25)
