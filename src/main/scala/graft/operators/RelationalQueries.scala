@@ -557,6 +557,39 @@ object RelationalQueries {
              |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rk,
              |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM c)
              |SELECT l_returnflag, cents AS median_cents
-             |FROM r WHERE rk = (n + 1) // 2 ORDER BY l_returnflag""".stripMargin))
+             |FROM r WHERE rk = (n + 1) // 2 ORDER BY l_returnflag""".stripMargin)),
+
+    // ── per-group top-k WITHOUT a rank window: bounded-buffer typed
+    //    Aggregator ([[graft.functions.TopK]]) — map-side combinable, so
+    //    a giant group never funnels through one task the way
+    //    `row_number over (partition by …)` does; the final merge sees
+    //    k·partitions rows. Multiset/tie semantics match row_number
+    //    exactly (value DESC, id ASC); DECIMAL cents keep both engines
+    //    ranking identical longs. ──
+    "q76_group_topk" -> QueryDef(
+      (s, d) => {
+        val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")
+        val topk = udaf(new graft.functions.TopK(3),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), cents.as("cents"), col("l_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(topk(col("cents"), col("l_orderkey")).as("top"))
+          .select(col("l_returnflag"), posexplode(col("top")).as(Seq("p", "e")))
+          .select(col("l_returnflag"), (col("p") + 1).cast("long").as("rank"),
+            col("e._2").as("l_orderkey"), col("e._1").as("cents"))
+          .orderBy(col("l_returnflag"), col("rank"))
+      },
+      Some("""WITH c AS (SELECT l_returnflag,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             |    l_orderkey FROM lineitem),
+             |r AS (SELECT l_returnflag, cents, l_orderkey,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |      ORDER BY cents DESC, l_orderkey) AS rk FROM c)
+             |SELECT l_returnflag, rk AS rank, l_orderkey, cents
+             |FROM r WHERE rk <= 3 ORDER BY l_returnflag, rank""".stripMargin))
   )
 }

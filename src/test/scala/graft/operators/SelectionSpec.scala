@@ -34,6 +34,31 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("TopK aggregator matches row_number semantics incl. duplicate entries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // duplicates on purpose: identical (v, id) rows must BOTH rank, like
+    // row_number — plus ties on v broken by id
+    val rows = (0 until 2000).map { i =>
+      (s"g${i % 5}", rnd.nextInt(50).toLong, rnd.nextInt(300).toLong)
+    }
+    val topk = org.apache.spark.sql.functions.udaf(new graft.functions.TopK(4),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val got = rows.toDF("g", "v", "id")
+      .groupBy(col("g")).agg(topk(col("v"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col("g"), col("p"), col("e._1").as("v"), col("e._2").as("id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.map(t => (t._2, t._3)).sortBy(t => (-t._1, t._2)).take(4)
+        .zipWithIndex.map { case ((v, id), p) => (g, p, v, id) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got === want)
+  }
+
   test("q75 exact median matches a driver-side sort on the real table") {
     val d = "/root/testdata/sf0.001"
     val got = RelationalQueries.registry("q75_exact_median")
