@@ -129,32 +129,12 @@ object DedupQueries {
     // ── same semantics, inverted-index shape: token-level join computes
     //    intersections without materializing token arrays per pair — the
     //    formulation that scales when pairs*tokens outgrows pairs sharing
-    //    tokens. Identical output, identical oracle as q29. ──
+    //    tokens. Identical output, identical oracle as q29. Posting lists
+    //    of hot tokens (≥4096 docs) route through the salted scatter join
+    //    (see [[invertedJaccardJoin]]) so no single task walls on a
+    //    quadratic fan-out — the r6-verdict fix. ──
     "q44_jaccard_inverted" -> QueryDef(
-      (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            explode(array_distinct(tokens(col("text")))).as("token"))
-        val sizes = toks.groupBy(col("doc_id").as("sid")).agg(count(lit(1)).as("sz"))
-        val a = toks.select(col("source"), col("token"), col("doc_id").as("id1"))
-        val b = toks.select(col("source"), col("token"), col("doc_id").as("id2"))
-        val inter = a.join(b, Seq("source", "token"))
-          .filter(col("id1") < col("id2"))
-          .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-        // sizes is per-DOCUMENT (data-sized, not dimension-sized): no
-        // broadcast hint — at corpus scale it must shuffle-join on doc id;
-        // AQE still picks a broadcast when the input is genuinely small
-        inter
-          .join(sizes, col("id1") === col("sid")).drop("sid")
-          .withColumnRenamed("sz", "n1")
-          .join(sizes, col("id2") === col("sid")).drop("sid")
-          .withColumnRenamed("sz", "n2")
-          .withColumn("jac", col("inter").cast("double") /
-            (col("n1") + col("n2") - col("inter")))
-          .filter(col("jac") >= 0.4)
-          .select(col("id1"), col("id2"), col("jac"))
-          .orderedResult(col("id1"), col("id2"))
-      },
+      (s, d) => invertedJaccardJoin(Tables.documents(s, d)),
       Some("""WITH toks AS (SELECT doc_id, source,
              |    list_distinct(string_split(text, ' ')) AS t FROM documents)
              |SELECT a.doc_id AS id1, b.doc_id AS id2,
@@ -687,6 +667,65 @@ object DedupQueries {
   def tokenPrefixJoin(documents: DataFrame, threshold: Double = 0.4): DataFrame =
     prefixSimilarityJoin(documents.select(col("doc_id"), col("source"),
       array_distinct(tokens(col("text"))).as("sh")), threshold)
+
+  /** Plain inverted-index token-Jaccard join (q44) with a heavy-token
+    * guard. Unlike the prefix filter, this formulation counts EVERY
+    * shared token per pair, so a token appearing in f documents emits
+    * f·(f−1)/2 co-occurrence rows — work that is inherent to the
+    * formulation (the rows are real intersection contributions, not
+    * prunable candidates), but which a plain join assigns to the ONE
+    * task owning that token's key. The guard splits the token space:
+    * posting lists ≥ `heavyTokenThreshold` go through [[Salting]]'s
+    * scatter/replicate self-join, so each task's probe input is bounded
+    * by list/`salt` rows and the quadratic emission is spread over
+    * `salt` tasks. Heavy tokens are few by definition (≤ corpus
+    * tokens / threshold), so the flag set is broadcastable — same
+    * argument as [[prefixSimilarityJoin]]'s heavy-list guard, and the
+    * two paths partition the key space, so the union of their
+    * co-occurrence rows is exactly the plain join's (spec-pinned on a
+    * one-hot-token corpus). Map-side partial aggregation then collapses
+    * co-occurrence rows into per-pair counts before the (id1, id2)
+    * shuffle. */
+  def invertedJaccardJoin(documents: DataFrame, threshold: Double = 0.4,
+                          heavyTokenThreshold: Int = 4096,
+                          salt: Int = 16): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("source"),
+      explode(array_distinct(tokens(col("text")))).as("token"))
+    val heavyKeys = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= heavyTokenThreshold)
+      .select(col("source"), col("token"), lit(true).as("__heavy"))
+    // the flagged index has four consumers (both sides of both paths):
+    // materialize the scan→explode→flag pipeline once (see
+    // prefixSimilarityJoin's identical trade)
+    val flagged = Checkpoints.truncate(
+      toks.join(broadcast(heavyKeys), Seq("source", "token"), "left"))
+    val sizes = flagged.groupBy(col("doc_id").as("sid")).agg(count(lit(1)).as("sz"))
+    def side(df: DataFrame, as: String): DataFrame =
+      df.select(col("source"), col("token"), col("doc_id").as(as))
+    val light = flagged.filter(col("__heavy").isNull)
+    val heavy = flagged.filter(col("__heavy").isNotNull)
+    val lightCo = side(light, "id1").join(side(light, "id2"), Seq("source", "token"))
+    val heavyCo = Salting.saltedJoin(side(heavy, "id1"), side(heavy, "id2"),
+      Seq("source", "token"), scatterCols = Seq(col("id1")), salt = salt)
+    val inter = lightCo.select(col("id1"), col("id2"))
+      .unionByName(heavyCo.select(col("id1"), col("id2")))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    // sizes is per-DOCUMENT (data-sized, not dimension-sized): no
+    // broadcast hint — at corpus scale it must shuffle-join on doc id;
+    // AQE still picks a broadcast when the input is genuinely small
+    inter
+      .join(sizes, col("id1") === col("sid")).drop("sid")
+      .withColumnRenamed("sz", "n1")
+      .join(sizes, col("id2") === col("sid")).drop("sid")
+      .withColumnRenamed("sz", "n2")
+      .withColumn("jac", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("id1"), col("id2"), col("jac"))
+      .orderedResult(col("id1"), col("id2"))
+  }
 
   /** Exact Jaccard similarity join over per-document element arrays
     * `(doc_id, source, sh)` via prefix filtering — see

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.{col, expr, explode, size}
+import org.apache.spark.sql.functions.{col, expr, explode, size, split}
 
 /** Planted-duplicate verification for the hash-based near-dup detectors
   * (q30 MinHash-LSH, q31 SimHash) that have no DuckDB oracle. */
@@ -65,10 +65,43 @@ class DedupSpec extends SparkSpec {
   test("q44 inverted-index Jaccard carries no broadcast hint on the per-doc side") {
     // the sizes table is one row per DOCUMENT — a broadcast hint on it is a
     // scale bug (VERDICT r1); AQE may still choose a broadcast at small
-    // scale, but the plan must not force one
+    // scale, but the plan must not force one. (The broadcast of the
+    // dimension-sized heavy-token flag set sits upstream of the checkpoint
+    // barrier, so everything visible in this analyzed plan — the sizes
+    // joins — must be hint-free.)
     val q44 = DedupQueries.registry("q44_jaccard_inverted")
       .build(spark, "/root/testdata/sf0.001")
     assert(!q44.queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
+
+  test("q44 heavy-token guard: salted path == unguarded join, hot-token corpus") {
+    import spark.implicits._
+    // half the corpus draws from a 20-token vocabulary (every token's
+    // posting list far exceeds the guard threshold), half from a ~1500-token
+    // one (all light); every 5th doc duplicates its predecessor so
+    // qualifying pairs exist in both regimes
+    val rand = new scala.util.Random(7)
+    val rows = (0 until 80).map { i =>
+      val vocab = if (i % 2 == 0) 20 else 1500
+      (i.toLong, s"src${i % 2}",
+        (0 until 12).map(_ => s"w${rand.nextInt(vocab)}").mkString(" "))
+    }
+    val corpus = rows.map { case (id, src, t) =>
+      if (id % 5 == 4) (id, src, rows(id.toInt - 1)._3) else (id, src, t)
+    }.toDF("doc_id", "source", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    val guarded = key(DedupQueries.invertedJaccardJoin(corpus,
+      heavyTokenThreshold = 5, salt = 4))
+    val plain = key(DedupQueries.invertedJaccardJoin(corpus,
+      heavyTokenThreshold = Int.MaxValue))
+    assert(guarded == plain, "guard must not change the result")
+    assert(plain.nonEmpty)
+    // the guard actually fires: the small vocabulary's posting lists are
+    // all ≥ 5 docs
+    val hot = corpus.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().filter(col("count") >= 5).count()
+    assert(hot > 10)
   }
 
   test("prefix-filtered char-shingle join == all-pairs join on a real table") {
