@@ -189,7 +189,12 @@ object AnnQueries {
       .iterator.zipWithIndex.map { case (r, i) =>
         (i + 1, r.getAs[scala.collection.Seq[Double]]("v").toSeq)
       }.toSeq.toDF("cell", "v")
-    var cents = Checkpoints.truncate(init
+    // cycle: each Lloyd step's checkpoint data is deleted once the next
+    // step supersedes it (the cents/assigned interleave satisfies the
+    // cycle contract: each var is last read while materializing the next
+    // truncate's input) — the job retires one directory, not 2·iters+2
+    val ckpt = Checkpoints.cycle()
+    var cents = ckpt.truncate(init
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "w"))))
     var assigned: DataFrame = null
     def doAssign(): DataFrame = {
@@ -211,11 +216,11 @@ object AnnQueries {
     // checkpointed). With a reliable checkpoint dir set (cluster mode) the
     // rounds persist to fault-tolerant storage; else localCheckpoint.
     for (_ <- 0 until iters) {
-      assigned = Checkpoints.truncate(doAssign())
-      cents = Checkpoints.truncate(assigned.join(exploded, Seq("vec_id"))
+      assigned = ckpt.truncate(doAssign())
+      cents = ckpt.truncate(assigned.join(exploded, Seq("vec_id"))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("w")))
     }
-    val result = Checkpoints.truncate(doAssign()) // eager: safe to unpersist below
+    val result = ckpt.truncate(doAssign()) // eager: safe to unpersist below
     exploded.unpersist()
     result
   }

@@ -17,7 +17,20 @@ import org.apache.spark.sql.DataFrame
   *
   * This helper picks the strategy from the session: reliable `checkpoint`
   * when a checkpoint dir is set, `localCheckpoint` otherwise. Both are
-  * eager, so callers may `unpersist` upstream caches immediately after. */
+  * eager, so callers may `unpersist` upstream caches immediately after.
+  *
+  * Storage discipline: Spark never deletes reliable checkpoint data on its
+  * own (the ContextCleaner only does so under
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, off by
+  * default). Iterative callers therefore run their rounds through a
+  * [[CheckpointCycle]], which deletes each round's data as soon as the
+  * next round supersedes it. The remaining one-shot `truncate` call sites
+  * (the prefix/inverted similarity joins' shared candidate index, whose
+  * checkpoint is consumed lazily inside the returned plan and so cannot be
+  * deleted eagerly) leave one directory per invocation; deployments that
+  * run them unboundedly should set `cleanCheckpoints=true` or sweep the
+  * checkpoint dir externally.
+  */
 object Checkpoints {
 
   /** Eagerly materialize `df` and truncate its lineage, using reliable
@@ -27,4 +40,68 @@ object Checkpoints {
       df.checkpoint()
     else
       df.localCheckpoint()
+
+  /** The reliable-checkpoint data directory backing `df`, when `df` came
+    * out of [[truncate]] on the reliable path (truncate is eager, so the
+    * file exists by the time this is called). None on the
+    * `localCheckpoint` fallback — local blocks live in the BlockManager
+    * and are freed by the ContextCleaner when the RDD is collected. */
+  private[graft] def checkpointFileOf(df: DataFrame): Option[String] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  private[graft] def deleteCheckpointDir(df: DataFrame, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** A fresh [[CheckpointCycle]] for one iterative job. */
+  def cycle(): CheckpointCycle = new CheckpointCycle
+}
+
+/** Bounds reliable-checkpoint storage for ITERATIVE operators: a k-round
+  * job through plain [[Checkpoints.truncate]] accumulates k checkpoint
+  * directories that nothing ever deletes, and a long-running caller (a
+  * streaming sink checkpointing every micro-batch) leaks storage without
+  * bound. A cycle tracks the directory each of its truncates creates;
+  * every subsequent truncate — eager, so the NEW round's data is durable
+  * before anything is removed — deletes the superseded one, leaving at
+  * most one live directory per cycle at any time.
+  *
+  * Contract: each `truncate` call supersedes every earlier one in the same
+  * cycle — nothing may read an earlier round's DataFrame after a later
+  * round materializes. Linear iteration chains (connected components)
+  * satisfy this trivially; the k-means cents/assigned interleave does too
+  * (each var is last read while materializing the next truncate's input).
+  *
+  * `release()` deletes the final directory as well — call it once the
+  * result has been durably consumed (e.g. after a sink's overwrite
+  * commits). Operators that RETURN their last checkpoint (components,
+  * k-means assignment) must leave it live for the caller; they retire one
+  * directory per job instead of one per round. */
+final class CheckpointCycle {
+
+  private var tracked: Option[(DataFrame, String)] = None
+
+  /** [[Checkpoints.truncate]], then delete the directory of this cycle's
+    * previous round (reliable path only; the localCheckpoint fallback has
+    * nothing to delete). */
+  def truncate(df: DataFrame): DataFrame = {
+    val out = Checkpoints.truncate(df)
+    val fresh = Checkpoints.checkpointFileOf(out)
+    release()
+    tracked = fresh.map(p => (out, p))
+    out
+  }
+
+  /** Delete the last live checkpoint directory of this cycle. Only safe
+    * once the final result is durably consumed. */
+  def release(): Unit = {
+    tracked.foreach { case (df, p) => Checkpoints.deleteCheckpointDir(df, p) }
+    tracked = None
+  }
 }

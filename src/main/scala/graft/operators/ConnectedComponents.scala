@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   * executor.
   *
   * Iterative-lineage discipline (same lesson as AnnQueries.kmeansCells):
-  * every round's edge set is checkpointed via [[Checkpoints.truncate]] —
-  * without truncation the plan doubles per round. On a cluster, set a
-  * reliable checkpoint dir (`sparkContext.setCheckpointDir`) and rounds
-  * persist to fault-tolerant storage; without one the operator falls back
-  * to `localCheckpoint` (single-JVM / test mode).
+  * every round's edge set is checkpointed through a [[CheckpointCycle]] —
+  * without truncation the plan doubles per round, and without the cycle's
+  * cleanup a k-round run leaves k reliable-checkpoint directories behind.
+  * On a cluster, set a reliable checkpoint dir
+  * (`sparkContext.setCheckpointDir`) and rounds persist to fault-tolerant
+  * storage; without one the operator falls back to `localCheckpoint`
+  * (single-JVM / test mode).
   */
 object ConnectedComponents {
 
@@ -66,7 +68,11 @@ object ConnectedComponents {
     * orientation, self-loops tolerated): one (node, componentMin) row per
     * non-min node of each component. Empty input → empty output. */
   def starForest(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
-    var e = Checkpoints.truncate(orient(edges))
+    // cycle, not plain truncate: each round's checkpoint data is deleted
+    // as soon as the next round supersedes it — a k-round run retires one
+    // directory (the returned forest's), not k (ADVICE r6)
+    val ckpt = Checkpoints.cycle()
+    var e = ckpt.truncate(orient(edges))
     // fixpoint = star forest (both ops leave stars unchanged); detected by
     // a checksum of the canonical edge set: (count, order-independent
     // hash-xor, min u, max u, min v, max v). xor, not sum: overflow-free
@@ -84,7 +90,7 @@ object ConnectedComponents {
     var prev = checksum(e)
     var rounds = 0
     while (prev._1 > 0 && rounds < maxRounds) {
-      e = Checkpoints.truncate(smallStar(largeStar(e)))
+      e = ckpt.truncate(smallStar(largeStar(e)))
       val cur = checksum(e)
       if (cur == prev) return e
       prev = cur

@@ -110,6 +110,7 @@ object UpsertSink {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc)
     val exists = new java.io.File(path).exists()
+    val ckpt = graft.operators.Checkpoints.cycle()
     val merged = if (exists) {
       // touched partitions: bounded by the feed horizon (a 5 s micro-batch
       // covers one or two service days), never by data volume
@@ -133,13 +134,17 @@ object UpsertSink {
         // Reliable checkpoint when a dir is configured: if an executor is
         // lost between the cut and the overwrite, local blocks would be
         // unrecoverable while the target files are mid-replacement.
-        .transform(graft.operators.Checkpoints.truncate)
+        .transform(ckpt.truncate)
     } else batch
     merged.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
+    // the overwrite is committed: the batch's checkpoint data has no
+    // remaining reader — delete it, or a long-running stream accumulates
+    // one directory per micro-batch forever (ADVICE r6)
+    ckpt.release()
   }
 
   /** The records-table instantiation: newest time_of_recording wins per

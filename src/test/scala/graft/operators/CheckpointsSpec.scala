@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import graft.sinks.UpsertSink
 import org.apache.spark.sql.functions._
 
 /** [[Checkpoints.truncate]] strategy selection: reliable `checkpoint` when
@@ -20,6 +21,73 @@ class CheckpointsSpec extends SparkSpec {
     finally sc.getClass
       .getMethod("checkpointDir_$eq", classOf[Option[String]])
       .invoke(sc, None)
+  }
+
+  /** rdd-* data directories currently under the session's checkpoint dir. */
+  private def rddDirs(): Seq[String] = {
+    // getCheckpointDir returns a file: URI, not a filesystem path
+    val root = new java.io.File(
+      new java.net.URI(spark.sparkContext.getCheckpointDir.get))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (!f.isDirectory) Nil
+      else if (f.getName.startsWith("rdd-")) Seq(f)
+      else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+    walk(root).map(_.getName)
+  }
+
+  test("CheckpointCycle keeps at most one live dir; release deletes it") {
+    withCheckpointDir {
+      val cyc = Checkpoints.cycle()
+      val a = cyc.truncate(spark.range(10).toDF("x"))
+      val dirA = Checkpoints.checkpointFileOf(a)
+      assert(dirA.isDefined, "reliable path must report its data dir")
+      assert(rddDirs().size == 1)
+      val b = cyc.truncate(a.selectExpr("x + 1 as x"))
+      assert(Checkpoints.checkpointFileOf(b).isDefined)
+      assert(rddDirs().size == 1, "superseded round's dir must be deleted")
+      assert(b.collect().map(_.getLong(0)).sorted.toSeq == (1L to 10L))
+      cyc.release()
+      assert(rddDirs().isEmpty, "release must delete the final dir")
+    }
+  }
+
+  test("iterative operators retire one checkpoint dir per job, not per round") {
+    import spark.implicits._
+    withCheckpointDir {
+      // a 65-node chain forces several large-star/small-star rounds
+      val edges = (0L until 64L).map(i => (i, i + 1)).toDF("u", "v")
+      val comp = ConnectedComponents.components(spark.range(65).toDF("id"), edges)
+      // the returned assignment must still be readable (its final
+      // checkpoint stays live) while every superseded round is gone
+      assert(comp.collect().forall(_.getLong(1) == 0L))
+      assert(rddDirs().size <= 1, s"CC left ${rddDirs().size} dirs")
+
+      val rnd = new scala.util.Random(5)
+      val emb = (0L until 40L).map(i =>
+        (i, Array.fill(6)(rnd.nextFloat()), s"l${i % 3}"))
+        .toDF("vec_id", "embedding", "label")
+      val cells = AnnQueries.kmeansCells(emb, k = 3, iters = 3)
+      assert(cells.collect().length == 40)
+      assert(rddDirs().size <= 2, s"k-means left ${rddDirs().size} dirs")
+    }
+  }
+
+  test("mergeIntoPartitioned leaves no checkpoint data after the commit") {
+    import spark.implicits._
+    withCheckpointDir {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-upsert-ckpt").resolve("t").toString
+      def batch(v: Long) = Seq((1L, "a", v, "d1"), (2L, "b", v, "d1"))
+        .toDF("k", "payload", "ver", "day")
+      UpsertSink.mergeIntoPartitioned(spark, batch(1), path,
+        keyCols = Seq("k"), versionCol = "ver", partitionCol = "day")
+      // second batch takes the merge path (reads existing + checkpoints)
+      UpsertSink.mergeIntoPartitioned(spark, batch(2), path,
+        keyCols = Seq("k"), versionCol = "ver", partitionCol = "day")
+      assert(spark.read.parquet(path).agg(max("ver")).head().getLong(0) == 2L)
+      assert(rddDirs().isEmpty,
+        "a committed micro-batch must not leak checkpoint storage")
+    }
   }
 
   test("CC and k-means identical under reliable checkpoint and localCheckpoint") {
