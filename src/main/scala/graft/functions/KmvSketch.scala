@@ -14,7 +14,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * caller so the oracle can reproduce the whole computation (q74).
   *
   * The hash is the caller's portable multiplicative hash on [0, M); the
-  * sketch itself never hashes, so both engines rank identical values. */
+  * sketch itself never hashes, so both engines rank identical values.
+  * Caveat (ADVICE r6): the below-k branch is exact over distinct HASH
+  * values, not distinct keys — two keys colliding under the caller's
+  * hash merge into one sketch entry, so n_kept can undercount the
+  * original key universe by the (input-dependent) collision count. The
+  * oracle applies the same hash and collides identically, so parity
+  * holds; just don't read n_kept as an exact COUNT DISTINCT of the
+  * unhashed column. */
 class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], (Int, Long)] {
 
   require(k > 1, "k must exceed 1 for the (k-1)·M/h_k estimator")

@@ -50,4 +50,20 @@ object Blocking {
   /** Keep each unordered pair exactly once (see cover proof above). */
   def pairPredicate(leftId: Column, rightId: Column): Column =
     col("__bi") < col("__bj") || leftId < rightId
+
+  /** Block count sized to the (largest) group: ⌈rows / targetPerBucket⌉,
+    * capped. Blocking is a memory-for-parallelism trade — each side
+    * replicates ~(B+1)/2× and task count multiplies by B(B+1)/2 — so a
+    * group that already fits one bucket should pay B=1 (no replication,
+    * the plain join), while a large stratum scales B up until each
+    * bucket-pair task compares ~targetPerBucket² candidates. Callers
+    * that know their stratum sizes (or count them in a first pass) pass
+    * the result to the `blocks` parameter; the registered queries keep a
+    * fixed default so their plans stay comparable across rounds. */
+  def blocksFor(groupRows: Long, targetPerBucket: Long = 2048,
+                maxBlocks: Int = 64): Int = {
+    require(targetPerBucket >= 1 && maxBlocks >= 1)
+    val b = (groupRows + targetPerBucket - 1) / targetPerBucket
+    math.max(1, math.min(b, maxBlocks.toLong)).toInt
+  }
 }

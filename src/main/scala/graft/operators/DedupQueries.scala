@@ -72,29 +72,7 @@ object DedupQueries {
     //    same pairs over sources × B(B+1)/2 tasks. Output identical
     //    (spec-pinned vs the plain join), oracle unchanged. ──
     "q29_jaccard_pairs" -> QueryDef(
-      (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), array_distinct(tokens(col("text"))).as("t"))
-        val (lft, rgt) = Blocking.triangleSides(toks, col("doc_id"), blocks = 8)
-        val a = lft.select(col("source"), col("__bi"), col("__bj"),
-          col("doc_id").as("ida"), col("t").as("ta"), size(col("t")).as("na"))
-        val b = rgt.select(col("source"), col("__bi"), col("__bj"),
-          col("doc_id").as("idb"), col("t").as("tb"), size(col("t")).as("nb"))
-        a.join(b, Seq("source", "__bi", "__bj"))
-          .filter(Blocking.pairPredicate(col("ida"), col("idb")))
-          // |union| = n1 + n2 - |inter| for distinct arrays: ONE array
-          // scan per pair; barrier so filter + projection don't re-inline
-          // the intersection
-          .withColumn("inter", graft.functions.CollapseBarrier(
-            size(array_intersect(col("ta"), col("tb")))))
-          .withColumn("jac", col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter")))
-          .filter(col("jac") >= 0.4)
-          // cross-bucket rows arrive in either id order; jac is symmetric
-          .select(least(col("ida"), col("idb")).as("id1"),
-            greatest(col("ida"), col("idb")).as("id2"), col("jac"))
-          .orderedResult(col("id1"), col("id2"))
-      },
+      (s, d) => tokenJaccardBlocked(Tables.documents(s, d)),
       Some("""WITH toks AS (SELECT doc_id, source,
              |    list_distinct(string_split(text, ' ')) AS t FROM documents)
              |SELECT a.doc_id AS id1, b.doc_id AS id2,
@@ -373,13 +351,14 @@ object DedupQueries {
     * B(B+1)/2 tasks. Cosine is symmetric, so cross-bucket id order is
     * canonicalized at the end. */
   def embedNearDupPairs(embeddings: DataFrame,
-                        threshold: Double = 0.3): DataFrame = {
+                        threshold: Double = 0.3,
+                        blocks: Int = 8): DataFrame = {
     def dot(x: Column, y: Column) = graft.functions.VecDot(x, y)
     val e = embeddings
       .select(col("label"), col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val (lft, rgt) = Blocking.triangleSides(e, col("vec_id"), blocks = 8)
+    val (lft, rgt) = Blocking.triangleSides(e, col("vec_id"), blocks)
     val a = lft.select(col("label"), col("__bi"), col("__bj"),
       col("vec_id").as("ida"), col("v").as("va"), col("norm").as("na"))
     val b = rgt.select(col("label"), col("__bi"), col("__bj"),
@@ -667,6 +646,40 @@ object DedupQueries {
   def tokenPrefixJoin(documents: DataFrame, threshold: Double = 0.4): DataFrame =
     prefixSimilarityJoin(documents.select(col("doc_id"), col("source"),
       array_distinct(tokens(col("text"))).as("sh")), threshold)
+
+  /** Token-set Jaccard near-dup pairs, source-grouped all-pairs through
+    * the TRIANGLE-BLOCKED self-join cover (q29; see [[Blocking]]): a
+    * plain source-keyed self-join parallelizes only by #sources (five
+    * tasks forever, each block-quadratic); blocking spreads the same
+    * pairs over sources × B(B+1)/2 tasks. Output is independent of
+    * `blocks` (spec-pinned blocks=1 == blocks=8) — the knob trades
+    * replication (~(B+1)/2 per side) for parallelism, so small strata
+    * should run blocks=1 and large ones scale up; see
+    * [[Blocking.blocksFor]] for the sizing rule (ADVICE r6). */
+  def tokenJaccardBlocked(documents: DataFrame, threshold: Double = 0.4,
+                          blocks: Int = 8): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), col("source"), array_distinct(tokens(col("text"))).as("t"))
+    val (lft, rgt) = Blocking.triangleSides(toks, col("doc_id"), blocks)
+    val a = lft.select(col("source"), col("__bi"), col("__bj"),
+      col("doc_id").as("ida"), col("t").as("ta"), size(col("t")).as("na"))
+    val b = rgt.select(col("source"), col("__bi"), col("__bj"),
+      col("doc_id").as("idb"), col("t").as("tb"), size(col("t")).as("nb"))
+    a.join(b, Seq("source", "__bi", "__bj"))
+      .filter(Blocking.pairPredicate(col("ida"), col("idb")))
+      // |union| = n1 + n2 - |inter| for distinct arrays: ONE array
+      // scan per pair; barrier so filter + projection don't re-inline
+      // the intersection
+      .withColumn("inter", graft.functions.CollapseBarrier(
+        size(array_intersect(col("ta"), col("tb")))))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      // cross-bucket rows arrive in either id order; jac is symmetric
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("jac"))
+      .orderedResult(col("id1"), col("id2"))
+  }
 
   /** Plain inverted-index token-Jaccard join (q44) with a heavy-token
     * guard. Unlike the prefix filter, this formulation counts EVERY

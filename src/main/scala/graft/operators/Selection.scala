@@ -26,16 +26,39 @@ object Selection {
     * row per group. */
   def kthSmallest(data: DataFrame, groupCol: String, valueCol: String,
                   kOfN: Long => Long, shiftStep: Int = 10): DataFrame = {
-    val spark = data.sparkSession
-    import spark.implicits._
+    // persist: every refinement round re-scans this 2-column projection
+    // (up to 7 map-side aggregate passes); at memory pressure the blocks
+    // spill instead of re-reading + re-projecting the source
     val base = data.select(col(groupCol).cast("string").as("g"),
       col(valueCol).cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      kthSmallestOn(base, groupCol, valueCol, kOfN, shiftStep)
+    } finally {
+      base.unpersist()
+    }
+  }
+
+  private def kthSmallestOn(base: DataFrame, groupCol: String, valueCol: String,
+                            kOfN: Long => Long, shiftStep: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val init = base.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
       .collect()
+    // misuse must fail HERE with a named group, not several distributed
+    // passes later as an opaque 'selection invariant broken' (ADVICE r6);
+    // a null group key would also NPE at getString below
+    init.foreach { r =>
+      require(!r.isNullAt(0),
+        s"kthSmallest: null $groupCol group — filter or coalesce it first")
+      val (g, n) = (r.getString(0), r.getLong(1))
+      val kk = kOfN(n)
+      require(kk >= 1 && kk <= n,
+        s"kthSmallest: kOfN($n) = $kk out of [1, $n] for group '$g'")
+    }
     var k: Map[String, Long] = init
       .map(r => r.getString(0) -> kOfN(r.getLong(1))).toMap
-    require(k.values.forall(_ >= 1), "kOfN must be >= 1")
     val (gmin, gmax) = (init.map(_.getLong(2)).min, init.map(_.getLong(3)).max)
     // prefix(g) = the value's high bits fixed so far, at `prevShift`
     var prefix: Map[String, Long] = Map.empty

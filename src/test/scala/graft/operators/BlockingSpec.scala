@@ -34,6 +34,32 @@ class BlockingSpec extends SparkSpec {
     }
   }
 
+  test("blocks is a cost-only knob: blocks=1 == default on the factored joins") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    def jkey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    assert(jkey(DedupQueries.tokenJaccardBlocked(docs, blocks = 1)) ===
+      jkey(DedupQueries.tokenJaccardBlocked(docs)))
+    val emb = graft.sources.Tables.embeddings(spark, d)
+    def ekey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ekey(DedupQueries.embedNearDupPairs(emb, blocks = 1)) ===
+      ekey(DedupQueries.embedNearDupPairs(emb)))
+  }
+
+  test("blocksFor sizes to the stratum: 1 for small groups, capped for huge") {
+    assert(Blocking.blocksFor(0) == 1)
+    assert(Blocking.blocksFor(2048) == 1)
+    assert(Blocking.blocksFor(2049) == 2)
+    assert(Blocking.blocksFor(1000000, maxBlocks = 1024) == 489) // ceil(1e6/2048)
+    assert(Blocking.blocksFor(1000000) == 64) // default cap
+    // monotone in rows
+    val bs = Seq(1L, 100L, 10000L, 100000L, 10000000L)
+      .map(Blocking.blocksFor(_, targetPerBucket = 2048, maxBlocks = 1 << 20))
+    assert(bs == bs.sorted)
+  }
+
   test("q29 blocked output == plain source-keyed join output on real data") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, d)

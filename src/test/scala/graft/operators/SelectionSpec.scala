@@ -34,6 +34,28 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("kthSmallest rejects out-of-range k and null groups up front") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 9L)).toDF("g", "v")
+    // k beyond the group size must fail immediately with the group named,
+    // not surface rounds later as 'selection invariant broken'
+    val tooBig = intercept[IllegalArgumentException] {
+      Selection.kthSmallest(df, "g", "v", _ => 2L).collect()
+    }
+    assert(tooBig.getMessage.contains("'b'") &&
+      tooBig.getMessage.contains("out of [1, 1]"))
+    val tooSmall = intercept[IllegalArgumentException] {
+      Selection.kthSmallest(df, "g", "v", _ => 0L).collect()
+    }
+    assert(tooSmall.getMessage.contains("out of"))
+    val nullG = intercept[IllegalArgumentException] {
+      Selection.kthSmallest(
+        Seq((Option.empty[String], 5L), (Some("a"), 1L)).toDF("g", "v"),
+        "g", "v", _ => 1L).collect()
+    }
+    assert(nullG.getMessage.contains("null"))
+  }
+
   test("TopK aggregator matches row_number semantics incl. duplicate entries") {
     import spark.implicits._
     val rnd = new scala.util.Random(43)
