@@ -12,7 +12,7 @@ object SparkEntry {
     RelationalQueries.registry ++ TextQueries.registry ++
       DedupQueries.registry ++ MultimodalQueries.registry ++
       AnnQueries.registry ++ GtfsPipeline.registry ++
-      PipelineQueries.registry
+      PipelineQueries.registry ++ CurationQueries.registry
 
   /** Flagship: the engine's own domain end-to-end — GTFS schedule + 40
     * realtime feeds → records → curves → scheduled predictions (driver

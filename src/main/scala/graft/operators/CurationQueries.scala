@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import QueryDef.OrderedResultOps
+
+/** Training-data-pipeline battery #3 (round 7): corpus statistics and
+  * selection operators a curation pipeline runs BEFORE mixing — heavy
+  * hitters (vocabulary boilerplate detection), weighted document
+  * sampling, and cross-document n-gram novelty. All three follow the
+  * sketch-then-verify pattern: a bounded-state distributed summary
+  * proposes, an exact pass disposes — so the oracle can check the final
+  * answer exactly while the shapes stay 100 TB-safe.
+  *
+  * Reference scope note: the reference engine (dystonse-gtfs-data) has no
+  * corpus battery; these extend the engine for large-scale training-data
+  * pipelines per the build brief, like DedupQueries/PipelineQueries. */
+object CurationQueries {
+
+  /** Exact relative-threshold heavy hitters per group with Misra-Gries
+    * candidate generation: tokens whose count × `denom` ≥ the group's
+    * total token count m (i.e. frequency ≥ 1/denom).
+    *
+    * Shape: the MG summary ([[graft.functions.MisraGries]]) holds ≤ k
+    * counters per partial aggregate — the full token relation is never
+    * shuffled by token. Every key with count > m/(k+1) survives the
+    * summary, so with k+1 > denom the candidate set is a PROVEN superset
+    * of the answer; candidates are ≤ k per group (dimension-sized →
+    * broadcast), and one exact filtered count over them closes the gap.
+    * Wrong-but-plausible alternative: exact groupBy(token) counts —
+    * correct, but shuffles every token occurrence at corpus scale for an
+    * output of a few hundred rows. */
+  def heavyHitters(tokens: DataFrame, denom: Long = 500L,
+                   k: Int = 1024): DataFrame = {
+    require(k + 1 > denom,
+      s"superset guarantee needs k+1 > denom (got k=$k, denom=$denom): " +
+        "a key at exactly m/denom must exceed the m/(k+1) survival bound")
+    val mg = udaf(new graft.functions.MisraGries(k), Encoders.STRING)
+    val cands = tokens.groupBy(col("source")).agg(mg(col("token")).as("cs"))
+      .select(col("source"), explode(col("cs")).as("token"))
+    val totals = tokens.groupBy(col("source")).agg(count(lit(1)).as("m"))
+    tokens.join(broadcast(cands), Seq("source", "token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("source"))
+      // integer comparison, no float threshold (cnt/m ≥ 1/denom ⇔
+      // cnt·denom ≥ m): exact on both engines, no boundary epsilon
+      .filter(col("cnt") * denom >= col("m"))
+      .select(col("source"), col("token"), col("cnt"))
+      .orderedResult(col("source"), col("token"))
+  }
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a weighted
+    * without-replacement sample of `k` documents per source, weight =
+    * token count. Each document gets priority w/u for a uniform u —
+    * here u = (portable multiplicative hash of doc_id) / p, so the
+    * "randomness" is deterministic and identically reproducible in the
+    * oracle. The top-k by priority IS the priority sample.
+    *
+    * Integer discipline: the priority is materialized as the scaled
+    * FLOOR quotient (w · 10¹²) div h — pure BIGINT arithmetic, bit-equal
+    * on both engines, no pow/ln whose last-ulp could flip a selection at
+    * the boundary (see the float-boundary rule in PERF.md). Quantization
+    * ties resolve by doc_id, deterministically on both engines.
+    *
+    * Shape: [[graft.functions.TopK]] bounded-buffer aggregator — k pairs
+    * per partial, map-side combined; no per-source window, no rank
+    * shuffle of the corpus. */
+  def prioritySample(documents: DataFrame, k: Int = 20): DataFrame = {
+    val topk = udaf(new graft.functions.TopK(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val prio = documents.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("w"),
+      ((col("doc_id") * lit(2654435761L) + lit(12345L)) % lit(1000000007L)
+        + lit(1L)).as("h"))
+      .select(col("source"), col("doc_id"),
+        expr("w * 1000000000000 div h").as("prio"))
+    prio.groupBy(col("source"))
+      .agg(topk(col("prio"), col("doc_id")).as("top"))
+      .select(col("source"), explode(col("top")).as("e"))
+      .select(col("source"), col("e._2").as("doc_id"), col("e._1").as("prio"))
+      .orderedResult(col("source"), col("doc_id"))
+  }
+
+  /** Cross-document n-gram novelty: for each document, the fraction of
+    * its distinct 8-char-gram fingerprints whose FIRST corpus occurrence
+    * (min doc_id) precedes it — the document-level "how much of this
+    * have we already ingested" score curation pipelines use to order or
+    * down-weight near-boilerplate (complements q61's cross-corpus
+    * decontamination and q69's pairwise span overlap).
+    *
+    * Shape: one shuffle keyed by gram fingerprint (groupBy min — the
+    * canonical inverted index, map-side combinable), one join back on
+    * the same key, one per-doc aggregate. Linear in corpus grams; no
+    * pairwise anything. */
+  def gramNovelty(documents: DataFrame): DataFrame = {
+    val g = documents.filter(length(col("text")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.GramHashArray(col("text")))).as("g"))
+    val first = g.groupBy(col("g")).agg(min(col("doc_id")).as("first_id"))
+    g.join(first, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_id") < col("doc_id")).cast("long")).as("n_stale"))
+      .withColumn("novelty",
+        round(lit(1) - col("n_stale").cast("double") / col("n_grams"), 6))
+      // per-document output: parallel range sort (see orderedOutput)
+      .orderedOutput(col("doc_id"))
+  }
+
+  val registry: Map[String, QueryDef] = Map(
+
+    // ── per-source heavy hitters at frequency ≥ 1/500: MG candidates +
+    //    exact verify; oracle recomputes the exact answer directly ──
+    "q77_heavy_hitters" -> QueryDef(
+      (s, d) => heavyHitters(Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))),
+      Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+             |          FROM documents),
+             |tot AS (SELECT source, count(*) AS m FROM t GROUP BY source),
+             |c AS (SELECT source, token, count(*) AS cnt FROM t GROUP BY 1, 2)
+             |SELECT c.source, c.token, c.cnt
+             |FROM c JOIN tot USING (source)
+             |WHERE c.cnt * 500 >= tot.m
+             |ORDER BY source, token""".stripMargin)),
+
+    // ── deterministic weighted sample: 20 docs per source by integer
+    //    priority (w·10¹²) div h — the full construction re-derived in
+    //    DuckDB, row_number as the TopK twin ──
+    "q78_priority_sample" -> QueryDef(
+      (s, d) => prioritySample(Tables.documents(s, d)),
+      Some("""WITH d AS (SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             |    (doc_id * 2654435761 + 12345) % 1000000007 + 1 AS h
+             |  FROM documents),
+             |p AS (SELECT source, doc_id, (w * 1000000000000) // h AS prio,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY (w * 1000000000000) // h DESC, doc_id) AS rn
+             |  FROM d)
+             |SELECT source, doc_id, prio FROM p WHERE rn <= 20
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    // ── per-doc novelty vs everything ingested before it (by doc_id
+    //    order); gram fingerprints are the cross-engine polynomial ──
+    "q79_gram_novelty" -> QueryDef(
+      (s, d) => gramNovelty(Tables.documents(s, d)),
+      Some(s"""WITH g AS (SELECT doc_id,
+             |    list_distinct(list_transform(generate_series(1, length(text) - 7),
+             |      i -> (${(0 until 8).map(DedupQueries.gramHashSql).mkString(" + ")})
+             |           % 1000000007)) AS gs
+             |  FROM documents WHERE length(text) >= 8),
+             |e AS (SELECT doc_id, unnest(gs) AS g FROM g),
+             |f AS (SELECT g, min(doc_id) AS first_id FROM e GROUP BY g)
+             |SELECT e.doc_id, count(*) AS n_grams,
+             |  CAST(sum(CASE WHEN f.first_id < e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_stale,
+             |  round(1 - CAST(sum(CASE WHEN f.first_id < e.doc_id THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / count(*), 6) AS novelty
+             |FROM e JOIN f USING (g)
+             |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin))
+  )
+}

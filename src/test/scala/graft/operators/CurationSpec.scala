@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** Sketch-then-verify curation battery: Misra-Gries candidates must be a
+  * proven superset, the verified output must equal brute force exactly,
+  * and the deterministic priority sample must match its row_number twin. */
+class CurationSpec extends SparkSpec {
+
+  test("MisraGries summary keeps every key above the m/(k+1) bound") {
+    import spark.implicits._
+    // adversarial mix: two genuinely heavy keys buried in a long tail of
+    // singletons (the stream MG is designed for), several partitions so
+    // merge() runs with overflow (tail keys exceed k per partial)
+    val rows =
+      Seq.fill(400)("hot1") ++ Seq.fill(150)("hot2") ++
+        (0 until 1000).map(i => s"tail$i")
+    val m = rows.length.toLong
+    val k = 16
+    val mg = udaf(new graft.functions.MisraGries(k), Encoders.STRING)
+    val kept = scala.util.Random.shuffle(rows).toDF("t").repartition(7)
+      .agg(mg(col("t"))).head().getSeq[String](0).toSet
+    val counts = rows.groupBy(identity).view.mapValues(_.size.toLong)
+    val mustSurvive = counts.filter(_._2 > m / (k + 1)).keys.toSet
+    assert(mustSurvive.nonEmpty && mustSurvive.subsetOf(kept),
+      s"missing guaranteed keys: ${mustSurvive -- kept}")
+    assert(kept.size <= k, "summary must stay bounded")
+  }
+
+  test("heavyHitters == brute-force exact counts on a skewed corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // zipf-ish: token w<j> drawn with probability ~ 1/(j+1)
+    val toks = (0 until 30000).map { _ =>
+      val j = (math.pow(rnd.nextDouble(), 3) * 200).toInt
+      (s"s${rnd.nextInt(2)}", s"w$j")
+    }.toDF("source", "token")
+    val denom = 50L
+    val got = CurationQueries.heavyHitters(toks, denom = denom, k = 128)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val want = toks.collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+        val m = rs.length.toLong
+        rs.groupBy(_._2).collect {
+          case (t, occ) if occ.length * denom >= m => (src, t, occ.length.toLong)
+        }
+      }.sortBy(t => (t._1, t._2))
+    assert(got == want)
+    assert(want.nonEmpty, "corpus must actually contain heavy hitters")
+    intercept[IllegalArgumentException] {
+      CurationQueries.heavyHitters(toks, denom = 500L, k = 400)
+    }
+  }
+
+  test("prioritySample matches its row_number twin on the real table") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = CurationQueries.prioritySample(docs, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val twin = docs.selectExpr("source", "doc_id",
+      "cast(size(split(text, ' ')) as bigint) as w",
+      "(doc_id * 2654435761 + 12345) % 1000000007 + 1 as h")
+      .selectExpr("source", "doc_id", "w * 1000000000000 div h as prio")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("prio").desc, col("doc_id"))))
+      .filter(col("rn") <= 5).select("source", "doc_id", "prio")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == twin)
+    assert(got.nonEmpty)
+  }
+
+  test("gramNovelty: duplicates score 0, fresh content 1, mixes between") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val fresh = "XYZQWERTYUIOPASDFGHJKLZXCVBNM0123456789xyzqwertyuiop"
+    val half = base.substring(0, 30) + "ZZGGHHJJKKLLPPOOIIUUYYTTRREEWWQQ"
+    val corpus = Seq(
+      (0L, base), (1L, base),    // 1 is an exact duplicate of 0
+      (2L, fresh),               // nothing shared with 0/1
+      (3L, half),                // shares its first half with 0
+      (4L, "short")              // < 8 chars: excluded
+    ).toDF("doc_id", "text")
+    val got = CurationQueries.gramNovelty(corpus)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!got.contains(4L), "sub-gram-length docs are excluded")
+    assert(got(0L)._3 == 1.0, "first doc is all-novel")
+    assert(got(1L)._3 == 0.0, "exact duplicate is all-stale")
+    assert(got(2L)._3 == 1.0, "disjoint alphabet is all-novel")
+    assert(got(3L)._3 > 0.0 && got(3L)._3 < 1.0, "partial overlap in between")
+    // stale counts are consistent with totals
+    got.values.foreach { case (n, stale, nov) =>
+      assert(stale >= 0 && stale <= n)
+      assert(math.abs(nov - (1.0 - stale.toDouble / n)) < 1e-6)
+    }
+  }
+}
