@@ -51,4 +51,68 @@ object DocStream {
         .withWatermark("ts", watermarkDelay)
         .dropDuplicatesWithinWatermark("h"),
       chunkTokens, stride)
+
+  /** Streaming heavy-hitter tracking — q77's streaming twin: one
+    * Misra-Gries summary per source carried across micro-batches in
+    * `mapGroupsWithState`, so state is ≤ k counters per source FOREVER,
+    * independent of stream length (contrast: a streaming groupBy(token)
+    * count grows state with the vocabulary). Each trigger folds the
+    * batch's tokens into the stored summary with the same reduce the
+    * batch aggregator uses, then re-emits the source's current summary
+    * (update output mode).
+    *
+    * Emitted rows are (source, token, lower_bound) with the batch
+    * operator's candidate-superset contract: every token whose
+    * stream-so-far count exceeds m/(k+1) is present, counters are lower
+    * bounds — a consumer needing exact counts closes the gap with a
+    * recount over the flagged tokens, exactly like q77's verify pass. */
+  /** Streaming distinct-count sketch — q74's streaming twin: one KMV
+    * sketch per source carried across micro-batches in
+    * `mapGroupsWithState` (state ≤ k hash values per source forever; a
+    * streaming `approx_count_distinct` agg cannot emit per-trigger
+    * running estimates in update mode without a watermark, and exact
+    * streaming distinct state grows with the universe). The caller
+    * pre-hashes values to [0, M) with the same portable multiplicative
+    * hash q74 uses, so the estimator (k−1)·M/h_k — or n_kept exactly
+    * when below k — is reproducible offline from the emitted
+    * (n_kept, kth_min) pair. Same distinct-hash-collision caveat as
+    * [[graft.functions.KmvSketch]]. */
+  def distinctSketchStream(hashed: DataFrame, k: Int = 256): DataFrame = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val agg = new graft.functions.KmvSketch(k)
+    hashed.select(col("source"), col("h")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Int, Long)](
+        GroupStateTimeout.NoTimeout) { (src, rows, state) =>
+          val merged = rows.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            (b, r) => agg.reduce(b, r._2)
+          }
+          state.update(merged)
+          val (nKept, kthMin) = agg.finish(merged)
+          (src, nKept, kthMin)
+        }
+      .toDF("source", "n_kept", "kth_min")
+  }
+
+  def heavyHitterStream(tokens: DataFrame, k: Int = 64): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val agg = new graft.functions.MisraGries(k)
+    tokens.select(col("source"), col("token")).as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], (String, Map[String, Long])](
+        GroupStateTimeout.NoTimeout) { (src, rows, state) =>
+          val merged = rows.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            (b, r) => agg.reduce(b, r._2)
+          }
+          state.update(merged)
+          (src, merged)
+        }
+      .toDF("source", "counters")
+      .select(col("source"),
+        explode(col("counters")).as(Seq("token", "lower_bound")))
+  }
 }

@@ -69,4 +69,79 @@ class DocStreamSpec extends SparkSpec {
     assert(ids() === Seq(0L, 2L, 3L), "expired hash re-admitted")
     out.stop()
   }
+
+  test("streaming KMV distinct sketch: exact below k, accumulates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Map[String, (Int, Long)]]
+    val out = DocStream.distinctSketchStream(
+        input.toDS().toDF("source", "h"), k = 16)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += df.collect()
+          .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+        ()
+      }
+      .start()
+
+    // batch 1: 10 distinct hashes (below k=16) with repeats
+    input.addData((1L to 10L).flatMap(h => Seq(("s0", h), ("s0", h))): _*)
+    out.processAllAvailable()
+    assert(batches.last("s0") == ((10, 10L)),
+      "below k the sketch is exact over distinct hashes")
+
+    // batch 2: 10 more distinct hashes -> crosses k; state accumulated
+    // across batches means the k smallest of ALL 20 survive (1..16)
+    input.addData((11L to 20L).map(h => ("s0", h)): _*)
+    out.processAllAvailable()
+    assert(batches.last("s0") == ((16, 16L)),
+      "k smallest of the cross-batch union must survive")
+    out.stop()
+  }
+
+  test("streaming heavy hitters: cross-batch MG state, bounded, superset-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    val input = MemoryStream[(String, String)]
+    // capture each micro-batch's emitted summary separately (the memory
+    // sink would interleave batches, hiding evictions)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Map[(String, String), Long]]
+    val out = DocStream.heavyHitterStream(
+        input.toDS().toDF("source", "token"), k = k)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += df.collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        ()
+      }
+      .start()
+
+    // batch 1: 'hot' dominates src0 amid tail noise
+    input.addData(
+      (Seq.fill(30)("hot") ++ (0 until 20).map(i => s"t$i")).map(("src0", _)): _*)
+    out.processAllAvailable()
+    val b1 = batches.last
+    assert(b1.contains(("src0", "hot")), "dominant key must survive batch 1")
+    assert(b1.keys.count(_._1 == "src0") <= k, "state bounded by k")
+    // lower-bound contract: reported <= true count
+    assert(b1(("src0", "hot")) <= 30L)
+
+    // batch 2: 'hot' keeps flowing, a second source appears — state
+    // carries ACROSS batches (hot's counter grows past batch 1's alone:
+    // +25 occurrences against at most 16 tail-key decrements)
+    input.addData(
+      (Seq.fill(25)(("src0", "hot")) ++
+        (20 until 36).map(i => ("src0", s"t$i")) ++
+        Seq.fill(5)(("src1", "only"))): _*)
+    out.processAllAvailable()
+    val b2 = batches.last
+    assert(b2(("src0", "hot")) > b1(("src0", "hot")),
+      "summary must accumulate across micro-batches")
+    assert(b2(("src0", "hot")) <= 55L)
+    assert(b2(("src1", "only")) == 5L)
+    assert(b2.keys.count(_._1 == "src0") <= k)
+    out.stop()
+  }
 }
