@@ -108,6 +108,71 @@ object CurationQueries {
       .orderedOutput(col("doc_id"))
   }
 
+  /** Incremental dedup — the production shape near-dup detection actually
+    * runs in: a daily INCOMING batch screened against the EXISTING
+    * corpus (and against itself), rather than an offline all-corpus
+    * self-join. Per incoming document: exact-duplicate flag (content
+    * equality vs existing), near-dup match counts vs existing and vs the
+    * rest of the batch (token Jaccard ≥ `threshold`).
+    *
+    * Shape: one [[DedupQueries.tokenPrefixJoin]] over the tagged union
+    * (single logical block — parallelism comes from the posting-list
+    * keys, heavy lists guarded as usual), then the symmetric pairs are
+    * attributed to sides with two broadcast-free doc_id joins and
+    * aggregated per incoming doc. Exact dups go through a content-hash
+    * equi-join, never a text comparison shuffle of full documents.
+    * Existing-existing pairs are generated and discarded — acceptable
+    * while existing/incoming run in one pass; a truly incremental
+    * deployment persists the existing side's prefix index and probes
+    * only incoming prefixes against it (same candidate semantics). */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+                       threshold: Double = 0.8,
+                       heavyListThreshold: Int = 512): DataFrame = {
+    val e = existing.select(col("doc_id"), col("text"), lit("e").as("side"))
+    val i = incoming.select(col("doc_id"), col("text"), lit("i").as("side"))
+    val all = e.unionByName(i)
+    // heavyListThreshold 512, not the source-grouped joins' 4096: the
+    // union is ONE logical block, so posting lists run corpus-wide (the
+    // bench corpus's tiny shared vocabulary gives median df ≈ 3900 at
+    // sf0.1 — most lists land just UNDER 4096). On lists that size the
+    // interpreted per-list pair generator costs ~3× the codegen'd
+    // salted join per candidate (warm A/B at sf0.1: 53.8/53.9 s at 4096
+    // vs 18.9/17.8 s at 512, identical 10.4M pairs), so route them to
+    // the join; the light path keeps only genuinely rare tokens
+    val pairs = DedupQueries.tokenPrefixJoin(
+      all.select(col("doc_id"), lit("all").as("source"), col("text")),
+      threshold, heavyListThreshold)
+    val sides = all.select(col("doc_id"), col("side"))
+    val tagged = pairs
+      .join(sides.select(col("doc_id").as("id1"), col("side").as("s1")), Seq("id1"))
+      .join(sides.select(col("doc_id").as("id2"), col("side").as("s2")), Seq("id2"))
+    // each unordered pair contributes to ITS incoming member(s) — ONE
+    // explode, not a union of two selects over `tagged`: a second
+    // consumer re-executes the whole candidate pipeline (measured 2×)
+    val perDoc = tagged.select(explode(array(
+        struct(col("id1").as("doc_id"), col("s1").as("s"), col("s2").as("os")),
+        struct(col("id2").as("doc_id"), col("s2").as("s"), col("s1").as("os"))))
+        .as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.s").as("s"), col("m.os").as("os"))
+      .filter(col("s") === "i")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("os") === "e", 1L).otherwise(0L)).as("n_exist_matches"),
+        sum(when(col("os") === "i", 1L).otherwise(0L)).as("n_batch_matches"))
+    val exact = i.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(e.select(md5(col("text")).as("h")).distinct(), Seq("h"))
+      .select(col("doc_id")).distinct()
+      .withColumn("is_exact_dup", lit(1L))
+    i.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_exist_matches"), lit(0L)).as("n_exist_matches"),
+        coalesce(col("n_batch_matches"), lit(0L)).as("n_batch_matches"),
+        coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"))
+      // per-incoming-document output: parallel range sort
+      .orderedOutput(col("doc_id"))
+  }
+
   val registry: Map[String, QueryDef] = Map(
 
     // ── per-source heavy hitters at frequency ≥ 1/500: MG candidates +
@@ -139,6 +204,39 @@ object CurationQueries {
              |  FROM d)
              |SELECT source, doc_id, prio FROM p WHERE rn <= 20
              |ORDER BY source, doc_id""".stripMargin)),
+
+    // ── incoming batch (source ≠ src0) screened against the existing
+    //    corpus (src0): exact-dup flag + near-dup match counts vs
+    //    existing and vs the batch itself; oracle re-derives everything
+    //    with direct Jaccard joins ──
+    "q80_incremental_dedup" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        incrementalDedup(docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"))
+      },
+      Some("""WITH e AS (SELECT doc_id, text, list_distinct(string_split(text, ' ')) AS t
+             |          FROM documents WHERE source = 'src0'),
+             |i AS (SELECT doc_id, text, list_distinct(string_split(text, ' ')) AS t
+             |      FROM documents WHERE source <> 'src0'),
+             |xm AS (SELECT i.doc_id, count(*) AS n FROM i JOIN e
+             |       ON CAST(len(list_intersect(i.t, e.t)) AS DOUBLE)
+             |          / len(list_distinct(i.t || e.t)) >= 0.8
+             |       GROUP BY i.doc_id),
+             |bm AS (SELECT x.doc_id, count(*) AS n FROM i x JOIN i y
+             |       ON x.doc_id <> y.doc_id
+             |      AND CAST(len(list_intersect(x.t, y.t)) AS DOUBLE)
+             |          / len(list_distinct(x.t || y.t)) >= 0.8
+             |       GROUP BY x.doc_id),
+             |em AS (SELECT DISTINCT i.doc_id FROM i JOIN e ON i.text = e.text)
+             |SELECT i.doc_id,
+             |  CAST(coalesce(xm.n, 0) AS BIGINT) AS n_exist_matches,
+             |  CAST(coalesce(bm.n, 0) AS BIGINT) AS n_batch_matches,
+             |  CAST(CASE WHEN em.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             |    AS is_exact_dup
+             |FROM i LEFT JOIN xm USING (doc_id) LEFT JOIN bm USING (doc_id)
+             |  LEFT JOIN em USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     // ── per-doc novelty vs everything ingested before it (by doc_id
     //    order); gram fingerprints are the cross-engine polynomial ──

@@ -643,9 +643,11 @@ object DedupQueries {
     * out quadratically within their blocks; the prefix filter only
     * indexes each doc's rarest tokens, bounding candidate generation, and
     * hot tokens are touched once per VERIFIED candidate instead. */
-  def tokenPrefixJoin(documents: DataFrame, threshold: Double = 0.4): DataFrame =
+  def tokenPrefixJoin(documents: DataFrame, threshold: Double = 0.4,
+                      heavyListThreshold: Int = 4096): DataFrame =
     prefixSimilarityJoin(documents.select(col("doc_id"), col("source"),
-      array_distinct(tokens(col("text"))).as("sh")), threshold)
+      array_distinct(tokens(col("text"))).as("sh")), threshold,
+      heavyListThreshold)
 
   /** Token-set Jaccard near-dup pairs, source-grouped all-pairs through
     * the TRIANGLE-BLOCKED self-join cover (q29; see [[Blocking]]): a

@@ -72,6 +72,35 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("incrementalDedup flags exact, cross-corpus and in-batch duplicates") {
+    import spark.implicits._
+    val a = (0 until 30).map(j => s"alpha$j").mkString(" ")
+    val aNear = ((0 until 29).map(j => s"alpha$j") :+ "CHANGED").mkString(" ")
+    val fresh = (0 until 30).map(j => s"zeta$j").mkString(" ")
+    val batchDup = (0 until 30).map(j => s"beta$j").mkString(" ")
+    val existing = Seq((1L, a), (2L, (0 until 30).map(j => s"gamma$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, a),        // exact copy of existing 1 (also a near match)
+      (11L, aNear),    // near-dup of existing 1 (29/31 tokens shared)
+      (12L, fresh),    // no relation to anything
+      (13L, batchDup), // in-batch duplicate pair
+      (14L, batchDup)
+    ).toDF("doc_id", "text")
+    val got = CurationQueries.incrementalDedup(existing, incoming)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 13L, 14L),
+      "every incoming doc reports, matched or not")
+    assert(got(10L) == ((1L, 1L, 1L)),
+      "exact copy: matches existing 1, near-matches batch doc 11, exact flag")
+    assert(got(11L) == ((1L, 1L, 0L)),
+      "near-dup: matches existing 1 and batch doc 10, no exact flag")
+    assert(got(12L) == ((0L, 0L, 0L)), "fresh doc is clean")
+    assert(got(13L) == ((0L, 1L, 0L)) && got(14L) == ((0L, 1L, 0L)),
+      "in-batch pair: each flags the other, existing corpus untouched")
+  }
+
   test("gramNovelty: duplicates score 0, fresh content 1, mixes between") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
