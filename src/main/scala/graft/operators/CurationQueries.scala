@@ -173,6 +173,32 @@ object CurationQueries {
       .orderedOutput(col("doc_id"))
   }
 
+  /** Leakage-safe train/test split: assignment by DUPLICATE GROUP, not
+    * by document. A per-document hash split leaks — a near-duplicate
+    * pair straddling train/test inflates eval (the model "memorizes"
+    * the test doc's twin), which is why production pipelines split on
+    * the dedup-group key. Here: connected components over the near-dup
+    * edge relation (q57's group resolution), then a portable integer
+    * hash of the COMPONENT id buckets the whole group into test
+    * (testPerMille/1000) or train — every member inherits the group's
+    * assignment by construction.
+    *
+    * Shape: the components operator's cost dominates (checkpointed star
+    * contraction, see [[ConnectedComponents]]); the split itself is one
+    * integer expression per row. */
+  def leakageSafeSplit(docs: DataFrame, edges: DataFrame,
+                       testPerMille: Int = 100): DataFrame = {
+    require(testPerMille >= 0 && testPerMille <= 1000)
+    val comps = ConnectedComponents.components(
+      docs.select(col("doc_id").as("id")), edges)
+    comps.select(col("id").as("doc_id"), col("component"),
+      when((col("component") * lit(2654435761L) + lit(99991L))
+        % lit(1000000007L) % lit(1000L) < testPerMille, "test")
+        .otherwise("train").as("split"))
+      // per-document output: parallel range sort (see orderedOutput)
+      .orderedOutput(col("doc_id"))
+  }
+
   val registry: Map[String, QueryDef] = Map(
 
     // ── per-source heavy hitters at frequency ≥ 1/500: MG candidates +
@@ -204,6 +230,32 @@ object CurationQueries {
              |  FROM d)
              |SELECT source, doc_id, prio FROM p WHERE rn <= 20
              |ORDER BY source, doc_id""".stripMargin)),
+
+    // ── dedup-group-keyed train/test split over q57's near-dup
+    //    components (t=0.5): near-dups can never straddle the split;
+    //    oracle re-derives components via the recursive CTE and applies
+    //    the same integer component hash ──
+    "q81_leakage_safe_split" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val edges = DedupQueries.tokenPrefixJoin(docs, threshold = 0.5)
+          .select(col("id1").as("u"), col("id2").as("v"))
+        leakageSafeSplit(docs, edges)
+      },
+      Some(s"""WITH RECURSIVE ${PipelineQueries.jaccardPairsCte(0.5)},
+             |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+             |          UNION ALL SELECT id2, id1 FROM pairs),
+             |reach AS (
+             |  SELECT doc_id AS id, doc_id AS comp FROM documents
+             |  UNION
+             |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id
+             |  WHERE r.comp < e.v),
+             |comps AS (SELECT id AS doc_id, MIN(comp) AS component
+             |          FROM reach GROUP BY id)
+             |SELECT doc_id, component,
+             |  CASE WHEN (component * 2654435761 + 99991) % 1000000007 % 1000 < 100
+             |       THEN 'test' ELSE 'train' END AS split
+             |FROM comps ORDER BY doc_id""".stripMargin)),
 
     // ── incoming batch (source ≠ src0) screened against the existing
     //    corpus (src0): exact-dup flag + near-dup match counts vs

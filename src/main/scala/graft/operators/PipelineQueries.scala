@@ -196,7 +196,7 @@ object PipelineQueries {
 
   /** q56's oracle CTE fragment: token-Jaccard pairs at threshold `t`
     * within source blocks — reused by q57 as the duplicate edge set. */
-  private def jaccardPairsCte(t: Double): String =
+  private[operators] def jaccardPairsCte(t: Double): String =
     s"""toks AS (SELECT doc_id, source,
        |    list_distinct(string_split(text, ' ')) AS t FROM documents),
        |pairs AS (

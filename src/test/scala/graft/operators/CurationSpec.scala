@@ -101,6 +101,30 @@ class CurationSpec extends SparkSpec {
       "in-batch pair: each flags the other, existing corpus untouched")
   }
 
+  test("leakageSafeSplit: duplicate groups never straddle train/test") {
+    import spark.implicits._
+    // 200 docs, edges chaining docs into 3-doc groups (0,1,2), (10,11,12)…
+    // plus isolated singletons
+    val docs = (0L until 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val edges = (0L until 200L by 10L).flatMap(b =>
+      Seq((b, b + 1), (b + 1, b + 2))).toDF("u", "v")
+    val got = CurationQueries.leakageSafeSplit(docs, edges, testPerMille = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 200)
+    // every member of a component shares its split
+    got.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"component $c straddles")
+    }
+    // chained groups resolved: doc b..b+2 share component b
+    (0L until 200L by 10L).foreach { b =>
+      val members = got.filter(t => t._1 >= b && t._1 <= b + 2)
+      assert(members.map(_._2).distinct.toSeq == Seq(b))
+    }
+    // both splits actually occur at 30 %
+    val frac = got.count(_._3 == "test").toDouble / got.length
+    assert(frac > 0.1 && frac < 0.5, s"test fraction $frac")
+  }
+
   test("gramNovelty: duplicates score 0, fresh content 1, mixes between") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
