@@ -52,10 +52,10 @@ object Checkpoints {
       case _ => None
     }
 
-  private[graft] def deleteCheckpointDir(df: DataFrame, path: String): Unit = {
+  private[graft] def deleteCheckpointDir(conf: org.apache.hadoop.conf.Configuration,
+                                         path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
+    p.getFileSystem(conf).delete(p, true)
     ()
   }
 
@@ -85,7 +85,9 @@ object Checkpoints {
   * directory per job instead of one per round. */
 final class CheckpointCycle {
 
-  private var tracked: Option[(DataFrame, String)] = None
+  // path + Hadoop conf only — holding the superseded DataFrame itself
+  // would pin its plan and RDD for the whole inter-round lifetime
+  private var tracked: Option[(org.apache.hadoop.conf.Configuration, String)] = None
 
   /** [[Checkpoints.truncate]], then delete the directory of this cycle's
     * previous round (reliable path only; the localCheckpoint fallback has
@@ -94,14 +96,15 @@ final class CheckpointCycle {
     val out = Checkpoints.truncate(df)
     val fresh = Checkpoints.checkpointFileOf(out)
     release()
-    tracked = fresh.map(p => (out, p))
+    tracked = fresh.map(p =>
+      (out.sparkSession.sparkContext.hadoopConfiguration, p))
     out
   }
 
   /** Delete the last live checkpoint directory of this cycle. Only safe
     * once the final result is durably consumed. */
   def release(): Unit = {
-    tracked.foreach { case (df, p) => Checkpoints.deleteCheckpointDir(df, p) }
+    tracked.foreach { case (c, p) => Checkpoints.deleteCheckpointDir(c, p) }
     tracked = None
   }
 }

@@ -22,11 +22,11 @@ object CurationQueries {
     * candidate generation: tokens whose count × `denom` ≥ the group's
     * total token count m (i.e. frequency ≥ 1/denom).
     *
-    * Shape: the MG summary ([[graft.functions.MisraGries]]) holds ≤ k
+    * Shape: the MG summary ([[graft.functions.MisraGries]]) holds ≤ 2k
     * counters per partial aggregate — the full token relation is never
     * shuffled by token. Every key with count > m/(k+1) survives the
     * summary, so with k+1 > denom the candidate set is a PROVEN superset
-    * of the answer; candidates are ≤ k per group (dimension-sized →
+    * of the answer; candidates are ≤ 2k per group (dimension-sized →
     * broadcast), and one exact filtered count over them closes the gap.
     * Wrong-but-plausible alternative: exact groupBy(token) counts —
     * correct, but shuffles every token occurrence at corpus scale for an
@@ -37,9 +37,13 @@ object CurationQueries {
       s"superset guarantee needs k+1 > denom (got k=$k, denom=$denom): " +
         "a key at exactly m/denom must exceed the m/(k+1) survival bound")
     val mg = udaf(new graft.functions.MisraGries(k), Encoders.STRING)
-    val cands = tokens.groupBy(col("source")).agg(mg(col("token")).as("cs"))
-      .select(col("source"), explode(col("cs")).as("token"))
-    val totals = tokens.groupBy(col("source")).agg(count(lit(1)).as("m"))
+    // candidates and totals ride ONE corpus pass (a separate count agg
+    // was a third full scan — r7 review); the summary is one row per
+    // source, so materializing it for its two consumers is free
+    val summary = Checkpoints.truncate(tokens.groupBy(col("source"))
+      .agg(mg(col("token")).as("cs"), count(lit(1)).as("m")))
+    val cands = summary.select(col("source"), explode(col("cs")).as("token"))
+    val totals = summary.select(col("source"), col("m"))
     tokens.join(broadcast(cands), Seq("source", "token"))
       .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
       .join(broadcast(totals), Seq("source"))
@@ -69,10 +73,16 @@ object CurationQueries {
   def prioritySample(documents: DataFrame, k: Int = 20): DataFrame = {
     val topk = udaf(new graft.functions.TopK(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    // overflow discipline: doc_id reduces mod p BEFORE the multiply
+    // ((p-1)·2654435761 < 2^63, so h ∈ [1, p] for ANY doc_id — a raw
+    // product wraps negative past id ≈ 3.47e9 and h could hit 0); the
+    // weight caps at 10⁶ tokens so w·10¹² ≤ 10¹⁸ < 2^63 (priorities of
+    // mega-documents saturate at the cap — they are the most likely
+    // picks anyway)
     val prio = documents.select(col("source"), col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("w"),
-      ((col("doc_id") * lit(2654435761L) + lit(12345L)) % lit(1000000007L)
-        + lit(1L)).as("h"))
+      least(size(split(col("text"), " ")).cast("long"), lit(1000000L)).as("w"),
+      (((col("doc_id") % lit(1000000007L)) * lit(2654435761L) + lit(12345L))
+        % lit(1000000007L) + lit(1L)).as("h"))
       .select(col("source"), col("doc_id"),
         expr("w * 1000000000000 div h").as("prio"))
     prio.groupBy(col("source"))
@@ -94,6 +104,12 @@ object CurationQueries {
     * the same key, one per-doc aggregate. Linear in corpus grams; no
     * pairwise anything. */
   def gramNovelty(documents: DataFrame): DataFrame = {
+    // `g` has two consumers (min-aggregate + join probe) and IS computed
+    // twice; materializing it once was A/B-tested (Checkpoints.truncate,
+    // r7) and came out a wash at sf0.1 (2.50 s recompute vs 2.66 s
+    // truncated) — the exploded gram relation is ~300× the input, so
+    // writing it costs what the second compiled hash pass does. Contrast
+    // prefixSimilarityJoin's index: FOUR consumers, measured win.
     val g = documents.filter(length(col("text")) >= 8)
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.GramHashArray(col("text")))).as("g"))
@@ -115,21 +131,26 @@ object CurationQueries {
     * equality vs existing), near-dup match counts vs existing and vs the
     * rest of the batch (token Jaccard ≥ `threshold`).
     *
-    * Shape: one [[DedupQueries.tokenPrefixJoin]] over the tagged union
-    * (single logical block — parallelism comes from the posting-list
-    * keys, heavy lists guarded as usual), then the symmetric pairs are
-    * attributed to sides with two broadcast-free doc_id joins and
-    * aggregated per incoming doc. Exact dups go through a content-hash
-    * equi-join, never a text comparison shuffle of full documents.
-    * Existing-existing pairs are generated and discarded — acceptable
-    * while existing/incoming run in one pass; a truly incremental
-    * deployment persists the existing side's prefix index and probes
-    * only incoming prefixes against it (same candidate semantics). */
+    * Shape: one [[DedupQueries.tokenPrefixJoin]] over the SIDE-ENCODED
+    * union (uid = doc_id·2, +1 for incoming; single logical block —
+    * parallelism comes from the posting-list keys, heavy lists guarded
+    * as usual). The encoding does two jobs: it keeps the id namespaces
+    * disjoint even when both sides number from 0 (with raw ids, a
+    * same-id cross-side near-dup pair was silently dropped by the
+    * pair generator's a ≠ b predicate and the side lookup
+    * double-counted), and the uid PARITY is the side, so pair
+    * attribution is arithmetic — no joins. Exact dups go through a
+    * content-hash equi-join, never a text comparison shuffle of full
+    * documents. Preconditions: doc_id ≥ 0 and < 2⁶². Existing-existing
+    * pairs are generated and discarded — acceptable while
+    * existing/incoming run in one pass; a truly incremental deployment
+    * persists the existing side's prefix index and probes only incoming
+    * prefixes against it (same candidate semantics). */
   def incrementalDedup(existing: DataFrame, incoming: DataFrame,
                        threshold: Double = 0.8,
                        heavyListThreshold: Int = 512): DataFrame = {
-    val e = existing.select(col("doc_id"), col("text"), lit("e").as("side"))
-    val i = incoming.select(col("doc_id"), col("text"), lit("i").as("side"))
+    val e = existing.select((col("doc_id") * 2).as("doc_id"), col("text"))
+    val i = incoming.select((col("doc_id") * 2 + 1).as("doc_id"), col("text"))
     val all = e.unionByName(i)
     // heavyListThreshold 512, not the source-grouped joins' 4096: the
     // union is ONE logical block, so posting lists run corpus-wide (the
@@ -141,28 +162,23 @@ object CurationQueries {
     // the join; the light path keeps only genuinely rare tokens
     val pairs = DedupQueries.tokenPrefixJoin(
       all.select(col("doc_id"), lit("all").as("source"), col("text")),
-      threshold, heavyListThreshold)
-    val sides = all.select(col("doc_id"), col("side"))
-    val tagged = pairs
-      .join(sides.select(col("doc_id").as("id1"), col("side").as("s1")), Seq("id1"))
-      .join(sides.select(col("doc_id").as("id2"), col("side").as("s2")), Seq("id2"))
+      threshold, heavyListThreshold, sorted = false)
     // each unordered pair contributes to ITS incoming member(s) — ONE
-    // explode, not a union of two selects over `tagged`: a second
-    // consumer re-executes the whole candidate pipeline (measured 2×)
-    val perDoc = tagged.select(explode(array(
-        struct(col("id1").as("doc_id"), col("s1").as("s"), col("s2").as("os")),
-        struct(col("id2").as("doc_id"), col("s2").as("s"), col("s1").as("os"))))
-        .as("m"))
-      .select(col("m.doc_id").as("doc_id"), col("m.s").as("s"), col("m.os").as("os"))
-      .filter(col("s") === "i")
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("os") === "e", 1L).otherwise(0L)).as("n_exist_matches"),
-        sum(when(col("os") === "i", 1L).otherwise(0L)).as("n_batch_matches"))
-    val exact = i.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(e.select(md5(col("text")).as("h")).distinct(), Seq("h"))
+    // explode (a second consumer of `pairs` re-executes the whole
+    // candidate pipeline, measured 2×), attributed by uid parity alone
+    val perDoc = pairs.select(explode(array(
+        struct(col("id1").as("uid"), col("id2").as("ouid")),
+        struct(col("id2").as("uid"), col("id1").as("ouid")))).as("m"))
+      .select(col("m.uid").as("uid"), col("m.ouid").as("ouid"))
+      .filter(col("uid") % 2 === 1)
+      .groupBy(expr("uid div 2").as("doc_id"))
+      .agg(sum(when(col("ouid") % 2 === 0, 1L).otherwise(0L)).as("n_exist_matches"),
+        sum(when(col("ouid") % 2 === 1, 1L).otherwise(0L)).as("n_batch_matches"))
+    val exact = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(existing.select(md5(col("text")).as("h")).distinct(), Seq("h"))
       .select(col("doc_id")).distinct()
       .withColumn("is_exact_dup", lit(1L))
-    i.select(col("doc_id"))
+    incoming.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .join(exact, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -191,9 +207,14 @@ object CurationQueries {
     require(testPerMille >= 0 && testPerMille <= 1000)
     val comps = ConnectedComponents.components(
       docs.select(col("doc_id").as("id")), edges)
+    // reduce mod p BEFORE multiplying: (p-1)·2654435761 ≈ 2.65e18 < 2^63,
+    // so the product cannot overflow for ANY component id — a raw
+    // component·A wraps negative past id ≈ 3.47e9 (inside the 100 TB
+    // envelope), which Java would sign-keep into "always test" and
+    // DuckDB would reject as overflow
     comps.select(col("id").as("doc_id"), col("component"),
-      when((col("component") * lit(2654435761L) + lit(99991L))
-        % lit(1000000007L) % lit(1000L) < testPerMille, "test")
+      when((col("component") % lit(1000000007L) * lit(2654435761L)
+        + lit(99991L)) % lit(1000000007L) % lit(1000L) < testPerMille, "test")
         .otherwise("train").as("split"))
       // per-document output: parallel range sort (see orderedOutput)
       .orderedOutput(col("doc_id"))
@@ -221,8 +242,8 @@ object CurationQueries {
     "q78_priority_sample" -> QueryDef(
       (s, d) => prioritySample(Tables.documents(s, d)),
       Some("""WITH d AS (SELECT source, doc_id,
-             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
-             |    (doc_id * 2654435761 + 12345) % 1000000007 + 1 AS h
+             |    LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 1000000) AS w,
+             |    (doc_id % 1000000007 * 2654435761 + 12345) % 1000000007 + 1 AS h
              |  FROM documents),
              |p AS (SELECT source, doc_id, (w * 1000000000000) // h AS prio,
              |    ROW_NUMBER() OVER (PARTITION BY source
@@ -238,7 +259,8 @@ object CurationQueries {
     "q81_leakage_safe_split" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val edges = DedupQueries.tokenPrefixJoin(docs, threshold = 0.5)
+        val edges = DedupQueries.tokenPrefixJoin(docs, threshold = 0.5,
+            sorted = false)
           .select(col("id1").as("u"), col("id2").as("v"))
         leakageSafeSplit(docs, edges)
       },
@@ -253,7 +275,8 @@ object CurationQueries {
              |comps AS (SELECT id AS doc_id, MIN(comp) AS component
              |          FROM reach GROUP BY id)
              |SELECT doc_id, component,
-             |  CASE WHEN (component * 2654435761 + 99991) % 1000000007 % 1000 < 100
+             |  CASE WHEN (component % 1000000007 * 2654435761 + 99991)
+             |            % 1000000007 % 1000 < 100
              |       THEN 'test' ELSE 'train' END AS split
              |FROM comps ORDER BY doc_id""".stripMargin)),
 

@@ -636,6 +636,8 @@ object DedupQueries {
     prefixSimilarityJoin(documents.select(col("doc_id"), col("source"),
       charShingles(col("text"), shingleLen, stride).as("sh")), threshold)
 
+  /** See [[prefixSimilarityJoin]]'s `sorted` note. */
+
   /** Token-level twin of [[charShinglePrefixJoin]]: the third verified
     * formulation of n-gram Jaccard (q29 all-pairs, q44 plain inverted
     * index, q56 prefix-filtered) — identical output and oracle. The plain
@@ -644,10 +646,11 @@ object DedupQueries {
     * indexes each doc's rarest tokens, bounding candidate generation, and
     * hot tokens are touched once per VERIFIED candidate instead. */
   def tokenPrefixJoin(documents: DataFrame, threshold: Double = 0.4,
-                      heavyListThreshold: Int = 4096): DataFrame =
+                      heavyListThreshold: Int = 4096,
+                      sorted: Boolean = true): DataFrame =
     prefixSimilarityJoin(documents.select(col("doc_id"), col("source"),
       array_distinct(tokens(col("text"))).as("sh")), threshold,
-      heavyListThreshold)
+      heavyListThreshold, sorted = sorted)
 
   /** Token-set Jaccard near-dup pairs, source-grouped all-pairs through
     * the TRIANGLE-BLOCKED self-join cover (q29; see [[Blocking]]): a
@@ -762,7 +765,8 @@ object DedupQueries {
     * the previously run-killing corpus). */
   def prefixSimilarityJoin(docArrays: DataFrame, threshold: Double,
                            heavyListThreshold: Int = 4096,
-                           salt: Int = 16): DataFrame = {
+                           salt: Int = 16,
+                           sorted: Boolean = true): DataFrame = {
     val docs = docArrays.withColumn("n", size(col("sh")))
     val exploded = docs.select(col("source"), col("doc_id"), col("n"),
       explode(col("sh")).as("s"))
@@ -860,6 +864,12 @@ object DedupQueries {
         (size(col("s1")) + size(col("s2")) - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("id1"), col("id2"), col("jac"))
-      .orderedResult(col("id1"), col("id2"))
+      // sorted=false for INTERMEDIATE consumers (edge relations feeding
+      // components, incremental-dedup attribution): the single-partition
+      // orderedResult tail is for registry outputs a human reads — a
+      // corpus-sized pair set funneled through one task mid-pipeline is
+      // the wall at 100 TB (r7 review)
+      .transform(df => if (sorted) df.orderedResult(col("id1"), col("id2"))
+                       else df)
   }
 }

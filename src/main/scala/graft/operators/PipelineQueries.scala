@@ -215,7 +215,10 @@ object PipelineQueries {
     "q57_dup_components" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val edges = DedupQueries.tokenPrefixJoin(docs, threshold = 0.5)
+        // sorted=false: the edge set is an intermediate relation — the
+        // sorted variant funnels every pair through one task first
+        val edges = DedupQueries.tokenPrefixJoin(docs, threshold = 0.5,
+            sorted = false)
           .select(col("id1").as("u"), col("id2").as("v"))
         val comps = ConnectedComponents.components(
           docs.select(col("doc_id").as("id")), edges)

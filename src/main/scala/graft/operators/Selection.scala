@@ -46,6 +46,9 @@ object Selection {
     val init = base.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
       .collect()
+    // empty input: no groups, empty result — not an opaque empty.min crash
+    if (init.isEmpty)
+      return Seq.empty[(String, Long)].toDF(groupCol, valueCol)
     // misuse must fail HERE with a named group, not several distributed
     // passes later as an opaque 'selection invariant broken' (ADVICE r6);
     // a null group key would also NPE at getString below

@@ -52,20 +52,6 @@ object DocStream {
         .dropDuplicatesWithinWatermark("h"),
       chunkTokens, stride)
 
-  /** Streaming heavy-hitter tracking — q77's streaming twin: one
-    * Misra-Gries summary per source carried across micro-batches in
-    * `mapGroupsWithState`, so state is ≤ k counters per source FOREVER,
-    * independent of stream length (contrast: a streaming groupBy(token)
-    * count grows state with the vocabulary). Each trigger folds the
-    * batch's tokens into the stored summary with the same reduce the
-    * batch aggregator uses, then re-emits the source's current summary
-    * (update output mode).
-    *
-    * Emitted rows are (source, token, lower_bound) with the batch
-    * operator's candidate-superset contract: every token whose
-    * stream-so-far count exceeds m/(k+1) is present, counters are lower
-    * bounds — a consumer needing exact counts closes the gap with a
-    * recount over the flagged tokens, exactly like q77's verify pass. */
   /** Streaming distinct-count sketch — q74's streaming twin: one KMV
     * sketch per source carried across micro-batches in
     * `mapGroupsWithState` (state ≤ k hash values per source forever; a
@@ -96,6 +82,20 @@ object DocStream {
       .toDF("source", "n_kept", "kth_min")
   }
 
+  /** Streaming heavy-hitter tracking — q77's streaming twin: one
+    * Misra-Gries summary per source carried across micro-batches in
+    * `mapGroupsWithState`, so state is ≤ 2k counters per source FOREVER,
+    * independent of stream length (contrast: a streaming groupBy(token)
+    * count grows state with the vocabulary). Each trigger folds the
+    * batch's tokens into the stored summary with the same reduce the
+    * batch aggregator uses, then re-emits the source's current summary
+    * (update output mode).
+    *
+    * Emitted rows are (source, token, lower_bound) with the batch
+    * operator's candidate-superset contract: every token whose
+    * stream-so-far count exceeds m/(k+1) is present, counters are lower
+    * bounds — a consumer needing exact counts closes the gap with a
+    * recount over the flagged tokens, exactly like q77's verify pass. */
   def heavyHitterStream(tokens: DataFrame, k: Int = 64): DataFrame = {
     val spark = tokens.sparkSession
     import spark.implicits._
