@@ -41,6 +41,180 @@ object GtfsPipeline {
   private def slotCaseSql(ts: String): String =
     graft.model.TimeSlot.duckDbCaseSql(ts)
 
+  /** C6 as DuckDB SQL (RouteSection.byStopIndex: size = min(5, count/3)). */
+  private def sectionCaseSql(idx: String, cnt: String): String =
+    s"CASE WHEN $idx < LEAST(5, $cnt // 3) THEN 0 " +
+      s"WHEN $cnt - $idx <= LEAST(5, $cnt // 3) THEN 2 ELSE 1 END"
+
+  /** Shared DuckDB CTEs for the monitor surrogates: active services over
+    * the 2-day prediction horizon (q55's proven calendar logic), indexed
+    * stop lists, trips/routes, and the per-(trip, service-day) event rows. */
+  private val monitorScheduleCtes =
+    s"""hdays AS (SELECT unnest([DATE '2024-03-15', DATE '2024-03-16']) AS d),
+       |cal AS (SELECT * FROM read_csv_auto('$fixtureDir/gtfs_tiny/calendar.txt', header=true)),
+       |cd AS (SELECT * FROM read_csv_auto('$fixtureDir/gtfs_tiny/calendar_dates.txt', header=true)),
+       |svc AS (
+       |  SELECT d, service_id FROM hdays, cal
+       |  WHERE CASE isodow(d) WHEN 1 THEN monday WHEN 2 THEN tuesday
+       |      WHEN 3 THEN wednesday WHEN 4 THEN thursday WHEN 5 THEN friday
+       |      WHEN 6 THEN saturday ELSE sunday END = 1
+       |    AND start_date <= CAST(strftime(d, '%Y%m%d') AS INT)
+       |    AND end_date >= CAST(strftime(d, '%Y%m%d') AS INT)
+       |  UNION
+       |  SELECT d, service_id FROM hdays JOIN cd
+       |    ON cd.date = CAST(strftime(d, '%Y%m%d') AS INT) AND cd.exception_type = 1),
+       |active AS (SELECT * FROM svc s WHERE NOT EXISTS (
+       |  SELECT 1 FROM cd WHERE cd.service_id = s.service_id
+       |    AND cd.date = CAST(strftime(s.d, '%Y%m%d') AS INT) AND cd.exception_type = 2)),
+       |st AS (SELECT trip_id, CAST(stop_sequence AS INT) AS stop_sequence, stop_id,
+       |    ROW_NUMBER() OVER (PARTITION BY trip_id ORDER BY CAST(stop_sequence AS INT)) - 1 AS stop_index,
+       |    CAST(COUNT(*) OVER (PARTITION BY trip_id) AS INT) AS stop_count,
+       |    CAST(split_part(arrival_time,':',1) AS INT)*3600 + CAST(split_part(arrival_time,':',2) AS INT)*60
+       |      + CAST(split_part(arrival_time,':',3) AS INT) AS arr_secs,
+       |    CAST(split_part(departure_time,':',1) AS INT)*3600 + CAST(split_part(departure_time,':',2) AS INT)*60
+       |      + CAST(split_part(departure_time,':',3) AS INT) AS dep_secs
+       |  FROM read_csv_auto('$fixtureDir/gtfs_tiny/stop_times.txt', header=true)),
+       |tr AS (SELECT * FROM read_csv_auto('$fixtureDir/gtfs_tiny/trips.txt', header=true)),
+       |rts AS (SELECT route_id, CAST(route_short_name AS VARCHAR) AS route_short_name,
+       |    CAST(route_type AS INT) AS route_type
+       |  FROM read_csv_auto('$fixtureDir/gtfs_tiny/routes.txt', header=true)),
+       |runs AS (
+       |  SELECT t.route_id, t.trip_id, a.d AS trip_start_date, st.*
+       |  FROM active a
+       |  JOIN tr t ON t.service_id = a.service_id
+       |  JOIN st ON st.trip_id = t.trip_id)""".stripMargin
+
+  /** The q82 oracle: the departure board's full relational skeleton —
+    * request generation, ladder resolution to a precision code + sample
+    * size, curve SUPPORT end points, F5/F6/F7 filters, J6 metadata —
+    * re-derived in DuckDB. See the q82 registry comment for the argument
+    * that every projected fact is an integer function of the delay
+    * multisets (makeCurve emits sorted distinct values skipping a leading
+    * exact 0.0; simplify/average/capPoints preserve end points; averaged
+    * sample sizes use the reference's integer division). */
+  private val boardSkeletonSql = {
+    val leafInstant =
+      "(CAST(r.trip_start_date AS TIMESTAMP) + INTERVAL (COALESCE(s.arr_secs, s.dep_secs)) SECOND)"
+    s"""WITH $goldenRecordsCte,
+       |$monitorScheduleCtes,
+       |vkeys AS (SELECT s.trip_id, t.route_id || '|' || string_agg(s.stop_id, ',' ORDER BY s.stop_index) AS vkey
+       |  FROM st s JOIN tr t ON t.trip_id = s.trip_id
+       |  GROUP BY s.trip_id, t.route_id),
+       |vehicles AS (SELECT DISTINCT trip_id, trip_start_date FROM recs),
+       |filled AS (SELECT g.trip_id, s.stop_index,
+       |    last_value(r.delay_arrival IGNORE NULLS) OVER w AS da,
+       |    last_value(r.delay_departure IGNORE NULLS) OVER w AS dd
+       |  FROM vehicles g
+       |  JOIN st s ON s.trip_id = g.trip_id
+       |  LEFT JOIN recs r ON r.trip_id = g.trip_id AND r.trip_start_date = g.trip_start_date
+       |    AND r.stop_sequence = s.stop_sequence
+       |  WINDOW w AS (PARTITION BY g.trip_id, g.trip_start_date ORDER BY s.stop_index
+       |               ROWS UNBOUNDED PRECEDING)),
+       |genev AS (
+       |  SELECT v.vkey, f.stop_index, e.event_type, e.delay
+       |  FROM filled f
+       |  JOIN vkeys v ON v.trip_id = f.trip_id,
+       |  LATERAL (SELECT unnest([1, 2]) AS event_type, unnest([f.da, f.dd]) AS delay) e
+       |  WHERE e.delay IS NOT NULL),
+       |gen AS (
+       |  SELECT vkey, stop_index, event_type, CAST(COUNT(*) AS INT) AS gen_n,
+       |    CASE WHEN MIN(delay) = 0 THEN MIN(CASE WHEN delay <> 0 THEN delay END)
+       |         ELSE MIN(delay) END AS gen_minx,
+       |    MAX(delay) AS gen_maxx
+       |  FROM genev GROUP BY 1, 2, 3
+       |  HAVING COUNT(*) >= 20
+       |    AND COUNT(DISTINCT delay) - (CASE WHEN MIN(delay) = 0 THEN 1 ELSE 0 END) >= 2),
+       |leafbase AS (
+       |  SELECT rt2.route_type,
+       |    ${sectionCaseSql("s.stop_index", "s.stop_count")} AS route_section,
+       |    ${slotCaseSql(leafInstant)} AS time_slot_id,
+       |    e.event_type, v.vkey AS variant, e.delay
+       |  FROM recs r
+       |  JOIN st s ON s.trip_id = r.trip_id AND s.stop_sequence = r.stop_sequence
+       |  JOIN tr t ON t.trip_id = r.trip_id
+       |  JOIN rts rt2 ON rt2.route_id = t.route_id
+       |  JOIN vkeys v ON v.trip_id = r.trip_id,
+       |  LATERAL (SELECT unnest([1, 2]) AS event_type,
+       |           unnest([r.delay_arrival, r.delay_departure]) AS delay) e
+       |  WHERE e.delay IS NOT NULL),
+       |leaves AS (
+       |  SELECT route_type, route_section, time_slot_id, event_type, variant,
+       |    CAST(COUNT(*) AS INT) AS n,
+       |    CASE WHEN MIN(delay) = 0 THEN MIN(CASE WHEN delay <> 0 THEN delay END)
+       |         ELSE MIN(delay) END AS minx,
+       |    MAX(delay) AS maxx
+       |  FROM leafbase GROUP BY 1, 2, 3, 4, 5
+       |  HAVING COUNT(*) >= 10
+       |    AND COUNT(DISTINCT delay) - (CASE WHEN MIN(delay) = 0 THEN 1 ELSE 0 END) >= 2),
+       |cellavg AS (SELECT route_type, route_section, time_slot_id, event_type,
+       |    CAST(SUM(n) // COUNT(*) AS INT) AS cell_n,
+       |    MIN(minx) AS cell_minx, MAX(maxx) AS cell_maxx
+       |  FROM leaves GROUP BY 1, 2, 3, 4),
+       |poolavg AS (SELECT route_type, event_type,
+       |    CAST(SUM(n) // COUNT(*) AS INT) AS pool_n,
+       |    MIN(minx) AS pool_minx, MAX(maxx) AS pool_maxx
+       |  FROM leaves GROUP BY 1, 2),
+       |globavg AS (SELECT CAST(SUM(n) // COUNT(*) AS INT) AS g_n,
+       |    MIN(minx) AS g_minx, MAX(maxx) AS g_maxx FROM leaves),
+       |board AS (
+       |  SELECT b.route_id, b.trip_id, b.trip_start_date, b.stop_sequence, b.stop_id,
+       |    b.stop_index, b.stop_count,
+       |    CAST(b.trip_start_date AS TIMESTAMP) + INTERVAL (b.dep_secs) SECOND AS event_instant
+       |  FROM runs b
+       |  WHERE b.stop_id IN ('s1', 's2', 's3')
+       |    AND b.stop_index < b.stop_count - 1),
+       |board2 AS (
+       |  SELECT b.*, ${slotCaseSql("b.event_instant")} AS slot,
+       |    ${sectionCaseSql("b.stop_index", "b.stop_count")} AS sec
+       |  FROM board b),
+       |resolved AS (
+       |  SELECT b.trip_id, b.trip_start_date, b.stop_id, b.stop_sequence,
+       |    rt2.route_short_name, t.trip_headsign, rt2.route_type,
+       |    CAST(CASE WHEN g.gen_n IS NOT NULL THEN 2
+       |         WHEN c.cell_n IS NOT NULL THEN 3
+       |         WHEN p.pool_n IS NOT NULL THEN 4
+       |         ELSE 5 END AS INT) AS precision_type,
+       |    CAST(COALESCE(g.gen_n, c.cell_n, p.pool_n, gl.g_n) AS INT) AS sample_size,
+       |    CAST(2 AS INT) AS origin_type,
+       |    b.event_instant,
+       |    b.event_instant + INTERVAL (COALESCE(g.gen_minx, c.cell_minx, p.pool_minx, gl.g_minx)) SECOND AS prediction_min,
+       |    b.event_instant + INTERVAL (COALESCE(g.gen_maxx, c.cell_maxx, p.pool_maxx, gl.g_maxx)) SECOND AS prediction_max
+       |  FROM board2 b
+       |  JOIN tr t ON t.trip_id = b.trip_id
+       |  JOIN rts rt2 ON rt2.route_id = b.route_id
+       |  JOIN vkeys v ON v.trip_id = b.trip_id
+       |  LEFT JOIN gen g ON g.vkey = v.vkey AND g.stop_index = b.stop_index AND g.event_type = 2
+       |  LEFT JOIN cellavg c ON c.route_type = rt2.route_type AND c.route_section = b.sec
+       |    AND c.time_slot_id = b.slot AND c.event_type = 2
+       |  LEFT JOIN poolavg p ON p.route_type = rt2.route_type AND p.event_type = 2
+       |  CROSS JOIN globavg gl)
+       |SELECT trip_id, trip_start_date, stop_id, stop_sequence, route_short_name,
+       |  trip_headsign, route_type, precision_type, sample_size, origin_type,
+       |  event_instant, prediction_min, prediction_max
+       |FROM resolved
+       |WHERE prediction_min < TIMESTAMP '2024-03-17 00:00:00'
+       |  AND prediction_max > TIMESTAMP '2024-03-15 00:00:00'
+       |ORDER BY trip_start_date, trip_id, stop_sequence""".stripMargin
+  }
+
+  /** The q83 oracle: transfersBanded's pair skeleton — stop-pair equi-join,
+    * time band (slack 259200 s, slack+horizon 518400 s), trip inequality —
+    * from the GTFS CSVs alone. */
+  private val transferSkeletonSql =
+    s"""WITH $monitorScheduleCtes,
+       |arr AS (SELECT r.trip_id,
+       |    CAST(epoch(CAST(r.trip_start_date AS TIMESTAMP) + INTERVAL (r.arr_secs) SECOND) AS BIGINT) AS ref
+       |  FROM runs r WHERE r.stop_id = 's2'),
+       |dep AS (SELECT r.trip_id,
+       |    CAST(epoch(CAST(r.trip_start_date AS TIMESTAMP) + INTERVAL (r.dep_secs) SECOND) AS BIGINT) AS ref
+       |  FROM runs r WHERE r.stop_id = 's3')
+       |SELECT a.trip_id AS arrival_trip, 's2' AS arrival_stop,
+       |  d.trip_id AS departure_trip, 's3' AS departure_stop
+       |FROM arr a JOIN dep d
+       |  ON d.ref >= a.ref - 259200 AND d.ref <= a.ref + 518400
+       |WHERE a.trip_id <> d.trip_id
+       |ORDER BY arrival_trip, departure_trip""".stripMargin
+
   val registry: Map[String, QueryDef] = Map(
     // §3.1 ingest: feeds -> records (J1/J2/F4/W2). Oracle: the pipeline
     // output must equal the feed GENERATOR's arithmetic — a golden
@@ -219,6 +393,70 @@ object GtfsPipeline {
             round(col("median_delay"), 3).as("median_delay"))
       },
       None),
+
+    // q50's INTEGER-FACT surrogate (r7, mirroring what q53/q55 do for the
+    // analysis pipeline): the same departureBoard operator run end to end,
+    // projecting only SQL-derivable facts — row keys, J6 metadata, the
+    // precision/origin codes, sample sizes, and the prediction window as
+    // curve-SUPPORT integers (prediction_min/max = event instant shifted
+    // by the curve's end points, which for every ladder rung are min/max
+    // functions of the underlying delay multiset: makeCurve emits points
+    // at the sorted distinct values — skipping a LEADING 0.0, see
+    // Curve.makeCurve — simplify/average/capPoints all preserve end
+    // points). The DuckDB twin re-derives the ENTIRE resolution in SQL:
+    // gap-filled general-curve availability (>=20 samples at the Default
+    // slot, >=2 emitted points) keyed by the structural route variant
+    // (expressed as the ordered stop list), the default-grid cascade
+    // (leaf >=10 gate -> General cell -> per-route-type pool ->
+    // SuperGeneral global, integer-div sample averaging per
+    // CurveData::average), the F5 window predicate, the F7 last-stop
+    // drop, and the F6 origin constant — verifying the board's relational
+    // skeleton (reference `src/monitor/mod.rs:426-591` +
+    // `src/predictor/mod.rs:178-335`) against an independent engine,
+    // leaving only curve BYTES to the golden pins (GtfsGoldenPinSpec).
+    "q82_board_skeleton" -> QueryDef(
+      (s, _) => {
+        val (schedule, preds) = fixturePredictions(s)
+        graft.monitor.Monitor.departureBoard(preds,
+          schedule.trips, schedule.routes, schedule.stopTimes,
+          stopIds = Seq("s1", "s2", "s3"),
+          minTime = java.sql.Timestamp.valueOf("2024-03-15 00:00:00"),
+          maxTime = java.sql.Timestamp.valueOf("2024-03-17 00:00:00"))
+          .filter(col("event_type") === graft.model.EventType.Departure)
+          .select(col("trip_id"), col("trip_start_date"), col("stop_id"),
+            col("stop_sequence"), col("route_short_name"), col("trip_headsign"),
+            col("route_type"), col("precision_type"), col("sample_size"),
+            col("origin_type"), col("event_instant"),
+            col("prediction_min"), col("prediction_max"))
+          .orderBy("trip_start_date", "trip_id", "stop_sequence")
+      },
+      Some(boardSkeletonSql)),
+
+    // q51's INTEGER-FACT surrogate (r7): the same transfersBanded operator
+    // with the probability column DROPPED — with minProbability = 0.0 the
+    // F8 floor keeps every scored pair, so the output row set is exactly
+    // the relational skeleton (stop-pair equi-join through the walkable
+    // graph + time band + trip inequality, reference
+    // `src/monitor/mod.rs:855-884`), independently re-derived in DuckDB
+    // from the GTFS CSVs. Curve math stays with the golden pins.
+    "q83_transfer_skeleton" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        val (_, preds) = fixturePredictions(s)
+        val arrivals = preds
+          .filter(col("event_type") === graft.model.EventType.Arrival)
+        val departures = preds
+          .filter(col("event_type") === graft.model.EventType.Departure)
+        val stopPairs = Seq(("s2", "s3", 120.0))
+          .toDF("arrival_stop", "departure_stop", "walk_meters")
+        graft.monitor.Monitor.transfersBanded(arrivals, departures, stopPairs,
+            horizonSecs = 3 * 86400, slackSecs = 3 * 86400,
+            minProbability = 0.0)
+          .select(col("arrival_trip"), col("arrival_stop"),
+            col("departure_trip"), col("departure_stop"))
+          .orderBy("arrival_trip", "departure_trip")
+      },
+      Some(transferSkeletonSql)),
 
     // monitor transfer scoring (C9/C10/C11 + F8) over real pipeline
     // curves, through the KEYED fleet-scale shape (stop-pair equi-join +
