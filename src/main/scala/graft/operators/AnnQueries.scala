@@ -275,6 +275,19 @@ object AnnQueries {
        |GROUP BY a.cell ORDER BY a.cell""".stripMargin
   }
 
+
+  /** The deterministic probe row (lowest vec_id) WITHOUT a global sort:
+    * a non-root `orderBy().limit(1)` cannot plan as TakeOrderedAndProject
+    * (that strategy only fires at the query root), so it costs a full
+    * range-exchange sort plus a single-partition limit of the whole
+    * embeddings table before the search even starts. An all-reduce min +
+    * broadcast equi-join is two map-side passes and one single-row
+    * broadcast — same row, no sort (found by PlanAuditSpec's
+    * mid-pipeline-sort rule, r7). */
+  private def firstVector(e: DataFrame): DataFrame =
+    e.join(broadcast(e.groupBy().agg(min(col("vec_id")).as("vec_id"))),
+      Seq("vec_id"))
+
   val registry: Map[String, QueryDef] = Map(
     // IVF ANN: probe = lowest vec_id, nprobe=1. Oracle (upgraded from
     // rows-only in r5): label cells + first-k probe are fully
@@ -285,7 +298,7 @@ object AnnQueries {
     "q39_ivf_ann" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        ivfSearch(e, e.orderBy(col("vec_id")).limit(1), k = 10, nprobe = 1)
+        ivfSearch(e, firstVector(e), k = 10, nprobe = 1)
       },
       Some("""WITH e AS (SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings ORDER BY vec_id LIMIT 1),
@@ -323,7 +336,7 @@ object AnnQueries {
         val e = Tables.embeddings(s, d)
         // 8 planes = 256 buckets: bucket occupancy ~n/256, dense enough to
         // fill k=10 at bench scale; raise planes as the corpus grows
-        lshSearch(e, e.orderBy(col("vec_id")).limit(1), k = 10, planes = 8)
+        lshSearch(e, firstVector(e), k = 10, planes = 8)
       },
       None),
     // the SAME bucket + hamming-1 multiprobe + cosine re-rank pipeline
@@ -333,7 +346,7 @@ object AnnQueries {
     "q71_lsh_ann_portable" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        lshSearch(e, e.orderBy(col("vec_id")).limit(1), k = 10, planes = 8,
+        lshSearch(e, firstVector(e), k = 10, planes = 8,
           signatures = signSignaturesPortable)
       },
       Some(lshPortableOracleSql(planes = 8))))
