@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   * make) — a document re-ingested after the horizon is admitted again. */
 object DocStream {
 
+  /** Executor-memory-bounded streaming state (r7): the watermark bounds
+    * the number of state ROWS, but Spark's default HDFS-backed provider
+    * keeps every row on-heap per executor — at horizon-scale throughput
+    * (the 100 TB firehose this pipeline targets) dedup state alone would
+    * bound executor memory. The bundled RocksDB provider keeps state on
+    * local disk with an in-memory working set; wire it with
+    * `spark.conf.set(StateStoreProviderKey, RocksDbStateStoreProvider)`
+    * before starting the query. DocStreamSpec runs the bounded-dedup
+    * expiry contract under BOTH providers — the choice changes memory
+    * residency, never results. */
+  val StateStoreProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  val RocksDbStateStoreProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   private def ruleFilteredHashed(docs: DataFrame): DataFrame =
     docs
       .withColumn("reason_mask", graft.operators.PipelineQueries.ruleMask)

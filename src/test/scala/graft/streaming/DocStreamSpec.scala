@@ -41,33 +41,48 @@ class DocStreamSpec extends SparkSpec {
     out.stop()
   }
 
-  test("bounded curation: in-horizon dups drop, expired hashes re-admit") {
+  // the bounded-dedup contract must hold under BOTH state store
+  // providers: the default on-heap HDFS-backed store and the RocksDB
+  // store a horizon-scale deployment needs (state on local disk)
+  for ((label, provider) <- Seq(
+      "default" -> None,
+      "rocksdb" -> Some(DocStream.RocksDbStateStoreProvider)))
+  test(s"bounded curation under the $label state store: in-horizon dups drop, expired hashes re-admit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     def ts(secs: Long) = new java.sql.Timestamp(secs * 1000L)
+    val saved = spark.conf.getOption(DocStream.StateStoreProviderKey)
+    provider.foreach(spark.conf.set(DocStream.StateStoreProviderKey, _))
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
     val out = DocStream.curateBounded(
         input.toDS().toDF("doc_id", "text", "ts"), watermarkDelay = "10 seconds")
-      .writeStream.format("memory").queryName("curated_bounded")
+      .writeStream.format("memory").queryName(s"curated_bounded_$label")
       .outputMode("append").start()
-    def ids() = spark.table("curated_bounded")
-      .collect().map(_.getLong(0)).distinct.sorted.toSeq
+    try {
+      def ids() = spark.table(s"curated_bounded_$label")
+        .collect().map(_.getLong(0)).distinct.sorted.toSeq
 
-    // batch 1: the original document
-    input.addData((0L, goodDoc(0), ts(100)))
-    out.processAllAvailable()
-    assert(ids() === Seq(0L))
-    // batch 2: a dup INSIDE the horizon (watermark at 100 - 10 = 90 s)
-    // drops; the unrelated doc advances the watermark to 500 - 10 = 490 s
-    input.addData((1L, goodDoc(0), ts(105)), (2L, goodDoc(1), ts(500)))
-    out.processAllAvailable()
-    assert(ids() === Seq(0L, 2L), "in-horizon duplicate dropped")
-    // batch 3: doc 0's hash (event time 100 s + 10 s horizon < watermark
-    // 490 s) has EXPIRED -> the same text is admitted again
-    input.addData((3L, goodDoc(0), ts(501)))
-    out.processAllAvailable()
-    assert(ids() === Seq(0L, 2L, 3L), "expired hash re-admitted")
-    out.stop()
+      // batch 1: the original document
+      input.addData((0L, goodDoc(0), ts(100)))
+      out.processAllAvailable()
+      assert(ids() === Seq(0L))
+      // batch 2: a dup INSIDE the horizon (watermark at 100 - 10 = 90 s)
+      // drops; the unrelated doc advances the watermark to 500 - 10 = 490 s
+      input.addData((1L, goodDoc(0), ts(105)), (2L, goodDoc(1), ts(500)))
+      out.processAllAvailable()
+      assert(ids() === Seq(0L, 2L), "in-horizon duplicate dropped")
+      // batch 3: doc 0's hash (event time 100 s + 10 s horizon < watermark
+      // 490 s) has EXPIRED -> the same text is admitted again
+      input.addData((3L, goodDoc(0), ts(501)))
+      out.processAllAvailable()
+      assert(ids() === Seq(0L, 2L, 3L), "expired hash re-admitted")
+    } finally {
+      out.stop()
+      saved match {
+        case Some(v) => spark.conf.set(DocStream.StateStoreProviderKey, v)
+        case None => spark.conf.unset(DocStream.StateStoreProviderKey)
+      }
+    }
   }
 
   test("streaming KMV distinct sketch: exact below k, accumulates across batches") {

@@ -13,10 +13,28 @@ is preserved per copy instead of planting 10-way duplicate clusters;
 embeddings get a small per-copy additive perturbation for the same
 reason. region/nation stay single-copy (dimensions).
 
+With --organic (r7): UNIQUE-CONTENT scaling instead of replication.
+The replicated probe confounds corpus growth with near-dup-density
+growth (every doc gains copies-1 cross-copy twins -> ~copies^2 true
+pair volume), so per-query growth ratios are unreviewable against a
+linear yardstick. Organic mode gives each copy disjoint content with
+the same STRUCTURAL marginals: document texts get a per-copy alphabet
+rotation (token/doc lengths, whitespace, within-copy duplicate and
+df distributions all preserved; cross-copy shingles disjoint), and
+embeddings get a per-copy offset + renormalize (unit norms and
+within-copy cosine structure preserved; cross-copy clusters
+separated). Copy 0 is bit-identical to the source, so the source-dir
+bench numbers ARE the 1x baseline. Caveat: rotation is not a
+stopword- or language-model-preserving map, so stopword-/LM-sensitive
+scores (q32/q34/q65/q72 families) shift on copies > 0 — the organic
+probe is for the SIMILARITY battery, where content identity is the
+variable under test.
+
 Dev tooling only (scale probes) — NOT part of the shipped library and
 NOT a replacement for the driver's testdata.
 """
 import sys, os
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.compute as pc
@@ -30,9 +48,25 @@ def shifted(table: pa.Table, i: int, keycols: list[str]) -> pa.Table:
         table = table.set_column(idx, table.schema.field(c), col)
     return table
 
+def rotate_text(text: str, rot: int) -> str:
+    """Per-copy alphabet rotation: [a-z] by rot, [A-Z] by rot, digits by
+    rot mod 10. Length-, case- and whitespace-preserving, deterministic,
+    and injective per copy — so within-copy duplicate/df structure is
+    exactly preserved while copies share (almost) no shingles."""
+    lo = "abcdefghijklmnopqrstuvwxyz"
+    up = lo.upper()
+    dg = "0123456789"
+    table = str.maketrans(
+        lo + up + dg,
+        lo[rot:] + lo[:rot] + up[rot:] + up[:rot]
+        + dg[rot % 10:] + dg[:rot % 10])
+    return text.translate(table)
+
 def main():
-    src, out = sys.argv[1], sys.argv[2]
-    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = [a for a in sys.argv[1:] if a != "--organic"]
+    organic = "--organic" in sys.argv
+    src, out = args[0], args[1]
+    copies = int(args[2]) if len(args) > 2 else 10
     os.makedirs(out, exist_ok=True)
 
     plain_keys = {
@@ -66,7 +100,21 @@ def main():
         write_sharded(t, lambda i, base=base, keys=keys: shifted(base, i, keys))
 
     docs = pq.read_table(f"{src}/documents.parquet")
+    def doc_copy_organic(i):
+        t = shifted(docs, i, ["doc_id"])
+        if i > 0:
+            # 3i mod 26 is distinct for i in [0, 9) x3 steps -> disjoint
+            # alphabets for up to 26/gcd(3,26) = 26 copies
+            rot = (3 * i) % 26
+            text = pa.array(
+                [rotate_text(x, rot) for x in t.column("text").to_pylist()],
+                type=t.schema.field("text").type)
+            ti = t.schema.get_field_index("text")
+            t = t.set_column(ti, t.schema.field("text"), text)
+        return t
     def doc_copy(i):
+        if organic:
+            return doc_copy_organic(i)
         t = shifted(docs, i, ["doc_id"])
         if i > 0:
             marker = f"c{i} "
@@ -83,7 +131,28 @@ def main():
 
     emb = pq.read_table(f"{src}/embeddings.parquet")
     etype = emb.schema.field("embedding").type
+    def emb_copy_organic(i):
+        t = shifted(emb, i, ["vec_id"])
+        if i > 0:
+            flat = t.column("embedding").combine_chunks()
+            dims = len(flat[0])
+            vals = np.array(flat.values.to_pylist(),
+                            dtype=np.float32).reshape(-1, dims)
+            # one offset vector per copy: within-copy geometry rides
+            # along (near-dup pairs stay near), copies separate; then
+            # renormalize so the unit-norm marginal is preserved
+            off = np.random.default_rng(i).normal(0.0, 0.25, dims) \
+                .astype(np.float32)
+            vals = vals + off
+            vals /= np.linalg.norm(vals, axis=1, keepdims=True)
+            newcol = pa.ListArray.from_arrays(
+                flat.offsets, pa.array(vals.ravel(), type=flat.values.type))
+            ei = t.schema.get_field_index("embedding")
+            t = t.set_column(ei, t.schema.field("embedding"), newcol.cast(etype))
+        return t
     def emb_copy(i):
+        if organic:
+            return emb_copy_organic(i)
         t = shifted(emb, i, ["vec_id"])
         if i > 0:
             flat = t.column("embedding").combine_chunks()
