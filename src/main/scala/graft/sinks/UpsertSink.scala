@@ -109,9 +109,21 @@ object UpsertSink {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc)
-    val exists = new java.io.File(path).exists()
+    // An empty micro-batch must write NOTHING: overwriting with an empty
+    // frame would still create the table directory without any parquet
+    // footer, and the next batch's read of that dir throws
+    // UNABLE_TO_INFER_SCHEMA and kills the stream (found by StreamBench,
+    // r7 — a quiet first trigger interval was enough to break the
+    // automatic mode permanently).
+    if (batch.isEmpty) return
+    // ...and existence must mean READABLE data, not just a directory: a
+    // crash between mkdir and commit leaves the footer-less state too
+    val existing0 =
+      if (!new java.io.File(path).exists()) None
+      else try Some(spark.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     val ckpt = graft.operators.Checkpoints.cycle()
-    val merged = if (exists) {
+    val merged = if (existing0.isDefined) {
       // touched partitions: bounded by the feed horizon (a 5 s micro-batch
       // covers one or two service days), never by data volume
       val touched = batch.select(partitionCol).distinct().collect().map(_.get(0))
@@ -122,7 +134,7 @@ object UpsertSink {
         if (nullsTouched.nonEmpty)
           col(partitionCol).isin(values.toSeq: _*) || col(partitionCol).isNull
         else col(partitionCol).isin(values.toSeq: _*)
-      val existing = spark.read.parquet(path)
+      val existing = existing0.get
         .filter(touchedPred)
         .select(batch.columns.map(col): _*) // partition col back in place
       existing.unionByName(batch)

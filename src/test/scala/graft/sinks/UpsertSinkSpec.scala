@@ -107,6 +107,31 @@ class UpsertSinkSpec extends SparkSpec {
     assert(out.head.getAs[Int]("delay_arrival") == 99) // newest version won
   }
 
+  test("partitioned merge survives empty batches and a parquet-less table dir") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("recs_empty").toString + "/records"
+    def batch(rows: Seq[(String, Int, Long)]) =
+      rows.toDF("trip_id", "stop_sequence", "tor")
+        .select(col("trip_id"), col("stop_sequence"),
+          (col("tor") * 1000).cast("timestamp").as("time_of_recording"))
+        .withColumn("trip_start_date", lit(java.sql.Date.valueOf("2024-03-15")))
+        .withColumn("source", lit("s")).withColumn("route_id", lit("r"))
+        .withColumn("route_variant", lit(1L))
+        .withColumn("trip_start_time", lit(0))
+    // empty FIRST batch: must create nothing (an empty overwrite used to
+    // leave a footer-less dir that crashed the next batch's read and with
+    // it the whole automatic-mode stream — found by StreamBench, r7)
+    UpsertSink.mergeIntoPartitionedRecords(spark, batch(Nil), path)
+    assert(!new java.io.File(path).exists(), "empty batch wrote a directory")
+    // a parquet-less dir from a crash mid-commit must read as absent
+    new java.io.File(path).mkdirs()
+    UpsertSink.mergeIntoPartitionedRecords(spark, batch(Seq(("t1", 1, 100L))), path)
+    // empty batch onto an existing table: no-op, table unchanged
+    UpsertSink.mergeIntoPartitionedRecords(spark, batch(Nil), path)
+    val out = spark.read.parquet(path).collect()
+    assert(out.length == 1 && out.head.getAs[String]("trip_id") == "t1")
+  }
+
   test("partitioned merge rewrites only the touched trip_start_date partitions") {
     import spark.implicits._
     val path = Files.createTempDirectory("recs").toString + "/records"
