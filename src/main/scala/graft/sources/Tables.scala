@@ -10,14 +10,21 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark 4 only
-    * reads as a long (legacy conf). Convert to a microsecond timestamp by
-    * truncation — the same thing DuckDB's ns->us cast does, keeping the
-    * oracle comparable. */
+  /** events.parquet's ts physical type varies by generator version:
+    * INT64 TIMESTAMP(NANOS) (Spark 4 reads it only as a long, via the
+    * legacy conf — truncate ns→us like DuckDB's cast does) or a plain
+    * TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ). Both normalize
+    * to a session-zone microsecond timestamp so downstream queries and
+    * the oracle see one schema. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
