@@ -12,7 +12,8 @@ object SparkEntry {
     RelationalQueries.registry ++ TextQueries.registry ++
       DedupQueries.registry ++ MultimodalQueries.registry ++
       AnnQueries.registry ++ GtfsPipeline.registry ++
-      PipelineQueries.registry ++ CurationQueries.registry
+      PipelineQueries.registry ++ CurationQueries.registry ++
+      AssemblyQueries.registry
 
   /** Flagship: the engine's own domain end-to-end — GTFS schedule + 40
     * realtime feeds → records → curves → scheduled predictions (driver

@@ -1,0 +1,351 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import QueryDef.OrderedResultOps
+
+/** Training-data-pipeline battery #4 (round 7, second half): the
+  * assembly/quantization operators that sit between curation and the
+  * trainer — corpus-global span rewriting, product-quantized ANN,
+  * importance weighting, deterministic shard sequencing, and
+  * centroid-distance outlier scoring. Like CurationQueries, every entry
+  * is integer-disciplined (or round-6-pinned float with the q39/q52
+  * precedent) so the DuckDB oracle re-derives the full construction.
+  *
+  * Reference scope note: the reference engine (dystonse-gtfs-data) has no
+  * corpus battery; these extend the engine for large-scale training-data
+  * pipelines per the build brief. */
+object AssemblyQueries {
+
+  /** Corpus-global span dedup WITH document reconstruction (the C4/
+    * RefinedWeb "remove duplicated spans, keep the first occurrence"
+    * rewrite, not just q69's overlap DETECTION): documents segment into
+    * non-overlapping `width`-token chunks; a chunk survives iff its text's
+    * FIRST corpus occurrence (lexicographic (doc_id, pos)) is this one;
+    * surviving chunks reassemble in order into the cleaned document.
+    *
+    * Shape: one shuffle keyed by chunk text (groupBy min — map-side
+    * combinable; at 100 TB key on a 128-bit chunk hash instead of the
+    * string to shrink shuffle width), one join back on the same key, one
+    * per-document aggregate whose state is that document's own chunks
+    * (bounded by document length, like the curve groups). The
+    * reconstruction never materializes a global order — order lives
+    * inside each document's sorted chunk array.
+    *
+    * Precondition: chunk position < 2²⁰ (docs under ~10M tokens at
+    * width 10), so (doc_id·2²⁰ + pos) is a collision-free BIGINT
+    * first-occurrence key on both engines. */
+  def spanDedupRewrite(documents: DataFrame, width: Int = 10): DataFrame = {
+    val chunks = documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) > 0) // sequence(0, -1) would DESCEND, not empty
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), ((size(col("t")) - 1) / lit(width)).cast("int")),
+        i => array_join(slice(col("t"), i * width + 1, lit(width)), " ")))
+        .as(Seq("pos", "chunk")))
+      .withColumn("k", col("doc_id") * lit(1048576L) + col("pos"))
+    val first = chunks.groupBy(col("chunk")).agg(min(col("k")).as("first_k"))
+    chunks.join(first, Seq("chunk"))
+      .withColumn("kept", (col("k") === col("first_k")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("kept")).as("n_kept"),
+        // when() without otherwise -> null; collect_list drops nulls, so
+        // this collects exactly the survivors
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("kept") === 1,
+            struct(col("pos"), col("chunk"))))),
+          _.getField("chunk")), " ")).as("cleaned_md5"))
+      // per-document output: parallel range sort (see orderedOutput)
+      .orderedOutput(col("doc_id"))
+  }
+
+  /** Product-quantization ANN (Jégou et al., PAMI 2011) — the shape that
+    * actually scans 100 TB of vectors: each vector compresses to `m`
+    * small centroid codes, the probe precomputes an m × k lookup table,
+    * and the scan touches CODES ONLY (8 bytes/vector here vs 256 raw).
+    *
+    * Everything is EXACT INTEGER arithmetic so DuckDB reproduces every
+    * code and distance bit-for-bit (the q71 discipline): components
+    * quantize as floor(x · 2²⁰) (exact — float→double is exact and 2²⁰
+    * is a power of two), codebooks are the `kCent` lowest-vec_id
+    * vectors' subvectors (train-free deterministic codebook, the
+    * first-k convention q52's Lloyd init uses), assignment is integer
+    * argmin with ties to the smaller centroid id. |xi| ≲ 2²⁴ keeps the
+    * summed squared distances far under 2⁶³.
+    *
+    * Shape: codebook is kCent × dim scalars — broadcast; code assignment
+    * is one broadcast join + two keyed aggregations over the exploded
+    * (rows × dim) layout (the [[AnnQueries.centroids]] layout); the ADC
+    * scan is a broadcast join of the m×kCent LUT against the CODE
+    * relation (m rows per vector) + one keyed sum; top-k is a root
+    * TakeOrderedAndProject. No window, no shuffle wider than rows × m. */
+  def pqSearch(embeddings: DataFrame, probe: DataFrame, subDim: Int = 8,
+               kCent: Int = 16, topK: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val ex = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), (col("pos") / subDim).cast("int").as("sub"),
+        floor(col("x").cast("double") * lit(1048576.0)).cast("long").as("xi"))
+    // codebook ids: kCent lowest vec_ids -> centroid rank. Driver-sized
+    // BY DEFINITION (kCent rows) — the documented collect class (k-means
+    // centroid seeds).
+    val ranks = embeddings.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(kCent).collect().iterator.zipWithIndex
+      .map { case (r, i) => (r.getLong(0), i) }.toSeq.toDF("vec_id", "c")
+    val cents = ex.join(broadcast(ranks), Seq("vec_id"))
+      .select(col("c"), col("sub"), col("pos"), col("xi").as("ci"))
+    // integer argmin per (vector, subspace): d(v,sub,c) = Σ_pos (xi-ci)²
+    val codes = ex.join(broadcast(cents), Seq("sub", "pos"))
+      .groupBy(col("vec_id"), col("sub"), col("c"))
+      .agg(sum((col("xi") - col("ci")) * (col("xi") - col("ci"))).as("d"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d"), col("c"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.c").as("c"))
+    // probe's asymmetric-distance lookup table: m × kCent rows
+    val pex = probe
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        floor(col("x").cast("double") * lit(1048576.0)).cast("long").as("pi"))
+    val lut = cents.join(broadcast(pex), Seq("pos"))
+      .groupBy(col("sub"), col("c"))
+      .agg(sum((col("pi") - col("ci")) * (col("pi") - col("ci"))).as("lut"))
+    codes.join(broadcast(lut), Seq("sub", "c"))
+      .groupBy(col("vec_id")).agg(sum(col("lut")).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Portable 8-char polynomial hash of a short token (the GramHashArray
+    * family over the token's own chars; chars past the end contribute
+    * ascii('') = 0 on both engines), folded into `buckets` feature
+    * buckets. Max term sum ≈ 255·31⁷·8 ≈ 5.6e13 — no intermediate mod
+    * needed. */
+  private def tokenBucket(token: Column, buckets: Int): Column =
+    (0 until 8).map(k => ascii(substring(token, k + 1, 1)) *
+        lit(math.pow(31, k).toLong))
+      .reduce(_ + _) % lit(1000000007L) % lit(buckets.toLong)
+
+  private[operators] def tokenBucketSql(buckets: Int): String =
+    (0 until 8).map(k =>
+      s"ascii(substr(token,${k + 1},1))*CAST(${math.pow(31, k).toLong} AS BIGINT)")
+      .mkString("(", " + ", s") % 1000000007 % $buckets")
+
+  /** DSIR-style importance weighting (Xie et al., NeurIPS 2023): score
+    * each document by how much its hashed-unigram feature distribution
+    * looks like a TARGET domain relative to the raw corpus. Feature =
+    * token hash mod `buckets`; each token occurrence contributes the
+    * integer ratio (target_count[b] · 10⁶) div corpus_count[b]; the
+    * document score is the sum — pure BIGINT arithmetic, identical in
+    * DuckDB (the mixing pipeline uses these scores to up-sample
+    * target-like data).
+    *
+    * Shape: both frequency tables are `buckets`-sized (dimension-sized
+    * by construction) → broadcast; scoring is one map-side join + one
+    * per-document aggregate. The corpus shuffles ONCE (the bucket
+    * groupBy), never pairwise. */
+  def dsirWeights(documents: DataFrame, targetSource: String = "src0",
+                  buckets: Int = 1024): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("token"))
+      .withColumn("b", tokenBucket(col("token"), buckets))
+    val corpus = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val target = toks.filter(col("source") === targetSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val w = corpus.join(target, Seq("b"), "left")
+      .select(col("b"),
+        expr("coalesce(ct, 0) * 1000000 div cr").as("w"))
+    toks.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+      // per-document output: parallel range sort (see orderedOutput)
+      .orderedOutput(col("doc_id"))
+  }
+
+  /** Deterministic shard assignment + WITHIN-SHARD SEQUENCE — the
+    * writer-side contract of a training pipeline: every document lands in
+    * shard hv mod `nShards` at position `seq` of that shard's
+    * hash-ordered stream, reproducibly across reruns and cluster
+    * layouts (hv = the portable multiplicative doc_id hash the
+    * sampling/mixing stages share).
+    *
+    * The naive seq is `row_number over (partition by shard order by hv)`
+    * — one task per shard sorting corpus/nShards rows. This is the
+    * two-phase distributed prefix-RANK instead (q64's prefix-SUM
+    * machinery with weight ≡ 1): per-(shard, bucket) counts (bucket =
+    * hv >> bucketShift, a dimension-sized aggregate) → driver-side
+    * exclusive offsets in bucket order → hash-repartition survivors by
+    * (shard, bucket), sort within partitions, one mapPartitions pass
+    * seeds each segment with its offset. No task ever holds more than
+    * one (shard, bucket) segment's rows. */
+  def shardSequence(documents: DataFrame, nShards: Int = 64,
+                    bucketShift: Int = 18): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val d = documents.select(col("doc_id"),
+      ((col("doc_id") % lit(1000000007L)) * lit(2654435761L))
+        .mod(lit(1000000007L)).as("hv"))
+      .withColumn("shard", col("hv") % nShards)
+      .withColumn("b", shiftright(col("hv"), bucketShift))
+    val subs = d.groupBy(col("shard"), col("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exclusive prefix offsets per shard in bucket order — driver-side
+    // over a dimension-sized relation (nShards × buckets), the documented
+    // collect class (same as q64's subtotals)
+    val offsets = subs.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (sh, bk, n) =>
+        val o = (sh, bk, acc); acc += n; o
+      }
+    }.toSeq
+    val offDf = offsets.toDF("shard", "b", "off")
+    val shift = bucketShift
+    val parted = d.join(broadcast(offDf), Seq("shard", "b"))
+      .repartition(col("shard"), col("b"))
+      .sortWithinPartitions(col("shard"), col("b"), col("hv"), col("doc_id"))
+      .select(col("doc_id"), col("shard"), col("hv"), col("off"))
+      .as[(Long, Long, Long, Long)]
+    parted.mapPartitions { it =>
+      var curShard = Long.MinValue
+      var curB = Long.MinValue
+      var run = 0L
+      it.map { case (id, sh, hv, off) =>
+        val bk = hv >> shift
+        if (sh != curShard || bk != curB) { curShard = sh; curB = bk; run = off }
+        run += 1
+        (id, sh, run)
+      }
+    }.toDF("doc_id", "shard", "seq")
+      // per-document output: parallel range sort (see orderedOutput)
+      .orderedOutput(col("doc_id"))
+  }
+
+  /** Centroid-distance outlier scoring (the SemDeDup/D4 semantic-quality
+    * signal): each vector's cosine against ITS OWN cluster's centroid —
+    * low scorers are the semantic outliers a curation pipeline down-weights
+    * or re-clusters. Cells here are the `label` column (the q39
+    * convention; [[AnnQueries.kmeansCells]] supplies real cells at scale).
+    *
+    * Shape: centroids are cells × dim (dimension-sized → broadcast); the
+    * score pass is one broadcast join + a codegen'd dot product per row.
+    * Float: rounded to 6 decimals — the q39/q52 precedent (centroid sums
+    * differ from DuckDB only in summation order; verified exact at all
+    * three SFs there). */
+  def centroidOutlier(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val cents = AnnQueries.centroids(embeddings)
+      .select(col("label"), col("centroid"),
+        sqrt(AnnQueries.dot(col("centroid"), col("centroid"))).as("cnorm"))
+    e.join(broadcast(cents), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(AnnQueries.dot(col("v"), col("centroid")) /
+          (sqrt(AnnQueries.dot(col("v"), col("v"))) * col("cnorm")), 6)
+          .as("cos_c"))
+      // per-vector output: parallel range sort (see orderedOutput)
+      .orderedOutput(col("vec_id"))
+  }
+
+  val registry: Map[String, QueryDef] = Map(
+
+    // ── corpus-global first-occurrence span dedup + reconstruction:
+    //    oracle re-derives chunking, first-occurrence keys, and the md5
+    //    of every reassembled document ──
+    "q84_span_dedup_rewrite" -> QueryDef(
+      (s, d) => spanDedupRewrite(Tables.documents(s, d)),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |           WHERE len(string_split(text, ' ')) > 0),
+             |c AS (SELECT doc_id, i AS pos,
+             |    array_to_string(t[(i*10+1):(i*10+10)], ' ') AS chunk,
+             |    doc_id * 1048576 + i AS k
+             |  FROM d, LATERAL unnest(range(0, (len(t) - 1) // 10 + 1)) AS u(i)),
+             |f AS (SELECT chunk, MIN(k) AS first_k FROM c GROUP BY chunk)
+             |SELECT c.doc_id, COUNT(*) AS n_chunks,
+             |  CAST(SUM(CASE WHEN c.k = f.first_k THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  md5(coalesce(string_agg(CASE WHEN c.k = f.first_k THEN c.chunk END,
+             |    ' ' ORDER BY c.pos), '')) AS cleaned_md5
+             |FROM c JOIN f USING (chunk)
+             |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── PQ ANN: 8 subspaces × 16 first-k codebooks, integer-exact codes
+    //    + ADC distances; probe = lowest vec_id; full construction
+    //    re-derived in DuckDB ──
+    "q85_pq_ann" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        pqSearch(e, e.join(broadcast(e.groupBy()
+          .agg(min(col("vec_id")).as("vec_id"))), Seq("vec_id")))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |dims AS (SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1)) AS pos),
+             |ex AS (SELECT vec_id, pos, (pos - 1) // 8 AS sub,
+             |    CAST(floor(v[CAST(pos AS INT)] * 1048576) AS BIGINT) AS xi
+             |  FROM e, dims),
+             |r AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+             |      FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+             |cents AS (SELECT r.c, ex.sub, ex.pos, ex.xi AS ci
+             |          FROM r JOIN ex USING (vec_id)),
+             |dist AS (SELECT ex.vec_id, ex.sub, ct.c,
+             |    SUM((ex.xi - ct.ci) * (ex.xi - ct.ci)) AS d
+             |  FROM ex JOIN cents ct ON ex.sub = ct.sub AND ex.pos = ct.pos
+             |  GROUP BY 1, 2, 3),
+             |codes AS (SELECT vec_id, sub, c FROM (
+             |    SELECT vec_id, sub, c,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, c) AS rn
+             |    FROM dist) WHERE rn = 1),
+             |probe AS (SELECT sub, pos, xi AS pi FROM ex
+             |          WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
+             |lut AS (SELECT ct.sub, ct.c, SUM((p.pi - ct.ci) * (p.pi - ct.ci)) AS lut
+             |        FROM cents ct JOIN probe p ON ct.sub = p.sub AND ct.pos = p.pos
+             |        GROUP BY 1, 2)
+             |SELECT codes.vec_id, CAST(SUM(l.lut) AS BIGINT) AS adc_dist
+             |FROM codes JOIN lut l USING (sub, c)
+             |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)),
+
+    // ── DSIR importance weights vs target src0: hashed-unigram buckets,
+    //    integer ratio scores; full construction re-derived in DuckDB ──
+    "q86_dsir_weights" -> QueryDef(
+      (s, d) => dsirWeights(Tables.documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+             |    unnest(string_split(text, ' ')) AS token FROM documents),
+             |tb AS (SELECT doc_id, source,
+             |    ${tokenBucketSql(1024)} AS b FROM t),
+             |r AS (SELECT b, COUNT(*) AS cr FROM tb GROUP BY b),
+             |tt AS (SELECT b, COUNT(*) AS ct FROM tb WHERE source = 'src0' GROUP BY b),
+             |w AS (SELECT r.b, coalesce(tt.ct, 0) * 1000000 // r.cr AS w
+             |      FROM r LEFT JOIN tt USING (b))
+             |SELECT tb.doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(w.w) AS BIGINT) AS score
+             |FROM tb JOIN w USING (b)
+             |GROUP BY tb.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── deterministic 64-shard assignment + within-shard sequence via
+    //    two-phase prefix rank; oracle is the per-shard row_number twin ──
+    "q87_shard_sequence" -> QueryDef(
+      (s, d) => shardSequence(Tables.documents(s, d)),
+      Some("""WITH d AS (SELECT doc_id,
+             |    (doc_id % 1000000007 * 2654435761) % 1000000007 AS hv
+             |  FROM documents)
+             |SELECT doc_id, hv % 64 AS shard,
+             |  ROW_NUMBER() OVER (PARTITION BY hv % 64 ORDER BY hv, doc_id) AS seq
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // ── per-vector cosine against its own label centroid (semantic
+    //    outlier score); centroid math re-derived in DuckDB, rounded 6 ──
+    "q88_centroid_outlier" -> QueryDef(
+      (s, d) => centroidOutlier(Tables.embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |dims AS (SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1)) AS pos),
+             |ex AS (SELECT vec_id, label, pos, v[CAST(pos AS INT)] AS x FROM e, dims),
+             |cents AS (SELECT label, pos, AVG(x) AS w FROM ex GROUP BY 1, 2),
+             |cn AS (SELECT label, SQRT(SUM(w * w)) AS cnorm FROM cents GROUP BY 1),
+             |vn AS (SELECT vec_id, SQRT(SUM(x * x)) AS vnorm FROM ex GROUP BY 1),
+             |dotp AS (SELECT ex.vec_id, ex.label, SUM(ex.x * c.w) AS dp
+             |         FROM ex JOIN cents c USING (label, pos) GROUP BY 1, 2)
+             |SELECT d.vec_id, d.label, ROUND(d.dp / (vn.vnorm * cn.cnorm), 6) AS cos_c
+             |FROM dotp d JOIN vn USING (vec_id) JOIN cn USING (label)
+             |ORDER BY vec_id""".stripMargin))
+  )
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Assembly/quantization battery: span rewriting must equal a brute-force
+  * driver re-execution, PQ distances must be exact integer ADC, DSIR
+  * scores must match hand arithmetic, and the shard sequence must equal
+  * its window twin. */
+class AssemblySpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("spanDedupRewrite keeps first occurrences and reassembles in order") {
+    import spark.implicits._
+    val w = 2 // tiny chunks make the cases readable
+    val d = docs(
+      0L -> "a b c d e f",       // chunks: "a b","c d","e f"
+      1L -> "c d x y",           // "c d" repeats doc0 -> dropped
+      2L -> "a b a b g h",       // self-repeat: second "a b" dropped
+      3L -> "e"                  // ragged tail chunk survives
+    )
+    val got = AssemblyQueries.spanDedupRewrite(d, width = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // brute-force driver re-execution of the contract
+    val all = Seq(0L -> "a b c d e f", 1L -> "c d x y",
+      2L -> "a b a b g h", 3L -> "e").flatMap { case (id, t) =>
+      t.split(" ").grouped(w).zipWithIndex.map { case (c, i) =>
+        (id, i.toLong, c.mkString(" "))
+      }
+    }
+    val firstK = all.groupBy(_._3).map { case (c, occ) =>
+      c -> occ.map(o => o._1 * 1048576L + o._2).min
+    }
+    val want = all.groupBy(_._1).map { case (id, chunks) =>
+      val kept = chunks.sortBy(_._2)
+        .filter(c => c._1 * 1048576L + c._2 == firstK(c._3))
+      (id, chunks.size.toLong, kept.size.toLong,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(kept.map(_._3).mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+    // planted expectations hold: doc1 lost "c d" (first seen in doc0);
+    // doc2 lost BOTH its "a b" chunks (also first seen in doc0)
+    assert(got.find(_._1 == 1L).get._3 == 1L)
+    assert(got.find(_._1 == 2L).get._3 == 1L)
+  }
+
+  test("pqSearch: probe distance 0, ranked first; ADC equals driver recompute") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val probe = vecs.filter(col("vec_id") === 0L)
+    val got = AssemblyQueries.pqSearch(vecs, probe, subDim = 4, kCent = 8,
+      topK = 60).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver re-execution: quantize, first-8 codebook, integer argmin, ADC
+    val data = vecs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+    val q = data.map { case (id, v) => (id, quant(v)) }.toMap
+    val cents = (0L until 8L).map(q) // first-8 codebook, rank = index
+    def code(v: Array[Long], sub: Int): Int =
+      (0 until 8).minBy { c =>
+        val d = (0 until 4).map(k => {
+          val diff = v(sub * 4 + k) - cents(c)(sub * 4 + k); diff * diff
+        }).sum
+        (d, c)
+      }
+    val pq0 = q(0L)
+    val want = data.map { case (id, _) =>
+      val v = q(id)
+      val adc = (0 until 4).map { s =>
+        val c = code(v, s)
+        (0 until 4).map { k =>
+          val diff = pq0(s * 4 + k) - cents(c)(s * 4 + k); diff * diff
+        }.sum
+      }.sum
+      (id, adc)
+    }.sortBy(t => (t._2, t._1))
+    assert(got.toSeq == want.toSeq)
+    assert(got.head == (0L, 0L), "probe must rank first at distance 0")
+  }
+
+  test("dsirWeights matches hand arithmetic on a planted two-source corpus") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "aa aa bb", "src0"), // target
+      (1L, "aa cc cc", "srcX")
+    ).toDF("doc_id", "text", "source")
+    val got = AssemblyQueries.dsirWeights(d, targetSource = "src0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // corpus counts: aa=3, bb=1, cc=2; target: aa=2, bb=1, cc=0
+    // (tokens hash to distinct buckets: 2-char tokens, tiny vocab)
+    val wAa = 2L * 1000000L / 3L
+    val wBb = 1L * 1000000L / 1L
+    val wCc = 0L
+    assert(got == Seq(
+      (0L, 3L, wAa * 2 + wBb),
+      (1L, 3L, wAa + wCc * 2)))
+  }
+
+  test("shardSequence equals its row_number window twin on the real table") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = AssemblyQueries.shardSequence(d, nShards = 8, bucketShift = 22)
+    import org.apache.spark.sql.expressions.Window
+    val hv = (col("doc_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L)
+    val want = d.select(col("doc_id"), hv.as("hv"))
+      .withColumn("shard", col("hv") % 8)
+      .withColumn("seq", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("seq"))
+    assert(got.count() == d.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("centroidOutlier scores a planted outlier below its cluster") {
+    import spark.implicits._
+    // cluster 0: tight around e1; the outlier points the other way
+    val base = Array.fill(8)(1.0f)
+    val vecs = (0L until 6L).map { i =>
+      val v = if (i == 5L) base.map(-_) else base.clone()
+      (i, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val scores = AssemblyQueries.centroidOutlier(vecs)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(scores(5L) < 0 && (0L until 5L).forall(i => scores(i) > 0.9))
+  }
+}
