@@ -247,7 +247,121 @@ object AssemblyQueries {
       .orderedOutput(col("vec_id"))
   }
 
+  /** Distributed BPE tokenizer training (Sennrich et al., ACL 2016, over
+    * word symbols): `merges` rounds of [count adjacent symbol pairs →
+    * argmax → merge everywhere]. The trained merge table is what a
+    * production tokenizer ships; q23/q36's regex tokenizer only
+    * approximates one.
+    *
+    * Cross-engine exactness via FIXED-WIDTH SYMBOL RENDERING: every
+    * symbol is its md5's first 8 hex chars, documents are space-joined
+    * renderings, and a merge is `replace(s, "L R", M)` — left-to-right
+    * non-overlapping, the BPE application order. Because symbols are
+    * exactly 8 chars, a "L R" match is always symbol-boundary-aligned
+    * (a space can only occur at positions ≡ 8 mod 9), so DuckDB's
+    * replace() reproduces each round bit-for-bit (the q52 unrolled-
+    * iteration oracle pattern). Pair counting is per adjacent POSITION
+    * (overlapping, the Sennrich convention); ties break on (count desc,
+    * l, r) deterministically.
+    *
+    * Shape per round: one map-side-combinable pair count (pair vocab ≤
+    * symbol vocab², dimension-sized at text scale), a ONE-ROW argmax
+    * collect (the k-means-centroid collect class), and a compiled
+    * per-row replace; the working relation is checkpoint-truncated each
+    * round so round k's scan is O(1) deep, not O(k). At 100 TB a trainer
+    * runs this on a corpus SAMPLE (the standard practice) and the encode
+    * pass broadcasts the merge table — both shapes unchanged.
+    *
+    * The 8-hex rendering is a 32-bit symbol space — ample for the bench
+    * vocabulary, birthday-collision-prone past ~10⁴ distinct symbols;
+    * widen the substring (both engines' md5 agree at any width, and the
+    * boundary-alignment argument only needs FIXED width) for production
+    * vocabularies. */
+  def bpeTrain(documents: DataFrame, merges: Int)
+  : (DataFrame, DataFrame) = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ckpt = Checkpoints.cycle()
+    var cur = ckpt.truncate(documents.select(col("doc_id"),
+      array_join(transform(split(col("text"), " "),
+        w => substring(md5(w), 1, 8)), " ").as("s")))
+    val table = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to merges) {
+      val sl = split(col("s"), " ")
+      val top = cur.filter(size(sl) >= 2)
+        .select(posexplode(arrays_zip(
+          slice(sl, lit(1), size(sl) - 1).as("l"),
+          slice(sl, lit(2), size(sl) - 1).as("r"))).as(Seq("i", "p")))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect() // ONE row — the argmax, k-means-collect class
+      if (top.nonEmpty) {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val m = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$l $r".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8)
+        table += ((step, l, r, m, c))
+        cur = ckpt.truncate(cur.withColumn("s",
+          regexp_replace(col("s"), java.util.regex.Pattern.quote(s"$l $r"), m)))
+      }
+    }
+    (table.result().toDF("step", "l", "r", "merged", "cnt"), cur)
+  }
+
+  /** Generates the unrolled DuckDB twin of [[bpeTrain]]: t0 → (p1 → m1 →
+    * t1) → … — the q52 pattern. `select` picks the final projection over
+    * the m/t chain. */
+  private def bpeOracleSql(merges: Int, select: String): String = {
+    // AS MATERIALIZED on every t/m: each tᵢ has two consumers (pᵢ₊₁ and
+    // tᵢ₊₁), so DuckDB's default CTE inlining would re-evaluate the
+    // whole chain per reference — 2^merges blowup
+    val steps = (1 to merges).map { i =>
+      s"""p$i AS (SELECT sl[i] AS l, sl[i + 1] AS r, COUNT(*) AS c
+         |  FROM (SELECT string_split(s, ' ') AS sl FROM t${i - 1}
+         |        WHERE len(string_split(s, ' ')) >= 2),
+         |       LATERAL unnest(generate_series(1, len(sl) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r,
+         |        substr(md5(l || ' ' || r), 1, 8) AS merged, c
+         |        FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |t$i AS MATERIALIZED (SELECT doc_id,
+         |    replace(s, (SELECT l || ' ' || r FROM m$i),
+         |               (SELECT merged FROM m$i)) AS s FROM t${i - 1})"""
+        .stripMargin
+    }
+    s"""WITH t0 AS MATERIALIZED (SELECT doc_id, array_to_string(
+       |    list_transform(string_split(text, ' '),
+       |                   w -> substr(md5(w), 1, 8)), ' ') AS s
+       |  FROM documents),
+       |${steps.mkString(",\n")}
+       |$select""".stripMargin
+  }
+
   val registry: Map[String, QueryDef] = Map(
+
+    // ── BPE training: the 8-round merge table (rank, pair, merged
+    //    symbol, count at selection time); the whole iterative loop
+    //    re-derived in DuckDB via unrolled CTEs ──
+    "q89_bpe_merges" -> QueryDef(
+      (s, d) => bpeTrain(Tables.documents(s, d), merges = 8)._1
+        .orderedResult(col("step")),
+      Some(bpeOracleSql(8,
+        (1 to 8).map(i =>
+          s"SELECT $i AS step, l, r, merged, CAST(c AS BIGINT) AS cnt FROM m$i")
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY step")))),
+
+    // ── BPE encoding under the trained table: per-doc symbol count +
+    //    md5 of the encoded stream ──
+    "q90_bpe_encode" -> QueryDef(
+      (s, d) => bpeTrain(Tables.documents(s, d), merges = 8)._2
+        .select(col("doc_id"), size(split(col("s"), " ")).as("n_syms"),
+          md5(col("s")).as("encoded_md5"))
+        .orderedOutput(col("doc_id")),
+      Some(bpeOracleSql(8,
+        """SELECT doc_id, CAST(len(string_split(s, ' ')) AS INT) AS n_syms,
+          |  md5(s) AS encoded_md5
+          |FROM t8 ORDER BY doc_id""".stripMargin))),
 
     // ── corpus-global first-occurrence span dedup + reconstruction:
     //    oracle re-derives chunking, first-occurrence keys, and the md5

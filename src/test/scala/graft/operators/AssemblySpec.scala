@@ -121,6 +121,57 @@ class AssemblySpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("bpeTrain equals a pure-Scala reference BPE on a planted corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      0L -> "the cat sat on the cat mat",
+      1L -> "the cat ate the cat food",
+      2L -> "a dog saw the cat run"
+    )
+    val (mergesDf, encodedDf) = AssemblyQueries.bpeTrain(
+      corpus.toDF("doc_id", "text"), merges = 4)
+    val got = mergesDf.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).sortBy(_._1)
+    // pure-Scala reference: same rendering, same overlapping-position
+    // counts, same (count desc, l, r) tie-break, same left-to-right
+    // non-overlapping merge application
+    def h(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 8)
+    var docs = corpus.map { case (id, t) => (id, t.split(" ").toSeq.map(h)) }
+    val want = (1 to 4).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      docs.foreach { case (_, syms) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+          case _ =>
+        }
+      }
+      val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      val m = h(s"$l $r")
+      docs = docs.map { case (id, syms) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += m; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (id, out.toSeq)
+      }
+      (step, l, r, m, c)
+    }
+    assert(got.toSeq == want)
+    // the dominant bigram "the cat" (5 occurrences) must be merge #1
+    assert(got.head._2 == h("the") && got.head._3 == h("cat"))
+    // encoded docs match the reference segmentation
+    val gotEnc = encodedDf.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    docs.foreach { case (id, syms) =>
+      assert(gotEnc(id) == syms.mkString(" "))
+    }
+  }
+
   test("centroidOutlier scores a planted outlier below its cluster") {
     import spark.implicits._
     // cluster 0: tight around e1; the outlier points the other way
