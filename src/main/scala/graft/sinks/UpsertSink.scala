@@ -109,24 +109,33 @@ object UpsertSink {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc)
+    val ckpt = graft.operators.Checkpoints.cycle()
+    // Materialize the micro-batch ONCE up front: this sink interrogates
+    // it three times (emptiness, touched partitions, the merge itself),
+    // and an un-materialized batch re-executes its full upstream plan per
+    // pass — for the predictions stream that is the whole realtime
+    // ladder. Same-session A/B (StreamBench r7, 2000 vehicles, 5 s
+    // trigger): predictions batch median 9.8 s before, 6.0/7.2 s across
+    // two runs after. Micro-batch-sized, so the materialization itself
+    // is cheap.
+    val b = ckpt.truncate(batch)
     // An empty micro-batch must write NOTHING: overwriting with an empty
     // frame would still create the table directory without any parquet
     // footer, and the next batch's read of that dir throws
     // UNABLE_TO_INFER_SCHEMA and kills the stream (found by StreamBench,
     // r7 — a quiet first trigger interval was enough to break the
     // automatic mode permanently).
-    if (batch.isEmpty) return
+    if (b.isEmpty) { ckpt.release(); return }
     // ...and existence must mean READABLE data, not just a directory: a
     // crash between mkdir and commit leaves the footer-less state too
     val existing0 =
       if (!new java.io.File(path).exists()) None
       else try Some(spark.read.parquet(path))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val ckpt = graft.operators.Checkpoints.cycle()
     val merged = if (existing0.isDefined) {
       // touched partitions: bounded by the feed horizon (a 5 s micro-batch
       // covers one or two service days), never by data volume
-      val touched = batch.select(partitionCol).distinct().collect().map(_.get(0))
+      val touched = b.select(partitionCol).distinct().collect().map(_.get(0))
       val (nullsTouched, values) = touched.partition(_ == null)
       // isin(null) never matches: the null partition needs its own predicate
       // or existing null-keyed rows would be overwritten instead of merged
@@ -137,7 +146,7 @@ object UpsertSink {
       val existing = existing0.get
         .filter(touchedPred)
         .select(batch.columns.map(col): _*) // partition col back in place
-      existing.unionByName(batch)
+      existing.unionByName(b)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .drop("rn")
@@ -147,7 +156,7 @@ object UpsertSink {
         // lost between the cut and the overwrite, local blocks would be
         // unrecoverable while the target files are mid-replacement.
         .transform(ckpt.truncate)
-    } else batch
+    } else b
     merged.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
