@@ -154,6 +154,44 @@ object Curve {
     }
   }
 
+  /** [[makeCurve]] with focus = None over a COUNT HISTOGRAM instead of
+    * the expanded multiset — the streaming-maintenance entry point
+    * ([[graft.streaming.CurveStream]]): state holds (value → count), not
+    * every observation.
+    *
+    * Bit-equality argument (spec-pinned): with no focus every weight is
+    * 1.0f, so the batch loop's running `cum` after k occurrences is the
+    * float k.0f EXACTLY while k < 2²⁴ — the same value this loop gets
+    * from the integer prefix count. Point emission mirrors makeCurve
+    * verbatim: the point for each distinct x carries the cumulative
+    * weight of its FIRST occurrence only, `lastX` starts at 0.0f (so a
+    * leading value of exactly 0.0 emits no point but still adds weight),
+    * first y pins to 0, last to 1. Counts beyond 2²⁴ total would diverge
+    * from the expansion in the last float ulp — callers keep sample
+    * caps, as the reference's importer effectively does. */
+  def makeCurveFromCounts(entries: Seq[(Float, Long)]): Option[(Curve, Float)] = {
+    if (entries.isEmpty) return None
+    val sorted = entries.sortBy(_._1)
+    val sumW = sorted.iterator.map(_._2).sum.toFloat
+    val buf = Vector.newBuilder[(Float, Float)]
+    var lastX = 0.0f
+    var cumBefore = 0L
+    var n = 0
+    sorted.foreach { case (v, c) =>
+      if (v != lastX) {
+        buf += ((v, (cumBefore + 1).toFloat / sumW))
+        lastX = v
+        n += 1
+      }
+      cumBefore += c
+    }
+    val tups = buf.result()
+    if (n < 2) None
+    else Some((Curve(tups
+      .updated(0, (tups.head._1, 0.0f))
+      .updated(n - 1, (tups.last._1, 1.0f))), sumW))
+  }
+
   /** Pointwise mean of several CDFs over the union x-grid (reference
     * `Curve::average`, used by `src/types/curve_data.rs:21-43`). */
   def average(curves: Seq[Curve]): Curve = {

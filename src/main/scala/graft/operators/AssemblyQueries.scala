@@ -150,12 +150,12 @@ object AssemblyQueries {
     val toks = documents.select(col("doc_id"), col("source"),
       explode(split(col("text"), " ")).as("token"))
       .withColumn("b", tokenBucket(col("token"), buckets))
-    val corpus = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val target = toks.filter(col("source") === targetSource)
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val w = corpus.join(target, Seq("b"), "left")
-      .select(col("b"),
-        expr("coalesce(ct, 0) * 1000000 div cr").as("w"))
+    // corpus and target frequencies in ONE aggregate pass (a separate
+    // filtered groupBy was a second full scan of the exploded relation)
+    val w = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"))
+      .select(col("b"), expr("ct * 1000000 div cr").as("w"))
     toks.join(broadcast(w), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
