@@ -276,6 +276,106 @@ object AnnQueries {
   }
 
 
+  /** Exact k-nearest-neighbour JOIN: every vector's `k` nearest
+    * neighbours by cosine (the batch primitive under SemDeDup-style
+    * curation — q26/q39/q49 answer one probe; this answers ALL of them).
+    *
+    * Shape: the deliberate EXACT twin — candidate generation is the
+    * triangle-blocked all-pairs cover ([[Blocking]]; parallelism
+    * blocks(blocks+1)/2 tasks, never #groups), and per-vector selection
+    * is the bounded-buffer [[graft.functions.TopK]] aggregator
+    * (map-side combined, no rank window, no corpus-wide sort). Each
+    * unordered pair is scored ONCE and serves both endpoints. The scale
+    * path for huge corpora swaps candidate generation for sign-LSH
+    * buckets (the [[lshSearch]] machinery) under the same TopK tail —
+    * recall-bounded, spec-pinned against this exact twin.
+    *
+    * Cosines are emitted as ROUND(cos·10⁶) BIGINTs: integer output
+    * (no float dtype caveats in the oracle compare) and the ranking
+    * tie-break (scaled cos desc, neighbour id asc) is exactly TopK's
+    * order on (value, id). */
+  def knnJoin(embeddings: DataFrame, k: Int = 3, blocks: Int = 8): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val (lft, rgt) = Blocking.triangleSides(e, col("vec_id"), blocks)
+    val a = lft.select(col("__bi"), col("__bj"), col("vec_id").as("ida"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = rgt.select(col("__bi"), col("__bj"), col("vec_id").as("idb"),
+      col("v").as("vb"), col("norm").as("nb"))
+    // barrier: `c` feeds BOTH endpoint rows of the explode below — without
+    // it CollapseProject re-inlines the dot product per consumer
+    val pairs = a.join(b, Seq("__bi", "__bj"))
+      .filter(Blocking.pairPredicate(col("ida"), col("idb")))
+      .withColumn("c", graft.functions.CollapseBarrier(
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
+          .cast("long")))
+      .select(col("ida"), col("idb"), col("c"))
+    val topk = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    pairs.select(explode(array(
+        struct(col("ida").as("vec_id"), col("idb").as("nb"), col("c")),
+        struct(col("idb").as("vec_id"), col("ida").as("nb"), col("c")))).as("m"))
+      .select(col("m.vec_id").as("vec_id"), col("m.nb").as("nb"), col("m.c").as("c"))
+      .groupBy(col("vec_id"))
+      .agg(topk(col("c"), col("nb")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("vec_id"), (col("i") + 1).as("rk"),
+        col("e._2").as("nb_id"), col("e._1").as("cos_scaled"))
+      .orderedOutput(col("vec_id"), col("rk"))
+  }
+
+  /** The LSH-bucketed kNN join — [[knnJoin]]'s scale path: candidates are
+    * bucket-mates under sign-LSH signatures with hamming-1 multiprobe on
+    * the PROBE side, scored exactly and selected through the same bounded
+    * TopK tail. Candidate volume is Σ bucket², not n² — the shape that
+    * survives a corpus too big to all-pairs — at the price of recall
+    * (missed neighbours differ in > 1 signature bit; raise `planes`
+    * probing or band like q30 to trade further).
+    *
+    * An ordered pair (a, b) meets at EXACTLY one bucket (b's signature
+    * is either a's or one flip of it — mutually exclusive cases), so no
+    * distinct() is needed before the aggregate. Degenerate corpora
+    * funnel into few buckets like any bucket join — the q30 salting
+    * guard applies if registered against such data.
+    *
+    * With `signatures = signSignaturesPortable` every stage is
+    * cross-engine-exact integer arithmetic, so the WHOLE approximate
+    * join — signatures, multiprobe, scores, ranking — has a full DuckDB
+    * twin (q93), mirroring the q49 → q71 treatment. */
+  def knnJoinLsh(embeddings: DataFrame, k: Int = 3, planes: Int = 8,
+                 signatures: (DataFrame, Int) => DataFrame = signSignatures)
+  : DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .join(signatures(embeddings, planes), Seq("vec_id"))
+    val probe = e.select(col("vec_id").as("ida"), col("v").as("va"),
+      col("norm").as("na"), explode(array(
+        col("signature") +: (0 until planes).map(j =>
+          col("signature").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    val build = e.select(col("vec_id").as("idb"), col("v").as("vb"),
+      col("norm").as("nb"), col("signature").as("bucket"))
+    val topk = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    probe.join(build, Seq("bucket"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
+          .cast("long").as("c"),
+        col("idb"))
+      .groupBy(col("ida").as("vec_id"))
+      .agg(topk(col("c"), col("idb")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("vec_id"), (col("i") + 1).as("rk"),
+        col("e._2").as("nb_id"), col("e._1").as("cos_scaled"))
+      .orderedOutput(col("vec_id"), col("rk"))
+  }
+
   /** The deterministic probe row (lowest vec_id) WITHOUT a global sort:
     * a non-root `orderBy().limit(1)` cannot plan as TakeOrderedAndProject
     * (that strategy only fires at the query root), so it costs a full
@@ -349,19 +449,70 @@ object AnnQueries {
         lshSearch(e, firstVector(e), k = 10, planes = 8,
           signatures = signSignaturesPortable)
       },
-      Some(lshPortableOracleSql(planes = 8))))
+      Some(lshPortableOracleSql(planes = 8))),
+    // exact kNN JOIN (every vector's top-3 neighbours): triangle-blocked
+    // all-pairs + bounded TopK tail; oracle is the brute-force
+    // row_number ranking over scaled-integer cosines
+    "q92_knn_join" -> QueryDef(
+      (s, d) => knnJoin(Tables.embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (SELECT vec_id, v, SQRT(list_inner_product(v, v)) AS nm FROM e),
+             |p AS (SELECT a.vec_id AS id, b.vec_id AS nb,
+             |    CAST(ROUND(list_inner_product(a.v, b.v) / (a.nm * b.nm) * 1000000)
+             |      AS BIGINT) AS c
+             |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+             |r AS (SELECT id, nb, c,
+             |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, nb) AS rk
+             |  FROM p)
+             |SELECT id AS vec_id, CAST(rk AS INT) AS rk, nb AS nb_id,
+             |  c AS cos_scaled
+             |FROM r WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin)),
+    // the LSH-bucketed kNN join over PORTABLE integer signatures: the
+    // whole approximate join (signatures, hamming-1 multiprobe,
+    // scaled-cosine ranking) re-derived in DuckDB — q92's scale path,
+    // q71's oracle treatment
+    "q93_knn_join_lsh" -> QueryDef(
+      (s, d) => knnJoinLsh(Tables.embeddings(s, d),
+        signatures = signSignaturesPortable),
+      Some(knnLshOracleSql(planes = 8, k = 3)))
+  )
+
+  /** DuckDB twin of the portable LSH kNN join (q93). */
+  private def knnLshOracleSql(planes: Int, k: Int): String = {
+    val meets = (s"b.sig = a.sig" +: (0 until planes).map(j =>
+      s"b.sig = xor(a.sig, ${1L << j})")).mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sigs AS (SELECT vec_id, v, SQRT(list_inner_product(v, v)) AS nm,
+       |    ${portableSigSql(planes)} AS sig FROM e),
+       |p AS (SELECT a.vec_id AS id, b.vec_id AS nb,
+       |    CAST(ROUND(list_inner_product(a.v, b.v) / (a.nm * b.nm) * 1000000)
+       |      AS BIGINT) AS c
+       |  FROM sigs a JOIN sigs b ON a.vec_id <> b.vec_id AND ($meets)),
+       |r AS (SELECT id, nb, c,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, nb) AS rk
+       |  FROM p)
+       |SELECT id AS vec_id, CAST(rk AS INT) AS rk, nb AS nb_id, c AS cos_scaled
+       |FROM r WHERE rk <= $k ORDER BY vec_id, rk""".stripMargin
+  }
 
   /** DuckDB twin of the portable sign-LSH search: signature bits from the
     * identical integer arithmetic (1-based DuckDB lambda index i =
     * Spark's pos + 1), candidates by bucket or hamming-1, cosine re-rank
     * rounded to 6 (the q39 precedent for in-order double dot products). */
-  private def lshPortableOracleSql(planes: Int): String = {
+  /** The portable signature of [[signSignaturesPortable]] as a DuckDB
+    * expression over a DOUBLE[] column `v` (1-based lambda index i =
+    * Spark's pos + 1) — shared by the q71 and q93 oracles. */
+  private def portableSigSql(planes: Int): String = {
     def projSql(j: Int): String =
       s"list_sum(list_transform(v, (x, i) -> CAST(floor(x * 1048576) AS BIGINT)" +
         s" * ((($j * 4096 + i) * CAST(2654435761 AS BIGINT)) % 1000000007 % 2001 - 1000)))"
-    val sigExpr = (0 until planes).map(j =>
+    (0 until planes).map(j =>
       s"(CASE WHEN ${projSql(j)} > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString("(", " + ", ")")
+  }
+
+  private def lshPortableOracleSql(planes: Int): String = {
+    val sigExpr = portableSigSql(planes)
     val probed = (s"s.sig = p.psig" +:
       (0 until planes).map(j => s"s.sig = xor(p.psig, ${1L << j})"))
       .mkString(" OR ")

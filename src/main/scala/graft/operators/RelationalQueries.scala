@@ -194,6 +194,43 @@ object RelationalQueries {
              |    ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
              |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
 
+    // ── W-family extension (r7b): gap-based sessionization — the classic
+    //    clickstream operator (new session when a user is idle > 2 h),
+    //    lag → flag → running-sum session id → per-session rollup. Both
+    //    windows partition by user_id (group size bounded by one user's
+    //    events — the J3/W1 scale argument); gap arithmetic in integer
+    //    MICROSECONDS on both engines, no timestamp-diff float ──
+    "q91_sessionize" -> QueryDef(
+      (s, d) => {
+        val order = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("ns", when(lag(col("us"), 1).over(order).isNull ||
+            col("us") - lag(col("us"), 1).over(order) > 7200L * 1000000L, 1L)
+            .otherwise(0L))
+          .withColumn("session_id", sum(col("ns")).over(run))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+            ((max(col("us")) - min(col("us"))) / 1000000L).cast("long")
+              .as("duration_s"))
+          .orderedOutput(col("user_id"), col("session_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+             |l AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |        OR us - lag(us) OVER w > CAST(7200 AS BIGINT) * 1000000
+             |        THEN 1 ELSE 0 END AS ns
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |        AS session_id FROM l)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+             |  (MAX(us) - MIN(us)) // 1000000 AS duration_s
+             |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
+
     // ── A1: tumbling time-bucket aggregation ──
     "q10_hourly_counts" -> QueryDef(
       (s, d) => Tables.events(s, d)

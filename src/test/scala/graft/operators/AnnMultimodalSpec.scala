@@ -24,6 +24,61 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(full.toSeq == brute.toSeq)
   }
 
+  test("knnJoin equals a driver-side brute-force kNN; LSH twin finds planted twins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val n = 80
+    val vecs = (0L until n.toLong).map { i =>
+      // 59 owns a planted exact duplicate at 79 (same vector bytes)
+      val v = if (i == 79L) null else Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      (i, v, (i % 4).toInt)
+    }
+    val filled = {
+      val dup = vecs(59)._2
+      vecs.map { case (i, v, l) => (i, if (v == null) dup else v, l) }
+    }
+    val df = filled.toDF("vec_id", "embedding", "label")
+    val got = AnnQueries.knnJoin(df, k = 3, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // driver brute force with the same scaled-integer rank order
+    val data = filled.map { case (i, v, _) => (i, v.map(_.toDouble)) }
+    def cosScaled(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val nm = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      math.round(dot / nm * 1e6)
+    }
+    val want = data.flatMap { case (i, v) =>
+      data.filter(_._1 != i)
+        .map { case (j, w) => (j, cosScaled(v, w)) }
+        .sortBy { case (j, c) => (-c, j) }
+        .take(3).zipWithIndex
+        .map { case ((j, c), rk) => (i, rk + 1, j, c) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+    // planted duplicates rank each other first at cos 1.0
+    assert(got.find(_._1 == 59L).get._3 == 79L)
+    assert(got.find(_._1 == 79L).get._3 == 59L)
+    assert(got.find(_._1 == 59L).get._4 == 1000000L)
+    // LSH twin: identical vectors share every signature bucket, so the
+    // planted twins MUST find each other at rank 1 there too, and every
+    // LSH neighbour's score must match the exact join's score for that
+    // (vec, neighbour) pair
+    val lsh = AnnQueries.knnJoinLsh(df, k = 3, planes = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(lsh.find(_._1 == 59L).get._3 == 79L)
+    assert(lsh.find(_._1 == 79L).get._3 == 59L)
+    val exactScore = want.map(t => (t._1, t._3) -> t._4).toMap
+    val allScores = data.flatMap { case (i, v) =>
+      data.filter(_._1 != i).map { case (j, w) => (i, j) -> cosScaled(v, w) }
+    }.toMap
+    lsh.foreach { case (i, _, j, c) => assert(allScores((i, j)) == c) }
+    // LSH neighbours are a subset ranking: each vec's LSH list is ordered
+    lsh.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+  }
+
   test("k-means IVF: probing all cells == brute force; one cell is a subset") {
     val e = Tables.embeddings(spark, sf)
     val probe = e.orderBy(col("vec_id")).limit(1)
