@@ -220,31 +220,40 @@ object DelayAnalysis {
     * volume for no information; max group size is unchanged (the Default
     * group already held every one of the pair's rows). Output is
     * identical (spec-pinned vs the exploded relation). */
+  /** One stop-pair group's curve-set build over its (slot, start_delay,
+    * end_delay) rows: per matched slot, plus Default over every row; rows
+    * whose MATCHED slot is the Default id (dead in practice — the
+    * taxonomy covers all 168 hours) land twice in the Default group,
+    * exactly as the exploded relation would put them. Shared by the batch
+    * aggregate below and [[graft.streaming.CurveStream]]'s incremental
+    * twin — one body, so the two paths cannot drift. Input ORDER is
+    * irrelevant: [[CurveBuilder.stopPairCurveSet]] sorts by the full
+    * (start, end) key. */
+  private[graft] def buildPairCurveSets(all: Seq[(Int, Float, Float)])
+  : Seq[(Int, Int, Int, Seq[FocusCurve])] = {
+    val dflt = TimeSlot.Default.id
+    val groups = all.groupBy(_._1).view.filterKeys(_ != dflt).toSeq :+
+      (dflt, all ++ all.filter(_._1 == dflt))
+    groups.flatMap { case (slot, rows) =>
+      if (rows.length <= 20) None // F9 gate, reference `:337`
+      else CurveBuilder.stopPairCurveSet(rows.map(r => (r._2, r._3))).map { csd =>
+        (slot, csd.precisionType, csd.sampleSize,
+          csd.curveSet.curves.map { case (f, c) =>
+            FocusCurve(f, c.points.map(p => CurvePoint(p._1, p._2)))
+          })
+      }
+    }
+  }
+
   def stopPairCurveSets(projected: DataFrame): DataFrame = {
     val pairs = stopPairRowsBase(projected)
     // group via codegen'd collect_list (ObjectHashAggregate), NOT typed
     // groupByKey: the Dataset encoder deserializes every pair row into a
     // Scala tuple, which measured ~2x slower at 38M pair rows (PERF.md);
     // here only the per-group array crosses into Scala, once per group
-    val buildUdf = udf((ps: Seq[org.apache.spark.sql.Row]) => {
-      val all = ps.map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2)))
-      val dflt = TimeSlot.Default.id
-      // per matched slot, plus Default over every row; rows whose MATCHED
-      // slot is the Default id (dead in practice — the taxonomy covers
-      // all 168 hours) land twice in the Default group, exactly as the
-      // exploded relation would put them
-      val groups = all.groupBy(_._1).view.filterKeys(_ != dflt).toSeq :+
-        (dflt, all ++ all.filter(_._1 == dflt))
-      groups.flatMap { case (slot, rows) =>
-        if (rows.length <= 20) None // F9 gate, reference `:337`
-        else CurveBuilder.stopPairCurveSet(rows.map(r => (r._2, r._3))).map { csd =>
-          (slot, csd.precisionType, csd.sampleSize,
-            csd.curveSet.curves.map { case (f, c) =>
-              FocusCurve(f, c.points.map(p => CurvePoint(p._1, p._2)))
-            })
-        }
-      }
-    }).asNondeterministic() // pure; collapse barrier — see generalDelayCurves
+    val buildUdf = udf((ps: Seq[org.apache.spark.sql.Row]) =>
+      buildPairCurveSets(ps.map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2))))
+    ).asNondeterministic() // pure; collapse barrier — see generalDelayCurves
     pairs
       .groupBy(col("route_id"), col("route_variant"),
         col("start_idx").as("start_stop_index"), col("end_idx").as("end_stop_index"),

@@ -82,6 +82,58 @@ object CurveStream {
         })
   }
 
+  /** One stop-pair delay observation (A7 input contract: delays already
+    * |d| < 3000-thresholded and 12 s-rounded, as
+    * [[graft.analyse.DelayAnalysis.stopPairRowsBase]] emits them). */
+  final case class PairObs(route_id: String, route_variant: Long,
+      start_idx: Int, end_idx: Int, event_type: Int, time_slot_id: Int,
+      start_delay: Float, end_delay: Float)
+
+  /** An updated curve SET for one stop-pair group and slot. */
+  final case class CurveSetUpdate(route_id: String, route_variant: Long,
+      start_stop_index: Int, end_stop_index: Int, time_slot_id: Int,
+      event_type: Int, precision_type: Int, sample_size: Int,
+      curves: Seq[graft.analyse.FocusCurve])
+
+  /** Incremental A7: continuous stop-pair curve-SET maintenance. Pair
+    * delays arrive rounded to 12 s multiples (the F2/F3 contract), so the
+    * (slot, start, end) COUNT histogram is again a lossless sufficient
+    * statistic; emission expands the histogram and runs the SAME build
+    * body as the batch aggregate
+    * ([[graft.analyse.DelayAnalysis.buildPairCurveSets]]) — input order
+    * is irrelevant because the builder sorts, so streamed curve sets are
+    * bit-equal to the offline build over the same observations
+    * (spec-pinned). State per group is bounded by the distinct
+    * (slot, start, end) domain (≤ slots × 499² under F2/F3, a few
+    * hundred in practice); the transient expansion at emission is the
+    * same group multiset the batch builder holds. */
+  def pairCurveStream(obs: Dataset[PairObs]): Dataset[CurveSetUpdate] = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs
+      .groupByKey(o => (o.route_id, o.route_variant, o.start_idx,
+        o.end_idx, o.event_type))
+      .flatMapGroupsWithState[Array[((Int, Float, Float), Long)], CurveSetUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (key: (String, Long, Int, Int, Int), rows: Iterator[PairObs], state) => {
+          val h = scala.collection.mutable.Map.empty[(Int, Float, Float), Long]
+          state.getOption.foreach(_.foreach { case (k, c) => h(k) = c })
+          rows.foreach { o =>
+            val k = (o.time_slot_id, o.start_delay, o.end_delay)
+            h(k) = h.getOrElse(k, 0L) + 1L
+          }
+          state.update(h.toArray)
+          val all = h.iterator.flatMap { case ((slot, sd, ed), c) =>
+            Iterator.fill(c.toInt)((slot, sd, ed))
+          }.toSeq
+          graft.analyse.DelayAnalysis.buildPairCurveSets(all).iterator
+            .map { case (slot, pt, n, curves) =>
+              CurveSetUpdate(key._1, key._2, key._3, key._4, slot,
+                key._5, pt, n, curves)
+            }
+        })
+  }
+
   /** Batch twin for verification and backfill: the same histogram → curve
     * path over a static DataFrame of observations. The streaming operator
     * must converge to exactly this after any batch split (spec-pinned),

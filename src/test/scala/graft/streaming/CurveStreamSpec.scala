@@ -79,6 +79,46 @@ class CurveStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pair curve sets equal the shared batch build over the union") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    def rd() = ((rnd.nextInt(60) - 20) * 12).toFloat // rounded, thresholded
+    // group A: 60 pairs over 2 slots (above gate); group B: 5 pairs (below)
+    val obs = (0 until 60).map { i =>
+      CurveStream.PairObs("rA", 1L, 2, 5, 1, 3 + (i % 2), rd(), rd())
+    } ++ (0 until 5).map { _ =>
+      CurveStream.PairObs("rB", 1L, 1, 2, 1, 3, rd(), rd())
+    }
+    val input = MemoryStream[CurveStream.PairObs]
+    val q = CurveStream.pairCurveStream(input.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("pair_updates").start()
+    try {
+      input.addData(obs.take(13)); q.processAllAvailable()
+      input.addData(obs.slice(13, 40)); q.processAllAvailable()
+      input.addData(obs.drop(40)); q.processAllAvailable()
+      val updates = spark.table("pair_updates")
+        .as[CurveStream.CurveSetUpdate].collect()
+      // converged = per (group, slot) the emission with max sample_size
+      val last = updates.groupBy(u => (u.route_id, u.time_slot_id))
+        .map { case (_, us) => us.maxBy(_.sample_size) }
+      // ground truth: the SAME shared body over the full union, per group
+      val wantA = graft.analyse.DelayAnalysis.buildPairCurveSets(
+        obs.filter(_.route_id == "rA")
+          .map(o => (o.time_slot_id, o.start_delay, o.end_delay)))
+      assert(wantA.nonEmpty)
+      wantA.foreach { case (slot, pt, n, curves) =>
+        val got = last.find(u => u.route_id == "rA" && u.time_slot_id == slot).get
+        assert(got.sample_size == n && got.precision_type == pt)
+        assert(got.curves == curves)
+        assert(got.start_stop_index == 2 && got.end_stop_index == 5)
+      }
+      // the 5-observation group never crosses the F9 gate
+      assert(!updates.exists(_.route_id == "rB"))
+    } finally q.stop()
+  }
+
   test("state is bounded by distinct delays, not observation count") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
