@@ -294,10 +294,34 @@ object AnnQueries {
     * (no float dtype caveats in the oracle compare) and the ranking
     * tie-break (scaled cos desc, neighbour id asc) is exactly TopK's
     * order on (value, id). */
-  def knnJoin(embeddings: DataFrame, k: Int = 3, blocks: Int = 8): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
+  /** Normed double vectors, zero-norm rows EXCLUDED: a zero vector has no
+    * defined cosine, and its NaN would reach the scaled-integer cast with
+    * engine-dependent semantics (Spark cast vs DuckDB error — r7 review).
+    * Shared prologue of the kNN joins. */
+  private def withNorms(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("norm") > 0)
+
+  /** Shared ranked tail of the kNN joins: per-endpoint bounded TopK over
+    * `(vec_id, c, nb)` scored candidates → (vec_id, rk, nb_id,
+    * cos_scaled), deterministically ordered. */
+  private def rankedNeighbours(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    scored.groupBy(col("vec_id"))
+      .agg(topk(col("c"), col("nb")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("vec_id"), (col("i") + 1).as("rk"),
+        col("e._2").as("nb_id"), col("e._1").as("cos_scaled"))
+      .orderedOutput(col("vec_id"), col("rk"))
+  }
+
+  def knnJoin(embeddings: DataFrame, k: Int = 3, blocks: Int = 8): DataFrame = {
+    val e = withNorms(embeddings)
     val (lft, rgt) = Blocking.triangleSides(e, col("vec_id"), blocks)
     val a = lft.select(col("__bi"), col("__bj"), col("vec_id").as("ida"),
       col("v").as("va"), col("norm").as("na"))
@@ -311,20 +335,11 @@ object AnnQueries {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
           .cast("long")))
       .select(col("ida"), col("idb"), col("c"))
-    val topk = udaf(new graft.functions.TopK(k),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaLong))
-    pairs.select(explode(array(
+    rankedNeighbours(pairs.select(explode(array(
         struct(col("ida").as("vec_id"), col("idb").as("nb"), col("c")),
         struct(col("idb").as("vec_id"), col("ida").as("nb"), col("c")))).as("m"))
-      .select(col("m.vec_id").as("vec_id"), col("m.nb").as("nb"), col("m.c").as("c"))
-      .groupBy(col("vec_id"))
-      .agg(topk(col("c"), col("nb")).as("top"))
-      .select(col("vec_id"), posexplode(col("top")).as(Seq("i", "e")))
-      .select(col("vec_id"), (col("i") + 1).as("rk"),
-        col("e._2").as("nb_id"), col("e._1").as("cos_scaled"))
-      .orderedOutput(col("vec_id"), col("rk"))
+      .select(col("m.vec_id").as("vec_id"), col("m.c").as("c"),
+        col("m.nb").as("nb")), k)
   }
 
   /** The LSH-bucketed kNN join — [[knnJoin]]'s scale path: candidates are
@@ -348,9 +363,7 @@ object AnnQueries {
   def knnJoinLsh(embeddings: DataFrame, k: Int = 3, planes: Int = 8,
                  signatures: (DataFrame, Int) => DataFrame = signSignatures)
   : DataFrame = {
-    val e = embeddings.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val e = withNorms(embeddings)
       .join(signatures(embeddings, planes), Seq("vec_id"))
     val probe = e.select(col("vec_id").as("ida"), col("v").as("va"),
       col("norm").as("na"), explode(array(
@@ -358,22 +371,12 @@ object AnnQueries {
           col("signature").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
     val build = e.select(col("vec_id").as("idb"), col("v").as("vb"),
       col("norm").as("nb"), col("signature").as("bucket"))
-    val topk = udaf(new graft.functions.TopK(k),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaLong))
-    probe.join(build, Seq("bucket"))
+    rankedNeighbours(probe.join(build, Seq("bucket"))
       .filter(col("ida") =!= col("idb"))
-      .select(col("ida"),
+      .select(col("ida").as("vec_id"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
           .cast("long").as("c"),
-        col("idb"))
-      .groupBy(col("ida").as("vec_id"))
-      .agg(topk(col("c"), col("idb")).as("top"))
-      .select(col("vec_id"), posexplode(col("top")).as(Seq("i", "e")))
-      .select(col("vec_id"), (col("i") + 1).as("rk"),
-        col("e._2").as("nb_id"), col("e._1").as("cos_scaled"))
-      .orderedOutput(col("vec_id"), col("rk"))
+        col("idb").as("nb")), k)
   }
 
   /** The deterministic probe row (lowest vec_id) WITHOUT a global sort:
@@ -456,7 +459,8 @@ object AnnQueries {
     "q92_knn_join" -> QueryDef(
       (s, d) => knnJoin(Tables.embeddings(s, d)),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |n AS (SELECT vec_id, v, SQRT(list_inner_product(v, v)) AS nm FROM e),
+             |n AS (SELECT vec_id, v, SQRT(list_inner_product(v, v)) AS nm FROM e
+             |      WHERE list_inner_product(v, v) > 0),
              |p AS (SELECT a.vec_id AS id, b.vec_id AS nb,
              |    CAST(ROUND(list_inner_product(a.v, b.v) / (a.nm * b.nm) * 1000000)
              |      AS BIGINT) AS c
@@ -483,7 +487,8 @@ object AnnQueries {
       s"b.sig = xor(a.sig, ${1L << j})")).mkString(" OR ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sigs AS (SELECT vec_id, v, SQRT(list_inner_product(v, v)) AS nm,
-       |    ${portableSigSql(planes)} AS sig FROM e),
+       |    ${portableSigSql(planes)} AS sig FROM e
+       |  WHERE list_inner_product(v, v) > 0),
        |p AS (SELECT a.vec_id AS id, b.vec_id AS nb,
        |    CAST(ROUND(list_inner_product(a.v, b.v) / (a.nm * b.nm) * 1000000)
        |      AS BIGINT) AS c

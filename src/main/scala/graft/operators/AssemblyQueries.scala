@@ -44,7 +44,13 @@ object AssemblyQueries {
         sequence(lit(0), ((size(col("t")) - 1) / lit(width)).cast("int")),
         i => array_join(slice(col("t"), i * width + 1, lit(width)), " ")))
         .as(Seq("pos", "chunk")))
-      .withColumn("k", col("doc_id") * lit(1048576L) + col("pos"))
+      // enforce the documented pos < 2²⁰ precondition: past it the key
+      // bleeds into doc_id+1's space and BOTH engines would agree on a
+      // wrong first occurrence — fail loudly instead (r7 review)
+      .withColumn("k", when(col("pos") >= lit(1048576),
+        raise_error(lit("spanDedupRewrite: document exceeds 2^20 chunks — " +
+          "widen the first-occurrence key")))
+        .otherwise(col("doc_id") * lit(1048576L) + col("pos")))
     val first = chunks.groupBy(col("chunk")).agg(min(col("k")).as("first_k"))
     chunks.join(first, Seq("chunk"))
       .withColumn("kept", (col("k") === col("first_k")).cast("long"))
@@ -326,8 +332,10 @@ object AssemblyQueries {
          |        substr(md5(l || ' ' || r), 1, 8) AS merged, c
          |        FROM p$i ORDER BY c DESC, l, r LIMIT 1),
          |t$i AS MATERIALIZED (SELECT doc_id,
-         |    replace(s, (SELECT l || ' ' || r FROM m$i),
-         |               (SELECT merged FROM m$i)) AS s FROM t${i - 1})"""
+         |    CASE WHEN (SELECT COUNT(*) FROM m$i) = 0 THEN s
+         |         ELSE replace(s, (SELECT l || ' ' || r FROM m$i),
+         |                         (SELECT merged FROM m$i)) END AS s
+         |  FROM t${i - 1})"""
         .stripMargin
     }
     s"""WITH t0 AS MATERIALIZED (SELECT doc_id, array_to_string(

@@ -214,8 +214,9 @@ object RelationalQueries {
           .groupBy(col("user_id"), col("session_id"))
           .agg(count(lit(1)).as("n_events"),
             min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
-            ((max(col("us")) - min(col("us"))) / 1000000L).cast("long")
-              .as("duration_s"))
+            // integer div, not `/`: Column./ is DOUBLE division, whose
+            // truncation can cross an integer for huge spans (r7 review)
+            expr("(max(us) - min(us)) div 1000000").as("duration_s"))
           .orderedOutput(col("user_id"), col("session_id"))
       },
       Some("""WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),

@@ -54,7 +54,12 @@ object CurveStream {
       h.iterator.map { case (d, c) => (d.toFloat, c) }.toSeq)
       .map { case (c, _) =>
         CurveUpdate(key._1, key._2, key._3, key._4, key._5,
-          graft.model.PrecisionType.SemiSpecific, n.toInt,
+          graft.model.PrecisionType.SemiSpecific,
+          // saturate, don't wrap: past 2^31 lifetime observations the
+          // reported size pins at MaxValue (and past 2^24 the bit-equality
+          // claim vs the expansion relaxes to the last float ulp — the
+          // inherent resolution of a float ECDF at that mass; r7 review)
+          math.min(n, Int.MaxValue.toLong).toInt,
           c.simplify(0.01f).points.map(p => CurvePoint(p._1, p._2)))
       }
   }
@@ -73,12 +78,13 @@ object CurveStream {
       .flatMapGroupsWithState[Map[Int, Long], CurveUpdate](
         OutputMode.Update(), GroupStateTimeout.NoTimeout)(
         (key: Key, rows: Iterator[DelayObs], state) => {
-          var h = state.getOption.getOrElse(Map.empty[Int, Long])
-          rows.foreach { o =>
-            h = h.updated(o.delay, h.getOrElse(o.delay, 0L) + 1L)
-          }
-          state.update(h)
-          curveFromHistogram(key, h, minSamples).iterator
+          // mutable fold: one allocation per batch, not per observation
+          val h = scala.collection.mutable.Map.empty[Int, Long]
+          state.getOption.foreach(m => h ++= m)
+          rows.foreach(o => h(o.delay) = h.getOrElse(o.delay, 0L) + 1L)
+          val m = h.toMap
+          state.update(m)
+          curveFromHistogram(key, m, minSamples).iterator
         })
   }
 
@@ -123,7 +129,16 @@ object CurveStream {
             h(k) = h.getOrElse(k, 0L) + 1L
           }
           state.update(h.toArray)
+          // transient expansion: the SAME group multiset the batch builder
+          // holds — per-emission cost is O(lifetime observations of this
+          // group). Deployments with unbounded per-group volume should
+          // window the key (slot taxonomy already bounds it in practice)
+          // or age state out; a count that no longer fits an Int cannot
+          // expand — fail loudly rather than silently truncate (r7 review)
           val all = h.iterator.flatMap { case ((slot, sd, ed), c) =>
+            require(c <= Int.MaxValue,
+              s"pairCurveStream: count $c for ($slot, $sd, $ed) exceeds " +
+                "Int.MaxValue — the group multiset can no longer be expanded")
             Iterator.fill(c.toInt)((slot, sd, ed))
           }.toSeq
           graft.analyse.DelayAnalysis.buildPairCurveSets(all).iterator
