@@ -380,9 +380,27 @@ object DedupQueries {
     * BIGINT on both engines. */
   // `final` with a literal: a compile-time constant, safe to reference
   // from `registry` above despite declaration order
-  private final val MinhashP = 1000000007L
-  private def minhashA(k: Int): Long = ((2L * k + 1) * 2654435761L) % MinhashP
-  private def minhashB(k: Int): Long = (40503L * k + 17) % MinhashP
+  private[graft] final val MinhashP = 1000000007L
+  // POWER family A(k) = C^(k+1) mod p, NOT multiples (2k+1)·C: with
+  // common-factor multipliers every permutation shares its argmin — a
+  // gram whose C·g mod p lands small stays smallest under every small
+  // odd multiple, so ONE changed gram flipped all 16 signature
+  // components and near-dup recall collapsed (found by the r7b
+  // nearDupStream spec: a J=0.87 pair agreed on 1/16 components; with
+  // powers it agrees on 15/16 and the estimator calibrates to
+  // mean |J−est| ≈ 0.02). The additive bⱼ can never fix this: a
+  // constant shift preserves every argmin. Exact BIGINT on both
+  // engines (both factors < p ≈ 2³⁰).
+  // lazy: `registry` above is initialized first and reaches these via
+  // the oracle generators — an eager val would still be null then
+  private[graft] lazy val minhashAs: Array[Long] = {
+    val out = new Array[Long](16)
+    var acc = 1L
+    for (k <- 0 until 16) { acc = acc * 2654435761L % MinhashP; out(k) = acc }
+    out
+  }
+  private[graft] def minhashA(k: Int): Long = minhashAs(k)
+  private[graft] def minhashB(k: Int): Long = (40503L * k + 17) % MinhashP
 
   /** Portable-hash MinHash-LSH (q66): 8-char-gram fingerprints at stride
     * 4, 16 signature permutations, 4 bands of 4 keyed by the signature
@@ -446,7 +464,16 @@ object DedupQueries {
     * the parity of an affine permutation (aⱼ·g + bⱼ) mod p — a distinct
     * multiplier family from the MinHash permutations so the two sketches
     * stay uncorrelated. Both factors < p ≈ 2³⁰ keep aⱼ·g exact BIGINT. */
-  private def simhashA(j: Int): Long = ((2L * j + 1) * 2246822519L) % MinhashP
+  // power family, same rationale as minhashAs: with (2j+1)·D multipliers
+  // a gram whose D·g mod p is small (< p/127) never wraps, so it votes
+  // the SAME sign on all 64 bits — correlated bits weaken the sketch
+  private lazy val simhashAs: Array[Long] = {
+    val out = new Array[Long](64)
+    var acc = 1L
+    for (j <- 0 until 64) { acc = acc * 2246822519L % MinhashP; out(j) = acc }
+    out
+  }
+  private def simhashA(j: Int): Long = simhashAs(j)
   private def simhashB(j: Int): Long = (68279L * j + 29) % MinhashP
 
   /** Portable-hash SimHash (q70): 8-char-gram fingerprints at stride 4

@@ -232,6 +232,46 @@ object RelationalQueries {
              |  (MAX(us) - MIN(us)) // 1000000 AS duration_s
              |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
 
+    // ── funnel analysis (r7b): first view → first later click → first
+    //    later purchase per user. Three chained filtered-min aggregates
+    //    joined on user_id — NO window, no per-user sort; each stage is a
+    //    map-side-combinable min. "Later" = strictly greater microsecond
+    //    timestamp (integer compare on both engines) ──
+    "q94_funnel" -> QueryDef(
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val t1 = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+        val t2 = e.filter(col("event_type") === "click")
+          .join(t1, Seq("user_id"))
+          .filter(col("us") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+        val t3 = e.filter(col("event_type") === "purchase")
+          .join(t2, Seq("user_id"))
+          .filter(col("us") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+        t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+          .select(col("user_id"),
+            (lit(1) + col("t2").isNotNull.cast("int")
+              + col("t3").isNotNull.cast("int")).as("reached"),
+            col("t1"), col("t2"), col("t3"))
+          .orderedOutput(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+             |t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+             |       WHERE event_type = 'view' GROUP BY user_id),
+             |t2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN t1 USING (user_id)
+             |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+             |t3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN t2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+             |SELECT user_id,
+             |  1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT)
+             |    AS reached,
+             |  t1, t2, t3
+             |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
     // ── A1: tumbling time-bucket aggregation ──
     "q10_hourly_counts" -> QueryDef(
       (s, d) => Tables.events(s, d)

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
 /** Streaming corpus curation: the q65 rule filter → exact dedup →
   * q60 chunking, as one Structured Streaming pipeline over a streaming
@@ -128,5 +129,70 @@ object DocStream {
       .toDF("source", "counters")
       .select(col("source"),
         explode(col("counters")).as(Seq("token", "lower_bound")))
+  }
+
+  /** A near-duplicate match surfaced by [[nearDupStream]]: `doc_id` is
+    * the arriving document, `matched_id` a previously-seen bucket-mate,
+    * `n_equal_sigs` ∈ [4, 16] the matching MinHash components (÷16 ≈
+    * Jaccard estimate; ≥ 4 because they share the colliding band). */
+  final case class NearDupMatch(doc_id: Long, matched_id: Long,
+                                n_equal_sigs: Int)
+
+  /** Streaming NEAR-duplicate detection — q66's streaming twin, closing
+    * the gap [[curate]]'s exact content-hash dedup leaves: a paraphrased
+    * or lightly-edited re-submission sails through exact dedup but
+    * collides here. Per arriving document: the q66 portable MinHash
+    * signature (16 affine permutations over [[graft.functions.GramHashArray]]
+    * fingerprints — computed PER ROW, no doc_id aggregate, so the stream
+    * needs no extra shuffle beyond the bucket key), banded 4×4; each
+    * (band, 4-signature bucket) group keeps the documents seen in that
+    * bucket and emits a match for every stored bucket-mate of a new
+    * arrival.
+    *
+    * State is bounded per bucket by `maxPerBucket` (FIFO eviction —
+    * oldest stored docs age out first, the natural choice when near-dups
+    * cluster in time); a pair colliding in several bands is emitted once
+    * per band — consumers dedupe on (doc_id, matched_id), as the batch
+    * LSH's `distinct()` does. */
+  def nearDupStream(docs: DataFrame, maxPerBucket: Int = 1024): Dataset[NearDupMatch] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import graft.operators.DedupQueries
+    val sig = array((0 until 16).map(k => array_min(transform(
+      graft.functions.GramHashArray(col("text"), stride = 4),
+      g => (g * DedupQueries.minhashA(k) + DedupQueries.minhashB(k))
+        % DedupQueries.MinhashP))): _*)
+    val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
+      col("sig")(4 * b).as("s0"), col("sig")(4 * b + 1).as("s1"),
+      col("sig")(4 * b + 2).as("s2"), col("sig")(4 * b + 3).as("s3")))
+    docs.filter(length(col("text")) >= 8)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("b.band").as("band"), col("b.s0").as("s0"), col("b.s1").as("s1"),
+        col("b.s2").as("s2"), col("b.s3").as("s3"), col("doc_id"), col("sig"))
+      .as[(Int, Long, Long, Long, Long, Long, Seq[Long])]
+      .groupByKey(r => (r._1, r._2, r._3, r._4, r._5))
+      .flatMapGroupsWithState[Array[(Long, Seq[Long])], NearDupMatch](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (_, rows, state) => {
+          var stored = state.getOption.getOrElse(Array.empty[(Long, Seq[Long])])
+          val out = Seq.newBuilder[NearDupMatch]
+          rows.foreach { r =>
+            val (id, s) = (r._6, r._7)
+            stored.foreach { case (oid, os) =>
+              if (oid != id)
+                out += NearDupMatch(id, oid,
+                  s.iterator.zip(os.iterator).count(p => p._1 == p._2))
+            }
+            if (!stored.exists(_._1 == id)) {
+              stored = if (stored.length >= maxPerBucket)
+                stored.drop(1) :+ ((id, s)) // FIFO: evict the oldest
+              else stored :+ ((id, s))
+            }
+          }
+          state.update(stored)
+          out.result().iterator
+        })
   }
 }

@@ -159,4 +159,67 @@ class DocStreamSpec extends SparkSpec {
     assert(b2.keys.count(_._1 == "src0") <= 2 * k)
     out.stop()
   }
+
+  test("nearDupStream: cross-batch near-dups collide; unrelated docs do not") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.nearDupStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("near_dups").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and " +
+        "again while the spark engine counts every token stream it sees"
+      // SAME-LENGTH substitution: the stride-4 gram sampling is
+      // position-anchored, so a length-changing edit shifts every
+      // downstream gram (that's q69's alignment lesson); a same-length
+      // edit only perturbs grams overlapping the edit window
+      val edited = base.replace("lazy", "hazy") // near-dup, not exact
+      val other = "completely different content about delay curves and " +
+        "gtfs schedules with no overlap whatsoever in its character grams"
+      input.addData((1L, base), (2L, other)); q.processAllAvailable()
+      input.addData((3L, edited)); q.processAllAvailable()
+      val got = spark.table("near_dups")
+        .as[DocStream.NearDupMatch].collect().toSeq
+      // the edited re-submission must match its batch-1 original...
+      val m = got.filter(r => r.doc_id == 3L && r.matched_id == 1L)
+      assert(m.nonEmpty, s"expected 3~1 collision, got $got")
+      // ...with a high signature agreement (band collision guarantees >= 4)
+      assert(m.map(_.n_equal_sigs).max >= 4)
+      // the unrelated document never matches anything
+      assert(!got.exists(r => r.doc_id == 2L || r.matched_id == 2L))
+      // an EXACT duplicate agrees on all 16 components
+      input.addData((4L, base)); q.processAllAvailable()
+      val exact = spark.table("near_dups").as[DocStream.NearDupMatch]
+        .collect().filter(r => r.doc_id == 4L && r.matched_id == 1L)
+      assert(exact.nonEmpty && exact.forall(_.n_equal_sigs == 16))
+    } finally q.stop()
+  }
+
+  test("nearDupStream: bucket state is FIFO-bounded by maxPerBucket") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // identical text -> every doc lands in the same 4 buckets
+    val q = DocStream.nearDupStream(input.toDS().toDF("doc_id", "text"),
+      maxPerBucket = 3)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("near_dups_cap").start()
+    try {
+      val t = "twelve identical tokens streaming through the same bucket " +
+        "every single time without any variation at all here"
+      input.addData((0L until 5L).map(i => (i, t)): _*); q.processAllAvailable()
+      // state rows = 4 bands x 1 bucket; each holds <= 3 docs
+      val stateRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      assert(stateRows == 4L)
+      input.addData((5L, t)); q.processAllAvailable()
+      val got = spark.table("near_dups_cap")
+        .as[DocStream.NearDupMatch].collect()
+      // doc 5 matches exactly the 3 bucket survivors (within-batch
+      // arrival order across shuffle partitions picks WHICH 3)
+      val m5 = got.filter(_.doc_id == 5L).map(_.matched_id).distinct.sorted
+      assert(m5.length == 3 && m5.forall(i => i >= 0L && i <= 4L), s"got $m5")
+    } finally q.stop()
+  }
 }
