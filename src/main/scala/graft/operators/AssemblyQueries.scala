@@ -227,6 +227,66 @@ object AssemblyQueries {
       .orderedOutput(col("doc_id"))
   }
 
+  /** Sequence packing — the LAST assembly step before a trainer sees the
+    * corpus: documents concatenate in a deterministic global order (the
+    * shared (hv, doc_id) pipeline order) into one token stream that is
+    * cut at fixed `seqLen`-token boundaries (the GPT-style pack-then-
+    * split convention: a document may straddle sequences). Each document
+    * reports its global token offset and the first/last sequence index
+    * it lands in — exactly what a shard writer needs to emit fixed-width
+    * training windows without ever materializing the concatenation.
+    *
+    * The naive start_off is `sum(n_tokens) over (order by hv, doc_id
+    * rows unbounded preceding)` — a GLOBAL window, one task for the
+    * whole corpus. This is the two-phase distributed prefix sum instead
+    * (q64's machinery with a global rather than per-source key): bucket
+    * subtotals (bucket = hv >> bucketShift, dimension-sized) → driver
+    * exclusive offsets in bucket order → hash-repartition by bucket,
+    * sort within partitions, one mapPartitions pass seeds each bucket
+    * segment with its offset. No task ever holds more than one bucket's
+    * rows; every step is deterministic. */
+  def packSequences(documents: DataFrame, seqLen: Int = 512,
+                    bucketShift: Int = 18): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val d = documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        ((col("doc_id") % lit(1000000007L)) * lit(2654435761L))
+          .mod(lit(1000000007L)).as("hv"))
+      .withColumn("b", shiftright(col("hv"), bucketShift))
+    val subs = d.groupBy(col("b")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exclusive prefix offsets in bucket order — driver-side over a
+    // dimension-sized relation (≤ 2^(30-bucketShift) buckets), the
+    // documented collect class (q64's subtotals)
+    var acc = 0L
+    val offs = subs.sortBy(_._1).map { case (b, t) =>
+      val o = (b, acc); acc += t; o
+    }
+    val offDf = offs.toSeq.toDF("b", "off")
+    val parted = d.join(broadcast(offDf), Seq("b"))
+      .repartition(col("b"))
+      .sortWithinPartitions(col("b"), col("hv"), col("doc_id"))
+      .select(col("doc_id"), col("b"), col("n_tokens"), col("off"))
+      .as[(Long, Long, Long, Long)]
+    parted.mapPartitions { it =>
+      var curB = Long.MinValue
+      var run = 0L
+      it.map { case (id, b, n, off) =>
+        if (b != curB) { curB = b; run = off }
+        val start = run
+        run += n
+        (id, n, start)
+      }
+    }.toDF("doc_id", "n_tokens", "start_off")
+      // split("", " ") is [""] on both engines, so n_tokens >= 1 and the
+      // last-token index start_off + n_tokens - 1 is always well-defined
+      .withColumn("seq_first", expr(s"start_off div ${seqLen}L"))
+      .withColumn("seq_last", expr(s"(start_off + n_tokens - 1) div ${seqLen}L"))
+      // per-document output: parallel range sort (see orderedOutput)
+      .orderedOutput(col("doc_id"))
+  }
+
   /** Centroid-distance outlier scoring (the SemDeDup/D4 semantic-quality
     * signal): each vector's cosine against ITS OWN cluster's centroid —
     * low scorers are the semantic outliers a curation pipeline down-weights
@@ -453,6 +513,25 @@ object AssemblyQueries {
              |SELECT doc_id, hv % 64 AS shard,
              |  ROW_NUMBER() OVER (PARTITION BY hv % 64 ORDER BY hv, doc_id) AS seq
              |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // ── sequence packing: global (hv, doc_id)-ordered token offsets +
+    //    first/last 512-token training-sequence indices via two-phase
+    //    prefix sum; oracle is the global running-sum window twin ──
+    "q95_sequence_pack" -> QueryDef(
+      (s, d) => packSequences(Tables.documents(s, d)),
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    (doc_id % 1000000007 * 2654435761) % 1000000007 AS hv
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY hv, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS start_off
+             |  FROM d)
+             |SELECT doc_id, n_tokens, start_off,
+             |  start_off // 512 AS seq_first,
+             |  (start_off + n_tokens - 1) // 512 AS seq_last
+             |FROM c ORDER BY doc_id""".stripMargin)),
 
     // ── per-vector cosine against its own label centroid (semantic
     //    outlier score); centroid math re-derived in DuckDB, rounded 6 ──

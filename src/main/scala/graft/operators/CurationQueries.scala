@@ -220,7 +220,63 @@ object CurationQueries {
       .orderedOutput(col("doc_id"))
   }
 
+  /** Data-driven length-outlier fences per source (the C4/Gopher length-
+    * filter family, but thresholds come from the corpus itself): exact
+    * token-count quartiles per source at ranks ⌈n/4⌉ and ⌈3n/4⌉, then
+    * Tukey's fences q1 − 1.5·IQR / q3 + 1.5·IQR count the documents a
+    * curation pass would drop as too short / too long for their stratum.
+    *
+    * Quartiles are EXACT order statistics via [[Selection.kthSmallest]]
+    * (≤ 7 map-side aggregate passes per rank, no per-source sort or
+    * window); the fence compare stays integer-exact by scaling ×2
+    * (2·n < 2·q1 − 3·IQR) instead of multiplying by 1.5. Output is
+    * one row per source — the quartiles themselves plus both outlier
+    * counts — so the check verifies the full construction even when a
+    * tight distribution yields zero outliers. */
+  def lengthOutlierFences(documents: DataFrame): DataFrame = {
+    val d = documents.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val base = d.select(col("source"), col("n_tokens"))
+    val q1 = Selection.kthSmallest(base, "source", "n_tokens",
+      n => (n + 3) / 4).withColumnRenamed("n_tokens", "q1")
+    val q3 = Selection.kthSmallest(base, "source", "n_tokens",
+      n => (3 * n + 3) / 4).withColumnRenamed("n_tokens", "q3")
+    d.join(broadcast(q1), Seq("source")).join(broadcast(q3), Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        sum((col("n_tokens") * 2 <
+          col("q1") * 2 - (col("q3") - col("q1")) * 3).cast("long"))
+          .as("n_low_outliers"),
+        sum((col("n_tokens") * 2 >
+          col("q3") * 2 + (col("q3") - col("q1")) * 3).cast("long"))
+          .as("n_high_outliers"))
+      .orderedResult(col("source"))
+  }
+
   val registry: Map[String, QueryDef] = Map(
+
+    // ── per-source token-count quartiles + Tukey-fence outlier counts:
+    //    radix-refinement selection at two ranks; oracle is the
+    //    row_number ranking twin (the q75 pattern, composed) ──
+    "q97_length_fences" -> QueryDef(
+      (s, d) => lengthOutlierFences(Tables.documents(s, d)),
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |r AS (SELECT source, n_tokens,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens) AS rk,
+             |    COUNT(*) OVER (PARTITION BY source) AS n FROM d),
+             |q AS (SELECT source,
+             |    MAX(CASE WHEN rk = (n + 3) // 4 THEN n_tokens END) AS q1,
+             |    MAX(CASE WHEN rk = (3 * n + 3) // 4 THEN n_tokens END) AS q3
+             |  FROM r GROUP BY source)
+             |SELECT d.source, MAX(q.q1) AS q1, MAX(q.q3) AS q3,
+             |  CAST(SUM(CASE WHEN d.n_tokens * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+             |  CAST(SUM(CASE WHEN d.n_tokens * 2 > q.q3 * 2 + (q.q3 - q.q1) * 3
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+             |FROM d JOIN q USING (source)
+             |GROUP BY d.source ORDER BY source""".stripMargin)),
 
     // ── per-source heavy hitters at frequency ≥ 1/500: MG candidates +
     //    exact verify; oracle recomputes the exact answer directly ──

@@ -194,6 +194,84 @@ object PipelineQueries {
       when(stopRatio < 0.08, 4).otherwise(0)
   }
 
+  /** Graph-centrality quality weighting (the CommonCrawl-lineage signal:
+    * rank pages by link centrality and up-weight the central ones) over
+    * the corpus's own duplicate graph: integer-scaled PageRank, damping
+    * 0.85, `iterations` synchronous power-iteration rounds. Central
+    * documents of a near-dup cluster are its "canonical-ish" members; a
+    * curation pipeline keeps the top-ranked representative (a richer
+    * choice than q57's min-id canonical pick).
+    *
+    * Cross-engine exactness (the q89/q52 iterative discipline): ranks are
+    * BIGINTs at 10⁶ scale; a node's per-edge contribution is
+    * `pr div degree` and the damped update is `150000 + (85 · Σ contrib)
+    * div 100` — integer div only, so both engines agree bit-for-bit.
+    * Isolated nodes hold the teleport mass 150000 and dangling mass is
+    * dropped (the standard no-redistribution variant; the graph is
+    * undirected so every edge endpoint has degree ≥ 1).
+    *
+    * Shape: the edge set is the PREFIX-FILTERED similarity join (q56's
+    * scale shape, sorted=false — never funneled), checkpoint-truncated
+    * once and reused every round; each round is one broadcastable degree
+    * join + one edge-keyed shuffle sum (pregel-style message passing as
+    * two relational ops) + a checkpoint truncation, so round k's plan is
+    * O(1) deep. Degrees are bounded by near-dup cluster sizes — no hub
+    * skew beyond what the similarity threshold already bounds. */
+  def pageRank(documents: org.apache.spark.sql.DataFrame, iterations: Int = 5,
+               threshold: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    // static relations live for all rounds: their own cycle (the k-means
+    // cents/assigned precedent — a round cycle would delete them)
+    val ckptStatic = Checkpoints.cycle()
+    val prCycle = Checkpoints.cycle()
+    val pairs = DedupQueries.tokenPrefixJoin(documents, threshold,
+      sorted = false).select(col("id1"), col("id2"))
+    val edges = ckptStatic.truncate(
+      pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst"))))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nodes = documents.select(col("doc_id"))
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val contrib = pr.join(deg, pr("doc_id") === deg("src"))
+        .select(col("src"), expr("pr div d").as("c"))
+      val incoming = edges.join(contrib, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      pr = prCycle.truncate(
+        nodes.join(incoming, nodes("doc_id") === incoming("dst"), "left")
+          .select(col("doc_id"),
+            (lit(150000L) + expr("(85 * coalesce(m, 0L)) div 100")).as("pr")))
+    }
+    // the final pr checkpoint is the returned result — leave it live;
+    // the superseded edge checkpoint can go once pr no longer needs it,
+    // but pr's plan READS edges' blocks only during truncate (eager), so
+    // edges must outlive the loop. One directory per job retires here.
+    pr.orderedOutput(col("doc_id"))
+  }
+
+  /** The unrolled DuckDB twin of [[pageRank]] (the q89 pattern): edge/
+    * degree CTEs from [[jaccardPairsCte]], then pr₀ → pr₁ → … — every tᵢ
+    * MATERIALIZED (two consumers each). */
+  private def pageRankOracleSql(iterations: Int, t: Double): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""pr$i AS MATERIALIZED (SELECT n.doc_id,
+         |    150000 + CAST((85 * COALESCE(SUM(c.c), 0)) // 100 AS BIGINT) AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst, pr${i - 1}.pr // deg.d AS c
+         |    FROM e JOIN pr${i - 1} ON e.src = pr${i - 1}.doc_id
+         |         JOIN deg ON e.src = deg.src) c
+         |    ON n.doc_id = c.dst
+         |  GROUP BY n.doc_id)""".stripMargin
+    }
+    s"""WITH ${jaccardPairsCte(t)},
+       |e AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pairs
+       |     UNION ALL SELECT id2, id1 FROM pairs),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+       |n AS MATERIALIZED (SELECT doc_id FROM documents),
+       |pr0 AS MATERIALIZED (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM n),
+       |${steps.mkString(",\n")}
+       |SELECT doc_id, pr FROM pr$iterations ORDER BY doc_id""".stripMargin
+  }
+
   /** q56's oracle CTE fragment: token-Jaccard pairs at threshold `t`
     * within source blocks — reused by q57 as the duplicate edge set. */
   private[operators] def jaccardPairsCte(t: Double): String =
@@ -206,6 +284,13 @@ object PipelineQueries {
        |      / len(list_distinct(a.t || b.t)) >= $t)""".stripMargin
 
   val registry: Map[String, QueryDef] = Map(
+
+    // ── graph-centrality quality weighting: integer-scaled PageRank
+    //    (5 damped rounds) over the prefix-filtered duplicate graph; the
+    //    whole iteration re-derived in DuckDB via unrolled CTEs ──
+    "q96_pagerank" -> QueryDef(
+      (s, d) => pageRank(Tables.documents(s, d)),
+      Some(pageRankOracleSql(5, 0.4))),
 
     // ── duplicate-group resolution: prefix-filtered Jaccard pairs (q56
     //    semantics, t=0.5) → connected components (large-star/small-star)

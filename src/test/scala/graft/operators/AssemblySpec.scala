@@ -172,6 +172,44 @@ class AssemblySpec extends SparkSpec {
     }
   }
 
+  test("packSequences: planted boundary math (straddles, exact cuts)") {
+    import spark.implicits._
+    // global order is (hv, doc_id): hv(0)=0, hv(2)=308871487, hv(1)=654421747
+    // -> doc0 (3 tok) at offset 0, doc2 (4 tok) at 3, doc1 (2 tok) at 7
+    val d = Seq(
+      0L -> "a b c",
+      1L -> "h i",
+      2L -> "d e f g"
+    ).toDF("doc_id", "text")
+    val got = AssemblyQueries.packSequences(d, seqLen = 4, bucketShift = 22)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 0L, 0L, 0L), // tokens 0-2: inside sequence 0
+      (1L, 2L, 7L, 1L, 2L), // tokens 7-8: straddles the 8-boundary
+      (2L, 4L, 3L, 0L, 1L)  // tokens 3-6: straddles the 4-boundary
+    ))
+  }
+
+  test("packSequences equals its global running-sum window twin on the real table") {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = AssemblyQueries.packSequences(d, seqLen = 512, bucketShift = 22)
+    val hv = (col("doc_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L)
+    val w = Window.orderBy(col("hv"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"), hv.as("hv"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_first", expr("start_off div 512"))
+      .withColumn("seq_last", expr("(start_off + n_tokens - 1) div 512"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("seq_first"), col("seq_last"))
+    assert(got.count() == d.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("centroidOutlier scores a planted outlier below its cluster") {
     import spark.implicits._
     // cluster 0: tight around e1; the outlier points the other way

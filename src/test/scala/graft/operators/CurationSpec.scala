@@ -72,6 +72,47 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("lengthOutlierFences: planted long doc past the high fence, hand-checked quartiles") {
+    import spark.implicits._
+    val mk = (n: Int) => Seq.fill(n)("w").mkString(" ")
+    // source A: lengths 10..21 plus one 500-token doc. n=13 -> q1 at
+    // rank ceil(13/4)=4 (value 13), q3 at rank ceil(39/4)=10 (value 19);
+    // IQR=6 -> fences: 2n<8 (none) and 2n>56 (only the 500)
+    val rows = (0 until 12).map(i => (i.toLong, mk(10 + i), "A")) :+
+      (12L, mk(500), "A")
+    val got = CurationQueries.lengthOutlierFences(rows.toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("A", 13L, 19L, 0L, 1L)))
+  }
+
+  test("lengthOutlierFences equals its ranking-window twin on the real table") {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = CurationQueries.lengthOutlierFences(d)
+    val base = d.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
+    val q = base
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(max(when(col("rk") === expr("(n + 3) div 4"),
+        col("n_tokens"))).as("q1"),
+        max(when(col("rk") === expr("(3 * n + 3) div 4"),
+          col("n_tokens"))).as("q3"))
+    val want = base.join(q, Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        sum((col("n_tokens") * 2 <
+          col("q1") * 2 - (col("q3") - col("q1")) * 3).cast("long"))
+          .as("n_low_outliers"),
+        sum((col("n_tokens") * 2 >
+          col("q3") * 2 + (col("q3") - col("q1")) * 3).cast("long"))
+          .as("n_high_outliers"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("incrementalDedup flags exact, cross-corpus and in-batch duplicates") {
     import spark.implicits._
     val a = (0 until 30).map(j => s"alpha$j").mkString(" ")

@@ -284,6 +284,60 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got((0L, 1L)) >= 1L, "at least one shared 64-char window")
   }
 
+  /** Driver-side reference of [[PipelineQueries.pageRank]]'s integer
+    * recurrence: 5 damped rounds of pr' = 150000 + 85·Σ(pr div deg) div
+    * 100 over a symmetric edge list. */
+  private def refPageRank(nodes: Seq[Long], pairs: Seq[(Long, Long)],
+                          iterations: Int = 5): Map[Long, Long] = {
+    val sym = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var pr = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iterations) {
+      val in = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = nodes.map(n => n -> (150000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("pageRank: planted star + pair + isolate match driver iteration") {
+    import spark.implicits._
+    // Jaccard >= 0.4 picks exactly the STAR (0,1) 4/6, (0,2) 3/7 —
+    // (1,2) is 2/8 — plus the pair (3,4) 4/6; doc5 is isolated and must
+    // hold the 150000 teleport mass. The star is deliberately
+    // NON-regular: a regular graph (triangle, pair) is a fixed point of
+    // the recurrence and every rank stays 10⁶ — no discrimination.
+    val d = Seq(
+      (0L, "a b c d e", "s"),
+      (1L, "a b c d x", "s"),
+      (2L, "c d e f g", "s"),
+      (3L, "p q r s t", "s"),
+      (4L, "p q r s u", "s"),
+      (5L, "m n o k l", "s")
+    ).toDF("doc_id", "text", "source")
+    val got = PipelineQueries.pageRank(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refPageRank(0L to 5L,
+      Seq((0L, 1L), (0L, 2L), (3L, 4L)))
+    assert(got == want)
+    assert(got(5L) == 150000L, "isolated node holds the teleport mass")
+    // the star hub receives both leaves' full mass each round — it must
+    // out-rank the regular pair's members (pinned at 10⁶)
+    assert(got(0L) > got(3L) && got(1L) < got(3L))
+  }
+
+  test("pageRank on the real table matches driver iteration over the Spark edge set") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = DedupQueries.tokenPrefixJoin(docs, threshold = 0.4, sorted = false)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nodes = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val got = PipelineQueries.pageRank(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(nodes, pairs))
+  }
+
   test("q60 chunks: stride coverage reconstructs every document") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, d)
