@@ -253,7 +253,64 @@ object CurationQueries {
       .orderedResult(col("source"))
   }
 
+  /** Cross-source contamination matrix (corpus health: how much content
+    * do the mix's sources share BEFORE training?): for every source pair
+    * s1 < s2, the count of distinct 8-char-gram fingerprints both
+    * contain, plus the gram-set Jaccard. Large overlaps mean the mixing
+    * weights double-count the shared content (and a leakage audit should
+    * look there first).
+    *
+    * Shape: the distinct (source, gram) relation is ONE shuffle of the
+    * gram stream; the pair join is keyed by gram, and a gram's posting
+    * list is bounded by the NUMBER OF SOURCES (each source contributes
+    * one distinct row), so the fan-out per key is ≤ sources², never
+    * corpus-quadratic — the one self-join in the engine that needs no
+    * skew guard by construction. Gram fingerprints are the shared
+    * portable polynomial ([[graft.functions.GramHashArray]]), exact in
+    * both engines; the Jaccard is one IEEE division of exact BIGINTs. */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val g = documents.filter(length(col("text")) >= 8)
+      .select(col("source"), explode(array_distinct(
+        graft.functions.GramHashArray(col("text")))).as("g"))
+      .distinct()
+    val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = g.select(col("g"), col("source").as("s1"))
+    val b = g.select(col("g"), col("source").as("s2"))
+    a.join(b, Seq("g")).filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))),
+        Seq("s1"))
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))),
+        Seq("s2"))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n1") + col("n2") - col("n_shared"))).as("jac"))
+      .orderedResult(col("s1"), col("s2"))
+  }
+
   val registry: Map[String, QueryDef] = Map(
+
+    // ── cross-source distinct-gram contamination matrix: one gram-keyed
+    //    self-join with sources²-bounded fan-out; full construction
+    //    re-derived in DuckDB ──
+    "q98_source_overlap" -> QueryDef(
+      (s, d) => sourceOverlap(Tables.documents(s, d)),
+      Some(s"""WITH g AS (SELECT source, doc_id,
+             |    list_distinct(list_transform(generate_series(1, length(text) - 7),
+             |      i -> (${(0 until 8).map(DedupQueries.gramHashSql).mkString(" + ")})
+             |           % 1000000007)) AS gs
+             |  FROM documents WHERE length(text) >= 8),
+             |sg AS (SELECT DISTINCT source, g FROM
+             |       (SELECT source, unnest(gs) AS g FROM g)),
+             |sz AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source)
+             |SELECT a.source AS s1, b.source AS s2,
+             |  MAX(z1.n) AS n1, MAX(z2.n) AS n2, COUNT(*) AS n_shared,
+             |  CAST(COUNT(*) AS DOUBLE) / (MAX(z1.n) + MAX(z2.n) - COUNT(*))
+             |    AS jac
+             |FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+             |  JOIN sz z1 ON z1.source = a.source
+             |  JOIN sz z2 ON z2.source = b.source
+             |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin)),
 
     // ── per-source token-count quartiles + Tukey-fence outlier counts:
     //    radix-refinement selection at two ranks; oracle is the

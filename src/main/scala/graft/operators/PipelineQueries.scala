@@ -219,39 +219,49 @@ object PipelineQueries {
     * skew beyond what the similarity threshold already bounds. */
   def pageRank(documents: org.apache.spark.sql.DataFrame, iterations: Int = 5,
                threshold: Double = 0.4): org.apache.spark.sql.DataFrame = {
-    // static relations live for all rounds: their own cycle (the k-means
-    // cents/assigned precedent — a round cycle would delete them)
-    val ckptStatic = Checkpoints.cycle()
-    val prCycle = Checkpoints.cycle()
     val pairs = DedupQueries.tokenPrefixJoin(documents, threshold,
       sorted = false).select(col("id1"), col("id2"))
-    val edges = ckptStatic.truncate(
-      pairs.select(col("id1").as("src"), col("id2").as("dst"))
-        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst"))))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val nodes = documents.select(col("doc_id"))
+    pageRankOn(documents.select(col("doc_id")), pairs, iterations)
+      .orderedOutput(col("doc_id"))
+  }
+
+  /** [[pageRank]]'s iteration over a caller-supplied undirected pair set
+    * (also composed by q99 with connected components over the SAME edge
+    * relation). Returns UNORDERED (doc_id, pr). */
+  private[operators] def pageRankOn(nodes: org.apache.spark.sql.DataFrame,
+                                    pairs: org.apache.spark.sql.DataFrame,
+                                    iterations: Int)
+  : org.apache.spark.sql.DataFrame = {
+    // the static adjacency lives for all rounds: its own cycle (the
+    // k-means cents/assigned precedent — the pr round cycle would delete
+    // it). Degree is FOLDED INTO the edge relation once, so each round
+    // is ONE join + one keyed sum instead of a deg recompute + two joins.
+    val ckptStatic = Checkpoints.cycle()
+    val prCycle = Checkpoints.cycle()
+    val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val adj = ckptStatic.truncate(sym.join(deg, Seq("src")))
     var pr = nodes.withColumn("pr", lit(1000000L))
     for (_ <- 1 to iterations) {
-      val contrib = pr.join(deg, pr("doc_id") === deg("src"))
-        .select(col("src"), expr("pr div d").as("c"))
-      val incoming = edges.join(contrib, Seq("src"))
+      val incoming = adj.join(pr, adj("src") === pr("doc_id"))
+        .select(col("dst"), expr("pr div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
       pr = prCycle.truncate(
         nodes.join(incoming, nodes("doc_id") === incoming("dst"), "left")
           .select(col("doc_id"),
             (lit(150000L) + expr("(85 * coalesce(m, 0L)) div 100")).as("pr")))
     }
-    // the final pr checkpoint is the returned result — leave it live;
-    // the superseded edge checkpoint can go once pr no longer needs it,
-    // but pr's plan READS edges' blocks only during truncate (eager), so
-    // edges must outlive the loop. One directory per job retires here.
-    pr.orderedOutput(col("doc_id"))
+    // the final pr checkpoint is the returned result — leave it live
+    // (the caller consumes it); adj retires one directory per job.
+    pr
   }
 
-  /** The unrolled DuckDB twin of [[pageRank]] (the q89 pattern): edge/
-    * degree CTEs from [[jaccardPairsCte]], then pr₀ → pr₁ → … — every tᵢ
-    * MATERIALIZED (two consumers each). */
-  private def pageRankOracleSql(iterations: Int, t: Double): String = {
+  /** The pr-chain CTE fragment of [[pageRankOn]] (the q89 unrolled
+    * pattern): e/deg/n/pr₀ → pr₁ → … over an existing `pairs` CTE and
+    * the `documents` table — every prᵢ MATERIALIZED (two consumers).
+    * Shared by the q96 oracle and q99's composed oracle. */
+  private def pageRankCtes(iterations: Int): String = {
     val steps = (1 to iterations).map { i =>
       s"""pr$i AS MATERIALIZED (SELECT n.doc_id,
          |    150000 + CAST((85 * COALESCE(SUM(c.c), 0)) // 100 AS BIGINT) AS pr
@@ -262,14 +272,51 @@ object PipelineQueries {
          |    ON n.doc_id = c.dst
          |  GROUP BY n.doc_id)""".stripMargin
     }
-    s"""WITH ${jaccardPairsCte(t)},
-       |e AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pairs
+    s"""e AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pairs
        |     UNION ALL SELECT id2, id1 FROM pairs),
        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
        |n AS MATERIALIZED (SELECT doc_id FROM documents),
        |pr0 AS MATERIALIZED (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM n),
-       |${steps.mkString(",\n")}
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  private def pageRankOracleSql(iterations: Int, t: Double): String =
+    s"""WITH ${jaccardPairsCte(t)},
+       |${pageRankCtes(iterations)}
        |SELECT doc_id, pr FROM pr$iterations ORDER BY doc_id""".stripMargin
+
+  /** Duplicate-cluster canonical selection by CENTRALITY (the curation
+    * composition the two graph operators build toward): connected
+    * components resolve WHO is a duplicate of whom (q57 semantics),
+    * PageRank over the SAME edge relation resolves which member is most
+    * central, and each cluster keeps its top-ranked member (ties → min
+    * doc_id) — a richer canonical pick than q57's min-id convention (the
+    * most-linked member is the best-connected representative of the
+    * cluster's content).
+    *
+    * Shape: the pair set is computed ONCE (prefix-filtered join,
+    * checkpoint-truncated) and feeds both star-contraction components
+    * and the PageRank rounds; the final pick is one join + a per-cluster
+    * max(struct) argmax — map-side combinable, no rank window. */
+  def canonicalByRank(documents: org.apache.spark.sql.DataFrame,
+                      iterations: Int = 5, threshold: Double = 0.4)
+  : org.apache.spark.sql.DataFrame = {
+    val ckpt = Checkpoints.cycle()
+    val pairs = ckpt.truncate(
+      DedupQueries.tokenPrefixJoin(documents, threshold, sorted = false)
+        .select(col("id1"), col("id2")))
+    val nodes = documents.select(col("doc_id"))
+    val comps = ConnectedComponents.components(
+      nodes.select(col("doc_id").as("id")),
+      pairs.select(col("id1").as("u"), col("id2").as("v")))
+    val pr = pageRankOn(nodes, pairs, iterations)
+    comps.join(pr, comps("id") === pr("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("pr").as("pr"), (-col("doc_id")).as("negid"))).as("m"))
+      .select(col("component"), col("cluster_size"),
+        (-col("m.negid")).as("keep_doc"), col("m.pr").as("keep_pr"))
+      .orderedResult(col("component"))
   }
 
   /** q56's oracle CTE fragment: token-Jaccard pairs at threshold `t`
@@ -291,6 +338,33 @@ object PipelineQueries {
     "q96_pagerank" -> QueryDef(
       (s, d) => pageRank(Tables.documents(s, d)),
       Some(pageRankOracleSql(5, 0.4))),
+
+    // ── duplicate-cluster canonical selection by centrality: components
+    //    + PageRank over ONE edge set, per-cluster argmax; the oracle
+    //    composes the recursive-CTE reachability (q57) with the unrolled
+    //    pr chain (q96) and a rank-1 window pick ──
+    "q99_canonical_by_rank" -> QueryDef(
+      (s, d) => canonicalByRank(Tables.documents(s, d)),
+      Some(s"""WITH RECURSIVE ${jaccardPairsCte(0.4)},
+             |${pageRankCtes(5)},
+             |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+             |          UNION ALL SELECT id2, id1 FROM pairs),
+             |reach AS (
+             |  SELECT doc_id AS id, doc_id AS comp FROM documents
+             |  UNION
+             |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id
+             |  WHERE r.comp < e.v),
+             |comps AS (SELECT id AS doc_id, MIN(comp) AS component
+             |          FROM reach GROUP BY id),
+             |j AS (SELECT c.doc_id, c.component, p.pr
+             |      FROM comps c JOIN pr5 p USING (doc_id)),
+             |r AS (SELECT doc_id, component, pr,
+             |    ROW_NUMBER() OVER (PARTITION BY component
+             |                       ORDER BY pr DESC, doc_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY component) AS cs FROM j)
+             |SELECT component, CAST(cs AS BIGINT) AS cluster_size,
+             |  doc_id AS keep_doc, pr AS keep_pr
+             |FROM r WHERE rn = 1 ORDER BY component""".stripMargin)),
 
     // ── duplicate-group resolution: prefix-filtered Jaccard pairs (q56
     //    semantics, t=0.5) → connected components (large-star/small-star)

@@ -72,6 +72,42 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("sourceOverlap matches a driver recompute of the shared gram sets") {
+    import spark.implicits._
+    // B shares A's first sentence; C is disjoint content
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val d = Seq(
+      (0L, shared + " alpha beta gamma", "A"),
+      (1L, "delta " + shared + " epsilon", "B"),
+      (2L, "zzz yyy xxx www vvv uuu ttt sss", "C"),
+      (3L, "completely different content here", "A")
+    ).toDF("doc_id", "text", "source")
+    val got = CurationQueries.sourceOverlap(d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // pure-Scala twin of the portable polynomial: hash of the 8 chars at
+    // position i is sum(ascii(c_k) * 31^k) mod p
+    def grams(t: String): Set[Long] =
+      (0 to t.length - 8).map { i =>
+        (0 until 8).map(k => t.charAt(i + k).toLong *
+          math.pow(31, k).toLong).sum % 1000000007L
+      }.toSet
+    val bySrc = Seq("A" -> (grams(shared + " alpha beta gamma") ++
+        grams("completely different content here")),
+      "B" -> grams("delta " + shared + " epsilon"),
+      "C" -> grams("zzz yyy xxx www vvv uuu ttt sss")).toMap
+    val want = Seq(("A", "B"), ("A", "C"), ("B", "C")).flatMap { case (x, y) =>
+      val inter = (bySrc(x) & bySrc(y)).size.toLong
+      if (inter == 0) None
+      else Some((x, y, bySrc(x).size.toLong, bySrc(y).size.toLong, inter,
+        inter.toDouble / (bySrc(x).size + bySrc(y).size - inter)))
+    }
+    assert(got.toSeq == want)
+    // the planted A/B overlap is found; C shares nothing
+    assert(got.exists(r => r._1 == "A" && r._2 == "B" && r._5 > 30))
+    assert(!got.exists(r => r._2 == "C" || r._1 == "C"))
+  }
+
   test("lengthOutlierFences: planted long doc past the high fence, hand-checked quartiles") {
     import spark.implicits._
     val mk = (n: Int) => Seq.fill(n)("w").mkString(" ")

@@ -338,6 +338,28 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got == refPageRank(nodes, pairs))
   }
 
+  test("canonicalByRank picks each cluster's top-PageRank member on the real table") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val pairs = DedupQueries.tokenPrefixJoin(docs, threshold = 0.4, sorted = false)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nodes = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val uf = unionFind(nodes.size, pairs.map { case (a, b) =>
+      (idx(a).toLong, idx(b).toLong)
+    })
+    val comp = nodes.map(n => n -> nodes(uf(idx(n).toLong).toInt)).toMap
+    val pr = refPageRank(nodes, pairs)
+    val want = nodes.groupBy(comp).map { case (c, members) =>
+      val keep = members.maxBy(m => (pr(m), -m))
+      (c, members.size.toLong, keep, pr(keep))
+    }.toSeq.sortBy(_._1)
+    val got = PipelineQueries.canonicalByRank(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want)
+  }
+
   test("q60 chunks: stride coverage reconstructs every document") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, d)
