@@ -287,6 +287,41 @@ object AssemblyQueries {
       .orderedOutput(col("doc_id"))
   }
 
+  /** The dataset-build capstone (q100): the END-TO-END manifest a shard
+    * writer publishes after the whole curation pipeline runs as ONE
+    * composed plan — rule filter (q65 keep) → exact-dedup canonical pick
+    * (q22 min-id convention) → per-source token-budget mix (q64
+    * semantics, windowless two-phase prefix sum) → deterministic shard
+    * assignment (q87 hash) — reporting, per shard: kept documents, total
+    * tokens, and the `seqLen`-token training-sequence count
+    * (⌈tokens/seqLen⌉, per-shard packing).
+    *
+    * Catalyst keeps the filter + dedup-join + token count a single pass
+    * over documents (broadcast canonical side); the only wide stages are
+    * the dedup groupBy, the mix's bucket repartition, and the final
+    * shard-sized aggregate. Every keep decision reuses the SHARED
+    * portable doc hash, so this manifest is consistent with what
+    * q59/q64/q68/q87/q95 would each report in isolation. */
+  def mixManifest(documents: DataFrame, budget: Long = 1000L,
+                  nShards: Int = 64, seqLen: Int = 512): DataFrame = {
+    val kept = documents.withColumn("mask", PipelineQueries.ruleMask)
+      .filter(col("mask") === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val canon = kept.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_doc"))
+    val dd = kept.join(canon, md5(col("text")) === col("h") &&
+        col("doc_id") === col("keep_doc"))
+      .select(col("doc_id"), col("source"), col("text"))
+    PipelineQueries.tokenBudgetMix(dd, budget, sorted = false)
+      .withColumn("hv", ((col("doc_id") % lit(1000000007L)) *
+        lit(2654435761L)).mod(lit(1000000007L)))
+      .groupBy((col("hv") % nShards).as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_toks"))
+      .select(col("shard"), col("n_docs"), col("n_toks").as("n_tokens"),
+        expr(s"(n_toks + ${seqLen - 1}) div $seqLen").as("n_sequences"))
+      .orderedResult(col("shard"))
+  }
+
   /** Centroid-distance outlier scoring (the SemDeDup/D4 semantic-quality
     * signal): each vector's cosine against ITS OWN cluster's centroid —
     * low scorers are the semantic outliers a curation pipeline down-weights
@@ -513,6 +548,38 @@ object AssemblyQueries {
              |SELECT doc_id, hv % 64 AS shard,
              |  ROW_NUMBER() OVER (PARTITION BY hv % 64 ORDER BY hv, doc_id) AS seq
              |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // ── the dataset-build capstone: rule filter → exact-dedup canonical
+    //    → per-source token budget → shard manifest with sequence counts,
+    //    one composed plan; the oracle re-runs the whole pipeline ──
+    "q100_mix_manifest" -> QueryDef(
+      (s, d) => mixManifest(Tables.documents(s, d)),
+      Some("""WITH s AS (SELECT doc_id, source, text,
+             |    len(string_split(text,' ')) AS n_tokens,
+             |    CAST(LENGTH(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+             |      / len(string_split(text,' ')) AS atl,
+             |    CAST(len(list_filter(string_split(text,' '),
+             |        t -> t IN ('the','data','row','scan','join','query'))) AS DOUBLE)
+             |      / len(string_split(text,' ')) AS stop_ratio
+             |  FROM documents),
+             |kept AS (SELECT doc_id, source, text, CAST(n_tokens AS BIGINT)
+             |    AS n_tokens FROM s
+             |  WHERE NOT (n_tokens < 24 OR n_tokens > 88 OR atl < 4.0
+             |             OR atl > 5.0 OR stop_ratio < 0.08)),
+             |canon AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_doc
+             |          FROM kept GROUP BY 1),
+             |dd AS (SELECT k.doc_id, k.source, k.n_tokens,
+             |    (k.doc_id % 1000000007 * 2654435761) % 1000000007 AS hv
+             |  FROM kept k JOIN canon c
+             |    ON md5(k.text) = c.h AND k.doc_id = c.keep_doc),
+             |m AS (SELECT * FROM (SELECT doc_id, n_tokens, hv,
+             |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum FROM dd)
+             |  WHERE cum <= 1000)
+             |SELECT hv % 64 AS shard, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |  CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) AS n_sequences
+             |FROM m GROUP BY 1 ORDER BY shard""".stripMargin)),
 
     // ── sequence packing: global (hv, doc_id)-ordered token offsets +
     //    first/last 512-token training-sequence indices via two-phase

@@ -135,7 +135,8 @@ object PipelineQueries {
     * cap (phase-2 hash-partitions by bucket) and the driver offsets size
     * (sources × occupied buckets). */
   def tokenBudgetMix(docs: org.apache.spark.sql.DataFrame, budget: Long,
-                     bucketShift: Int = 18): org.apache.spark.sql.DataFrame = {
+                     bucketShift: Int = 18,
+                     sorted: Boolean = true): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val d = docs
@@ -175,7 +176,9 @@ object PipelineQueries {
       }
     }.toDF("doc_id", "source", "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= budget)
-      .orderBy(col("doc_id"))
+      // sorted=false for mid-pipeline consumers (the q100 manifest):
+      // a registry output sorts, an aggregation input must not
+      .transform(df => if (sorted) df.orderBy(col("doc_id")) else df)
   }
 
   /** q65's reason bitmask over a `text` column (1 = token count outside

@@ -172,6 +172,47 @@ class AssemblySpec extends SparkSpec {
     }
   }
 
+  test("mixManifest equals a pure-Scala re-execution of the whole pipeline") {
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val stops = Set("the", "data", "row", "scan", "join", "query")
+    val P = 1000000007L
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // q65 keep rule (split(-1): Spark/DuckDB keep trailing empty tokens)
+    val kept = rows.filter { case (_, _, t) =>
+      val tk = t.split(" ", -1)
+      val n = tk.length
+      val atl = (t.length - n + 1).toDouble / n
+      val sr = tk.count(stops).toDouble / n
+      !(n < 24 || n > 88 || atl < 4.0 || atl > 5.0 || sr < 0.08)
+    }
+    // q22 canonical pick
+    val keepIds = kept.groupBy(r => md5(r._3)).map(_._2.map(_._1).min).toSet
+    val dd = kept.filter(r => keepIds(r._1))
+      .map { case (id, src, t) =>
+        (id, src, t.split(" ", -1).length.toLong, (id % P) * 2654435761L % P)
+      }
+    // q64 per-source budget prefix in (hv, doc_id) order
+    val mixed = dd.groupBy(_._2).valuesIterator.flatMap { docs =>
+      var cum = 0L
+      docs.sortBy(d => (d._4, d._1)).iterator.map { d =>
+        cum += d._3; (d, cum)
+      }.filter(_._2 <= 1000L).map(_._1)
+    }.toSeq
+    // q87 shard + manifest arithmetic
+    val want = mixed.groupBy(_._4 % 64).map { case (shard, ds) =>
+      val tok = ds.map(_._3).sum
+      (shard, ds.size.toLong, tok, (tok + 511) / 512)
+    }.toSeq.sortBy(_._1)
+    val got = AssemblyQueries.mixManifest(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want)
+    assert(want.nonEmpty, "the budget must keep something")
+  }
+
   test("packSequences: planted boundary math (straddles, exact cuts)") {
     import spark.implicits._
     // global order is (hv, doc_id): hv(0)=0, hv(2)=308871487, hv(1)=654421747
