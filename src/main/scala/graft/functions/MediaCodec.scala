@@ -142,6 +142,80 @@ object MediaCodec {
     else None
   }
 
+  /** Box-filter downsample of a decoded pixel region ("resize"): the
+    * image partitions into `f`×`f` pixel blocks per channel (edge blocks
+    * truncated at the image bounds) and each output cell is the INTEGER
+    * sum of its block's byte values — the exact-arithmetic form of mean
+    * pooling (divide by the block's pixel count to get means; sums keep
+    * the result integer for cross-engine verification). Output index
+    * (br·outW + bc)·channels + ch, rows in storage order, stride padded
+    * to 4 bytes per the BMP spec. */
+  def resizeBlockSums(region: Array[Byte], width: Int, height: Int,
+                      channels: Int, f: Int): Array[Long] = {
+    val rowSize = ((channels * width + 3) / 4) * 4
+    val outW = (width + f - 1) / f
+    val outH = (height + f - 1) / f
+    val out = new Array[Long](outH * outW * channels)
+    var br = 0
+    while (br < outH) {
+      var bc = 0
+      while (bc < outW) {
+        var ch = 0
+        while (ch < channels) {
+          var s = 0L
+          var dr = 0
+          while (dr < f) {
+            val r = br * f + dr
+            if (r < height) {
+              var dc = 0
+              while (dc < f) {
+                val c = bc * f + dc
+                if (c < width) {
+                  val idx = r * rowSize + c * channels + ch
+                  if (idx < region.length) s += region(idx) & 0xff
+                }
+                dc += 1
+              }
+            }
+            dr += 1
+          }
+          out((br * outW + bc) * channels + ch) = s
+          ch += 1
+        }
+        bc += 1
+      }
+      br += 1
+    }
+    out
+  }
+
+  /** Frame sampling over a decoded 16-bit mono PCM region: every `hop`-th
+    * sample position starts a `win`-sample analysis frame (truncated at
+    * the stream end), and each frame reports the INTEGER sum of absolute
+    * sample values — the exact-arithmetic energy profile a pipeline
+    * thumbnails audio with. */
+  def frameEnergies(region: Array[Byte], win: Int = 64,
+                    hop: Int = 256): Array[Long] = {
+    val nSamples = region.length / 2
+    val nFrames = if (nSamples == 0) 0 else (nSamples + hop - 1) / hop
+    val out = new Array[Long](nFrames)
+    var fi = 0
+    while (fi < nFrames) {
+      var s = 0L
+      var j = 0
+      while (j < win && fi * hop + j < nSamples) {
+        val p = 2 * (fi * hop + j)
+        val v = (region(p) & 0xff) | ((region(p + 1) & 0xff) << 8)
+        val signed = if (v >= 32768) v - 65536 else v
+        s += math.abs(signed)
+        j += 1
+      }
+      out(fi) = s
+      fi += 1
+    }
+    out
+  }
+
   /** `n` mean-normalized chunk averages over a decoded region — the pooled
     * "patch feature" stage (byte-level; for 16-bit audio this is a coarse
     * amplitude profile, for pixel data per-patch brightness). */

@@ -86,7 +86,120 @@ object MultimodalQueries {
       })
   }
 
+  /** Each document's bytes (truncated to whole 16-bit samples) wrapped as
+    * a REAL mono PCM WAV — the audio twin of [[bmpMediaTable]]. */
+  def wavMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val even = java.util.Arrays.copyOf(bytes, bytes.length / 2 * 2)
+        (id, MediaCodec.encodeWav(8000, 1, 16, even), "wav")
+      })
+      .toDF("media_id", "payload", "format")
+  }
+
+  final case class MediaResize(media_id: Long, out_w: Int, out_h: Int,
+                               b0_sum: Long, b1_sum: Long, b2_sum: Long,
+                               blocks: String)
+  final case class MediaFrames(media_id: Long, n_samples: Long,
+                               n_frames: Long, e0: Long, energies: String)
+
+  /** Partition-batched RESIZE: decode → 4×4 box-filter block sums per
+    * channel ([[MediaCodec.resizeBlockSums]]). */
+  def resizeFeatures(media: DataFrame): Dataset[MediaResize] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodec.decode(bytes).map { d =>
+          val sums = MediaCodec.resizeBlockSums(d.region, d.width, d.height,
+            d.channels, 4)
+          MediaResize(id, (d.width + 3) / 4, (d.height + 3) / 4,
+            sums(0), sums(1), sums(2), sums.mkString(","))
+        }
+      })
+  }
+
+  /** Partition-batched FRAME SAMPLING: decode → every-256th-sample
+    * 64-sample energy frames ([[MediaCodec.frameEnergies]]). */
+  def frameFeatures(media: DataFrame): Dataset[MediaFrames] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodec.decode(bytes).map { d =>
+          val es = MediaCodec.frameEnergies(d.region)
+          MediaFrames(id, (d.region.length / 2).toLong, es.length.toLong,
+            if (es.isEmpty) 0L else es(0), es.mkString(","))
+        }
+      })
+  }
+
   val registry: Map[String, QueryDef] = Map(
+
+    // ── RESIZE (4×4 box-filter block sums over the decoded pixel region,
+    //    integer-exact): first three blocks + md5 of the full block
+    //    array; DuckDB re-derives every block from the text bytes ──
+    "q101_media_resize" -> QueryDef(
+      (s, d) => resizeFeatures(bmpMediaTable(s, d)).toDF()
+        .select(col("media_id"), col("out_w"), col("out_h"),
+          col("b0_sum"), col("b1_sum"), col("b2_sum"),
+          md5(col("blocks")).as("blocks_md5"))
+        .orderBy(col("media_id")),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |    CAST(greatest(1, (length(text) + 95) // 96) AS INT) AS h, text
+             |  FROM documents),
+             |b AS (SELECT media_id, h,
+             |  list_transform(range(0, ((h + 3) // 4) * 24), bi ->
+             |    list_sum(list_transform(range(0, 16), k ->
+             |      CASE WHEN (bi // 24) * 4 + k // 4 < h
+             |        AND ((bi // 24) * 4 + k // 4) * 96
+             |            + ((bi % 24) // 3 * 4 + k % 4) * 3 + bi % 3 + 1
+             |            <= length(text)
+             |      THEN ascii(text[CAST(((bi // 24) * 4 + k // 4) * 96
+             |            + ((bi % 24) // 3 * 4 + k % 4) * 3 + bi % 3 + 1 AS INT)])
+             |      ELSE 0 END))) AS es
+             |  FROM m)
+             |SELECT media_id, 8 AS out_w, CAST((h + 3) // 4 AS INT) AS out_h,
+             |  CAST(es[1] AS BIGINT) AS b0_sum, CAST(es[2] AS BIGINT) AS b1_sum,
+             |  CAST(es[3] AS BIGINT) AS b2_sum,
+             |  md5(array_to_string(es, ',')) AS blocks_md5
+             |FROM b ORDER BY media_id""".stripMargin)),
+
+    // ── FRAME SAMPLING (hop 256, window 64 over the decoded 16-bit PCM
+    //    stream, integer |sample| energies): count + first frame + md5
+    //    of the energy profile; DuckDB re-derives the sample stream ──
+    "q102_media_framesample" -> QueryDef(
+      (s, d) => frameFeatures(wavMediaTable(s, d)).toDF()
+        .select(col("media_id"), col("n_samples"), col("n_frames"),
+          col("e0"), md5(col("energies")).as("energies_md5"))
+        .orderBy(col("media_id")),
+      Some("""WITH w AS (SELECT doc_id AS media_id, length(text) // 2 AS nsamp,
+             |           text FROM documents),
+             |sa AS (SELECT media_id, nsamp,
+             |  list_transform(range(1, nsamp + 1), i ->
+             |    abs(CASE WHEN ascii(text[CAST(2*i-1 AS INT)])
+             |               + 256 * ascii(text[CAST(2*i AS INT)]) >= 32768
+             |        THEN ascii(text[CAST(2*i-1 AS INT)])
+             |               + 256 * ascii(text[CAST(2*i AS INT)]) - 65536
+             |        ELSE ascii(text[CAST(2*i-1 AS INT)])
+             |               + 256 * ascii(text[CAST(2*i AS INT)]) END)) AS s
+             |  FROM w),
+             |f AS (SELECT media_id, nsamp,
+             |  list_transform(range(0, (nsamp + 255) // 256), fi ->
+             |    list_sum(list_transform(range(0, 64), j ->
+             |      CASE WHEN fi * 256 + j < nsamp
+             |           THEN s[CAST(fi * 256 + j + 1 AS INT)] ELSE 0 END))) AS es
+             |  FROM sa)
+             |SELECT media_id, CAST(nsamp AS BIGINT) AS n_samples,
+             |  CAST(len(es) AS BIGINT) AS n_frames,
+             |  CAST(COALESCE(es[1], 0) AS BIGINT) AS e0,
+             |  md5(array_to_string(es, ',')) AS energies_md5
+             |FROM f ORDER BY media_id""".stripMargin)),
     // byte-level metadata is engine-real (no decode in the measured
     // columns): payload sizes survive the binary cast intact and DuckDB
     // can verify

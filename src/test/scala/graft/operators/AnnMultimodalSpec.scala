@@ -196,6 +196,60 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(feats.forall(_.patch_means.forall(v => v >= 0f && v <= 1f)))
   }
 
+  test("resizeBlockSums: hand-checked box sums incl. padded stride and edge blocks") {
+    import graft.functions.MediaCodec
+    // 2x3 single-channel image, stride pads rows to 4 bytes; f=2 gives
+    // one full block (rows 0-1) and one truncated edge block (row 2)
+    val region = Array[Byte](1, 2, 99, 99, 3, 4, 99, 99, 5, 6, 99, 99)
+    val sums = MediaCodec.resizeBlockSums(region, width = 2, height = 3,
+      channels = 1, f = 2)
+    assert(sums.toSeq == Seq(10L, 11L), "pad bytes must not leak into sums")
+    // 3-channel path: channels interleave within a pixel
+    val rgb = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8) // one row, 2 px, stride 8
+    val s3 = MediaCodec.resizeBlockSums(rgb, width = 2, height = 1,
+      channels = 3, f = 2)
+    assert(s3.toSeq == Seq(1L + 4L, 2L + 5L, 3L + 6L))
+  }
+
+  test("frameEnergies: signed 16-bit decode, hop/window truncation") {
+    import graft.functions.MediaCodec
+    // samples: 100, -2 (le16: 254,255), 7
+    val region = Array[Byte](100, 0, 254.toByte, 255.toByte, 7, 0)
+    assert(MediaCodec.frameEnergies(region, win = 2, hop = 2).toSeq ==
+      Seq(102L, 7L))
+    assert(MediaCodec.frameEnergies(region, win = 1, hop = 2).toSeq ==
+      Seq(100L, 7L))
+    assert(MediaCodec.frameEnergies(Array.emptyByteArray).toSeq == Seq())
+  }
+
+  test("q101/q102 builders equal a driver recompute from the raw text bytes") {
+    val d = "/root/testdata/sf0.001"
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    import graft.functions.MediaCodec
+    val gotR = MultimodalQueries.registry("q101_media_resize").build(spark, d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(6)))).toMap
+    texts.foreach { case (id, bytes) =>
+      val h = math.max(1, (bytes.length + 95) / 96)
+      val region = java.util.Arrays.copyOf(bytes, 96 * h)
+      val sums = MediaCodec.resizeBlockSums(region, 32, h, 3, 4)
+      val (b0, md) = gotR(id)
+      assert(b0 == sums(0))
+      assert(md == java.security.MessageDigest.getInstance("MD5")
+        .digest(sums.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    }
+    val gotF = MultimodalQueries.registry("q102_media_framesample").build(spark, d)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap
+    texts.foreach { case (id, bytes) =>
+      val even = java.util.Arrays.copyOf(bytes, bytes.length / 2 * 2)
+      val es = MediaCodec.frameEnergies(even)
+      assert(gotF(id) == ((even.length / 2).toLong,
+        if (es.isEmpty) 0L else es(0)))
+    }
+  }
+
   test("MediaCodec decodes the committed BMP fixture byte-exactly") {
     import graft.functions.MediaCodec
     val bytes = java.nio.file.Files.readAllBytes(
