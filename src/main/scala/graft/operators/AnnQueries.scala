@@ -240,14 +240,14 @@ object AnnQueries {
       .orderedResult(col("cell"))
   }
 
-  /** The whole q52 computation — deterministic-init Lloyd + final-assignment
-    * inertia — as a generated DuckDB CTE chain: c0 (first-k init) → aᵢ
-    * (argmin assignment, ties by cell) → cᵢ (per-dim means) … → inertia.
+  /** The deterministic Lloyd chain as DuckDB CTEs (shared by the q52 and
+    * q103 oracles): e (double vectors) → ex (exploded) → c0 (first-k
+    * init) → aᵢ (argmin assignment, ties by cell) → cᵢ (per-dim means)
+    * … → a{iters+1} (final assignment) → cf (final centroids).
     * Float safety: means/dots differ from Spark only in summation order
-    * (last-ulp); assignments sit far from ties on clustered data and the
-    * inertia is rounded to 3 decimals, so the hash compare is stable —
+    * (last-ulp); assignments sit far from ties on clustered data —
     * verified exact at sf0.001/0.01/0.1. */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  private def kmeansChainSql(k: Int, iters: Int): String = {
     def assign(cents: String, i: Int) =
       s"""a$i AS (SELECT vec_id, cell FROM (
          |  SELECT d.vec_id, d.cell,
@@ -262,18 +262,24 @@ object AnnQueries {
     val steps = (1 to iters).flatMap(i =>
       Seq(assign(s"c${i - 1}", i), cents(i, i.toString))) ++
       Seq(assign(s"c$iters", iters + 1), cents(iters + 1, "f"))
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |dims AS (SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1)) AS pos),
        |ex AS (SELECT vec_id, pos, v[CAST(pos AS INT)] AS x FROM e, dims),
        |c0 AS (SELECT r.cell, ex.pos, ex.x AS w FROM
        |  (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cell
        |   FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k)) r JOIN ex USING (vec_id)),
-       |${steps.mkString(",\n")}
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  /** The whole q52 computation — deterministic-init Lloyd + final-assignment
+    * inertia — over [[kmeansChainSql]]; inertia rounded to 3 decimals keeps
+    * the hash compare stable across summation-order ulps. */
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansChainSql(k, iters)}
        |SELECT a.cell, COUNT(DISTINCT a.vec_id) AS n,
        |  ROUND(SUM((ex.x - cf.w) * (ex.x - cf.w)), 3) AS inertia
        |FROM a${iters + 1} a JOIN ex USING (vec_id) JOIN cf USING (cell, pos)
        |GROUP BY a.cell ORDER BY a.cell""".stripMargin
-  }
 
 
   /** Exact k-nearest-neighbour JOIN: every vector's `k` nearest
@@ -298,7 +304,7 @@ object AnnQueries {
     * defined cosine, and its NaN would reach the scaled-integer cast with
     * engine-dependent semantics (Spark cast vs DuckDB error — r7 review).
     * Shared prologue of the kNN joins. */
-  private def withNorms(embeddings: DataFrame): DataFrame =
+  private[operators] def withNorms(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -378,6 +384,78 @@ object AnnQueries {
           .cast("long").as("c"),
         col("idb").as("nb")), k)
   }
+
+  /** SemDeDup (Abbas et al. 2023) — semantic deduplication by k-means
+    * cell: cluster the embedding space with the deterministic Lloyd
+    * quantizer ([[kmeansCells]]), then compare vectors ONLY within their
+    * cell; a vector is dropped when a within-cell neighbour with cosine
+    * ≥ τ and a smaller vec_id exists (deterministic keep-first — the
+    * greedy form of the paper's one-per-duplicate-group rule). Output:
+    * (vec_id, cell, n_dups, kept) per non-zero-norm vector.
+    *
+    * This is the algorithm's actual scale argument: the quadratic pair
+    * work is confined to cells (production sizes k ∝ √n so cells stay
+    * bounded as the corpus grows), and within each cell the self-join is
+    * triangle-blocked ([[Blocking]]) so parallelism is cells × B(B+1)/2
+    * tasks, never capped at k — the q35/q67 lesson applied to learned
+    * cells instead of labels. Cosines are compared as ROUND(cos·10⁶)
+    * BIGINTs (the q92 integer-output discipline), so the τ compare is
+    * exact on both engines. */
+  def semDeDup(embeddings: DataFrame, kCells: Int = 8, iters: Int = 3,
+               tauScaled: Long = 300000L, blocks: Int = 4): DataFrame = {
+    val cells = kmeansCells(embeddings, kCells, iters)
+    val e = withNorms(embeddings).join(cells, Seq("vec_id"))
+    val (lft, rgt) = Blocking.triangleSides(e, col("vec_id"), blocks)
+    val a = lft.select(col("cell"), col("__bi"), col("__bj"),
+      col("vec_id").as("ida"), col("v").as("va"), col("norm").as("na"))
+    val b = rgt.select(col("cell"), col("__bi"), col("__bj"),
+      col("vec_id").as("idb"), col("v").as("vb"), col("norm").as("nb"))
+    // barrier: `c` feeds the τ filter and (via the explode) both endpoint
+    // rows — without it CollapseProject re-inlines the dot per consumer
+    val pairs = a.join(b, Seq("cell", "__bi", "__bj"))
+      .filter(Blocking.pairPredicate(col("ida"), col("idb")))
+      .withColumn("c", graft.functions.CollapseBarrier(
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
+          .cast("long")))
+      .filter(col("c") >= tauScaled)
+      // cross-bucket rows arrive with ids in either order (Blocking doc)
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"))
+    val perVec = pairs.select(explode(array(
+        struct(col("id1").as("vec_id"), col("id2").as("other")),
+        struct(col("id2").as("vec_id"), col("id1").as("other")))).as("m"))
+      .select(col("m.vec_id").as("vec_id"), col("m.other").as("other"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dups"), min(col("other")).as("min_nb"))
+    e.select(col("vec_id"), col("cell"))
+      .join(perVec, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        // NULL min_nb (no neighbour) falls through to kept=1
+        when(col("min_nb") < col("vec_id"), 0L).otherwise(1L).as("kept"))
+      .orderedOutput(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[semDeDup]]: the Lloyd chain ([[kmeansChainSql]])
+    * re-derives the cells, then the within-cell pair set and keep-first
+    * decision in the same scaled-integer arithmetic. */
+  private def semDeDupOracleSql(k: Int, iters: Int, tauScaled: Long): String =
+    s"""WITH ${kmeansChainSql(k, iters)},
+       |n AS (SELECT vec_id, v, SQRT(list_inner_product(v, v)) AS nm FROM e
+       |      WHERE list_inner_product(v, v) > 0),
+       |m AS (SELECT a.vec_id, a.cell, n.v, n.nm
+       |      FROM a${iters + 1} a JOIN n USING (vec_id)),
+       |p AS (SELECT x.vec_id AS ida, y.vec_id AS idb
+       |      FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |      WHERE CAST(ROUND(list_inner_product(x.v, y.v) / (x.nm * y.nm)
+       |            * 1000000) AS BIGINT) >= $tauScaled),
+       |d AS (SELECT vec_id, COUNT(*) AS n_dups, MIN(other) AS min_nb FROM (
+       |        SELECT ida AS vec_id, idb AS other FROM p
+       |        UNION ALL SELECT idb, ida FROM p) u
+       |      GROUP BY vec_id)
+       |SELECT m.vec_id, m.cell, CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+       |  CAST(CASE WHEN d.min_nb < m.vec_id THEN 0 ELSE 1 END AS BIGINT) AS kept
+       |FROM m LEFT JOIN d USING (vec_id) ORDER BY vec_id""".stripMargin
 
   /** The deterministic probe row (lowest vec_id) WITHOUT a global sort:
     * a non-root `orderBy().limit(1)` cannot plan as TakeOrderedAndProject
@@ -478,7 +556,14 @@ object AnnQueries {
     "q93_knn_join_lsh" -> QueryDef(
       (s, d) => knnJoinLsh(Tables.embeddings(s, d),
         signatures = signSignaturesPortable),
-      Some(knnLshOracleSql(planes = 8, k = 3)))
+      Some(knnLshOracleSql(planes = 8, k = 3))),
+    // SemDeDup: semantic dedup confined to learned k-means cells (the
+    // named curation algorithm — q35/q67 block by label, this by the
+    // Lloyd quantizer's cells); oracle re-runs the whole construction —
+    // cells, within-cell scaled-integer cosines, keep-first decision
+    "q103_semdedup" -> QueryDef(
+      (s, d) => semDeDup(Tables.embeddings(s, d)),
+      Some(semDeDupOracleSql(k = 8, iters = 3, tauScaled = 300000L)))
   )
 
   /** DuckDB twin of the portable LSH kNN join (q93). */

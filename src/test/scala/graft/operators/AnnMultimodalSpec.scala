@@ -79,6 +79,64 @@ class AnnMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("semDeDup: planted twins resolve keep-first; matches driver recompute; blocking-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val n = 60
+    val base = (0L until n.toLong).map { i =>
+      (i, Array.fill(12)(rnd.nextFloat() * 2 - 1), 0)
+    }
+    // plant an exact duplicate pair (7, 41) and a triple (12, 30, 55)
+    val planted = base.map {
+      case (41L, _, l) => (41L, base(7)._2, l)
+      case (30L, _, l) => (30L, base(12)._2, l)
+      case (55L, _, l) => (55L, base(12)._2, l)
+      case t => t
+    }
+    val df = planted.toDF("vec_id", "embedding", "label")
+    // tau high enough that only identical vectors pair
+    val got = AnnQueries.semDeDup(df, kCells = 4, iters = 2,
+      tauScaled = 999999L, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val byId = got.map(t => t._1 -> t).toMap
+    // keep-first: min id of each planted group kept, the rest dropped
+    assert(byId(7L) == (7L, 1L, 1L) && byId(41L) == (41L, 1L, 0L))
+    assert(byId(12L) == (12L, 2L, 1L))
+    assert(byId(30L) == (30L, 2L, 0L) && byId(55L) == (55L, 2L, 0L))
+    // everyone else untouched
+    assert(got.filter(t => !Set(7L, 41L, 12L, 30L, 55L)(t._1))
+      .forall(t => t._2 == 0L && t._3 == 1L))
+    // driver recompute from the SAME cells at a looser tau: identical
+    // decisions (cells collected once — k-means is deterministic)
+    val tau = 500000L
+    val cells = AnnQueries.kmeansCells(df, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = planted.map { case (i, v, _) => i -> v.map(_.toDouble) }.toMap
+    def cosScaled(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val nm = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      math.round(dot / nm * 1e6)
+    }
+    val ids = planted.map(_._1)
+    val nbrs = ids.map { i =>
+      i -> ids.filter(j => j != i && cells(j) == cells(i) &&
+        cosScaled(vecs(i), vecs(j)) >= tau)
+    }.toMap
+    val want = ids.sorted.map { i =>
+      val nb = nbrs(i)
+      (i, nb.size.toLong, if (nb.exists(_ < i)) 0L else 1L)
+    }
+    val loose = AnnQueries.semDeDup(df, kCells = 4, iters = 2,
+      tauScaled = tau, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(loose.toSeq == want)
+    // triangle cover is output-invariant in the block count
+    val b1 = AnnQueries.semDeDup(df, kCells = 4, iters = 2,
+      tauScaled = tau, blocks = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(b1.toSeq == loose.toSeq)
+  }
+
   test("k-means IVF: probing all cells == brute force; one cell is a subset") {
     val e = Tables.embeddings(spark, sf)
     val probe = e.orderBy(col("vec_id")).limit(1)
