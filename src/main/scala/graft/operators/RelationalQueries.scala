@@ -232,6 +232,30 @@ object RelationalQueries {
              |  (MAX(us) - MIN(us)) // 1000000 AS duration_s
              |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
 
+    // ── sessionization via Spark's NATIVE session_window (r7e):
+    //    q91's twin over the built-in operator. Same split semantics as
+    //    q91 (TOUCHING [ts, ts+gap) windows merge — measured and
+    //    spec-pinned at the exact boundary — so a new session needs
+    //    gap > 2 h); the oracle is the q91 lag construction emitting
+    //    the window bounds (w_end = last event + gap) ──
+    "q104_session_windows" -> QueryDef(
+      (s, d) => graft.streaming.SessionStream
+        .sessionWindows(Tables.events(s, d))
+        .orderedOutput(col("user_id"), col("w_start")),
+      Some("""WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+             |l AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |        OR us - lag(us) OVER w > CAST(7200 AS BIGINT) * 1000000
+             |        THEN 1 ELSE 0 END AS ns
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |        AS sid FROM l)
+             |SELECT user_id, MIN(ts) AS w_start,
+             |  MAX(ts) + INTERVAL 2 HOUR AS w_end,
+             |  COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, w_start""".stripMargin)),
+
     // ── funnel analysis (r7b): first view → first later click → first
     //    later purchase per user. Three chained filtered-min aggregates
     //    joined on user_id — NO window, no per-user sort; each stage is a
