@@ -169,6 +169,55 @@ object AssemblyQueries {
       .orderedOutput(col("doc_id"))
   }
 
+  /** Hashed-feature class-profile classifier — the shallow fastText-style
+    * router curation pipelines use for language/domain tagging, with
+    * training AND inference as one distributed plan in exact integer
+    * arithmetic. TRAIN on the deterministic even-doc_id split:
+    * per-class feature frequencies over hashed unigram buckets with
+    * add-one smoothing, w(class, b) = (cnt+1)·10⁹ div (total_class +
+    * buckets). PREDICT the odd-doc_id split: score(doc, class) =
+    * Σ_tokens w(class, bucket(token)) — a linear scorer over the hashed
+    * bag of words — argmax with ties to the lexicographically first
+    * class. Output: (doc_id, true_lang, pred_lang, correct).
+    *
+    * Shape: the weight table is the FULL classes × buckets grid
+    * (dimension-sized by construction — absent buckets still carry
+    * smoothing mass) → broadcast; the corpus shuffles once for the
+    * training counts and once for the test tf aggregate; scoring is a
+    * map-side join fanning each (doc, bucket) row by #classes. Bound:
+    * w ≤ 10⁹ and docs cap at 10⁶ tokens, so scores stay < 2⁶³. */
+  def classProfileClassifier(documents: DataFrame, buckets: Int = 1024)
+  : DataFrame = {
+    val spark = documents.sparkSession
+    val tb = documents.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("token"))
+      .withColumn("b", tokenBucket(col("token"), buckets))
+      .select(col("doc_id"), col("lang"), col("b"))
+    val train = tb.filter(col("doc_id") % 2 === 0)
+    val cls = train.groupBy(col("lang").as("class"))
+      .agg(count(lit(1)).as("tot"))
+    val cnt = train.groupBy(col("lang").as("class"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val grid = cls.crossJoin(spark.range(buckets).toDF("b"))
+      .join(cnt, Seq("class", "b"), "left")
+      .select(col("class"), col("b"),
+        expr(s"(coalesce(c, 0) + 1) * 1000000000 div (tot + $buckets)").as("w"))
+    val tf = tb.filter(col("doc_id") % 2 === 1)
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(grid), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"), col("class"))
+      .agg(sum(col("tf") * col("w")).as("score"))
+      // argmax score, ties to the first class name: min(struct(-score, class))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("ns"), col("class").as("class"))).as("m"))
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        col("m.class").as("pred_lang"),
+        (col("lang") === col("m.class")).cast("long").as("correct"))
+      // per-document output: parallel range sort (see orderedOutput)
+      .orderedOutput(col("doc_id"))
+  }
+
   /** Deterministic shard assignment + WITHIN-SHARD SEQUENCE — the
     * writer-side contract of a training pipeline: every document lands in
     * shard hv mod `nShards` at position `seq` of that shard's
@@ -537,6 +586,37 @@ object AssemblyQueries {
              |  CAST(SUM(w.w) AS BIGINT) AS score
              |FROM tb JOIN w USING (b)
              |GROUP BY tb.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── hashed-feature class-profile classifier: train on even doc_ids
+    //    (per-class smoothed bucket frequencies), predict odd doc_ids by
+    //    integer linear score argmax; full construction re-derived in
+    //    DuckDB. The synthetic corpus's lang column carries no textual
+    //    signal (all langs share one token distribution), so predictions
+    //    here collapse to the densest profile — the oracle still checks
+    //    the whole train+score construction; AssemblySpec proves
+    //    discrimination on a planted disjoint-vocabulary corpus ──
+    "q105_class_profile" -> QueryDef(
+      (s, d) => classProfileClassifier(Tables.documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+             |    unnest(string_split(text, ' ')) AS token FROM documents),
+             |tb AS (SELECT doc_id, lang, ${tokenBucketSql(1024)} AS b FROM t),
+             |tr AS (SELECT * FROM tb WHERE doc_id % 2 = 0),
+             |cls AS (SELECT lang AS class, COUNT(*) AS tot FROM tr GROUP BY 1),
+             |cnt AS (SELECT lang AS class, b, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+             |grid AS (SELECT g.class, g.b,
+             |    (COALESCE(cnt.c, 0) + 1) * 1000000000 // (g.tot + 1024) AS w
+             |  FROM (SELECT class, tot, unnest(range(0, 1024)) AS b FROM cls) g
+             |  LEFT JOIN cnt ON cnt.class = g.class AND cnt.b = g.b),
+             |tf AS (SELECT doc_id, lang, b, COUNT(*) AS tf FROM tb
+             |       WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+             |sc AS (SELECT tf.doc_id, tf.lang, g.class, SUM(tf.tf * g.w) AS score
+             |       FROM tf JOIN grid g USING (b) GROUP BY 1, 2, 3),
+             |p AS (SELECT doc_id, lang, class, ROW_NUMBER() OVER (
+             |        PARTITION BY doc_id ORDER BY score DESC, class) AS rn
+             |      FROM sc)
+             |SELECT doc_id, lang AS true_lang, class AS pred_lang,
+             |  CAST(lang = class AS BIGINT) AS correct
+             |FROM p WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
     // ── deterministic 64-shard assignment + within-shard sequence via
     //    two-phase prefix rank; oracle is the per-shard row_number twin ──

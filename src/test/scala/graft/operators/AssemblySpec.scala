@@ -251,6 +251,41 @@ class AssemblySpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("classProfileClassifier separates planted disjoint vocabularies; integer weights match driver recompute") {
+    import spark.implicits._
+    // two classes with disjoint vocabularies; even ids train, odd ids test
+    // (the registered q105 runs the same construction on the synthetic
+    // corpus, whose lang column carries NO textual signal — this corpus
+    // proves the classifier actually discriminates when signal exists)
+    def doc(cls: String, i: Int): String =
+      (0 until 20).map(j => s"${cls}word${(i + j) % 7}").mkString(" ")
+    val rows = (0L until 40L).map { i =>
+      val cls = if (i % 4 < 2) "aa" else "bb"
+      (i, doc(cls, (i / 4).toInt), cls)
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val got = AssemblyQueries.classProfileClassifier(df, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.length == 20 && got.forall(_._4 == 1L), s"mispredictions: ${got.filter(_._4 == 0L).toSeq}")
+    // driver recompute of the full integer construction on the test docs
+    def bucket(tok: String): Long =
+      (0 until 8).map(k => (if (k < tok.length) tok(k).toLong else 0L) *
+        math.pow(31, k).toLong).sum % 1000000007L % 64L
+    val train = rows.filter(_._1 % 2 == 0)
+    val toks = train.flatMap { case (_, t, c) => t.split(" ").map(c -> bucket(_)) }
+    val tot = toks.groupBy(_._1).map { case (c, xs) => c -> xs.size.toLong }
+    val cnt = toks.groupBy(identity).map { case ((c, b), xs) => (c, b) -> xs.size.toLong }
+    def w(c: String, b: Long): Long =
+      (cnt.getOrElse((c, b), 0L) + 1L) * 1000000000L / (tot(c) + 64L)
+    val classes = tot.keys.toSeq.sorted
+    rows.filter(_._1 % 2 == 1).foreach { case (id, t, truth) =>
+      val scores = classes.map(c => c -> t.split(" ").map(tk => w(c, bucket(tk))).sum)
+      val pred = scores.minBy { case (c, s) => (-s, c) }._1
+      val sparkRow = got.find(_._1 == id).get
+      assert(sparkRow._3 == pred && pred == truth)
+    }
+  }
+
   test("centroidOutlier scores a planted outlier below its cluster") {
     import spark.implicits._
     // cluster 0: tight around e1; the outlier points the other way
