@@ -457,6 +457,62 @@ object AnnQueries {
        |  CAST(CASE WHEN d.min_nb < m.vec_id THEN 0 ELSE 1 END AS BIGINT) AS kept
        |FROM m LEFT JOIN d USING (vec_id) ORDER BY vec_id""".stripMargin
 
+  /** ANN recall diagnostic — the tuning loop's "measure, don't guess"
+    * operator: per-vector recall of the LSH-bucketed kNN join (q93)
+    * against the exact kNN join (q92). Production raises `planes` /
+    * multiprobe until this report's recall clears its target; the whole
+    * thing is one composed plan (both joins share the normed prologue),
+    * and with the portable signatures every stage has a DuckDB twin.
+    * recall = n_hit / n_exact — one IEEE division of exact BIGINTs. */
+  def knnRecall(embeddings: DataFrame, k: Int = 3, planes: Int = 8,
+                blocks: Int = 8): DataFrame = {
+    val exact = knnJoin(embeddings, k, blocks)
+      .select(col("vec_id"), col("nb_id"))
+    val approx = knnJoinLsh(embeddings, k, planes, signSignaturesPortable)
+      .select(col("vec_id"), col("nb_id"))
+    val ne = exact.groupBy(col("vec_id")).agg(count(lit(1)).as("n_exact"))
+    val hit = exact.join(approx, Seq("vec_id", "nb_id"), "left_semi")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_hit"))
+    ne.join(hit, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+      .orderedOutput(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[knnRecall]]: the q92 and q93 chains composed under
+    * prefixed CTE names, then the semi-join recall rollup. */
+  private def knnRecallOracleSql(planes: Int, k: Int): String = {
+    val meets = (s"b.sig = a.sig" +: (0 until planes).map(j =>
+      s"b.sig = xor(a.sig, ${1L << j})")).mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, SQRT(list_inner_product(v, v)) AS nm FROM e
+       |      WHERE list_inner_product(v, v) > 0),
+       |xp AS (SELECT a.vec_id AS id, b.vec_id AS nb,
+       |    CAST(ROUND(list_inner_product(a.v, b.v) / (a.nm * b.nm) * 1000000)
+       |      AS BIGINT) AS c
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       |xr AS (SELECT id, nb, ROW_NUMBER() OVER (
+       |        PARTITION BY id ORDER BY c DESC, nb) AS rk FROM xp),
+       |exact AS (SELECT id, nb FROM xr WHERE rk <= $k),
+       |sg AS (SELECT vec_id, v, nm, ${portableSigSql(planes)} AS sig FROM n),
+       |ap AS (SELECT a.vec_id AS id, b.vec_id AS nb,
+       |    CAST(ROUND(list_inner_product(a.v, b.v) / (a.nm * b.nm) * 1000000)
+       |      AS BIGINT) AS c
+       |  FROM sg a JOIN sg b ON a.vec_id <> b.vec_id AND ($meets)),
+       |ar AS (SELECT id, nb, ROW_NUMBER() OVER (
+       |        PARTITION BY id ORDER BY c DESC, nb) AS rk FROM ap),
+       |approx AS (SELECT id, nb FROM ar WHERE rk <= $k),
+       |ne AS (SELECT id, COUNT(*) AS n_exact FROM exact GROUP BY id),
+       |ht AS (SELECT exact.id, COUNT(*) AS n_hit FROM exact
+       |       JOIN approx USING (id, nb) GROUP BY exact.id)
+       |SELECT ne.id AS vec_id, ne.n_exact,
+       |  CAST(COALESCE(ht.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(ht.n_hit, 0) AS DOUBLE) / ne.n_exact AS recall
+       |FROM ne LEFT JOIN ht USING (id) ORDER BY vec_id""".stripMargin
+  }
+
   /** The deterministic probe row (lowest vec_id) WITHOUT a global sort:
     * a non-root `orderBy().limit(1)` cannot plan as TakeOrderedAndProject
     * (that strategy only fires at the query root), so it costs a full
@@ -557,6 +613,12 @@ object AnnQueries {
       (s, d) => knnJoinLsh(Tables.embeddings(s, d),
         signatures = signSignaturesPortable),
       Some(knnLshOracleSql(planes = 8, k = 3))),
+    // ANN recall diagnostic: per-vector recall of the LSH kNN join vs
+    // the exact kNN join — the tuning report an ANN deployment watches;
+    // oracle composes the q92 + q93 chains and the semi-join rollup
+    "q106_knn_recall" -> QueryDef(
+      (s, d) => knnRecall(Tables.embeddings(s, d)),
+      Some(knnRecallOracleSql(planes = 8, k = 3))),
     // SemDeDup: semantic dedup confined to learned k-means cells (the
     // named curation algorithm — q35/q67 block by label, this by the
     // Lloyd quantizer's cells); oracle re-runs the whole construction —

@@ -79,6 +79,40 @@ class AnnMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("knnRecall: bounds hold, planted identical twins always count as hits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.fill(12)(rnd.nextFloat() * 2 - 1), 0)
+    }
+    // 17 and 42 share identical vectors -> identical signatures -> the
+    // LSH join must surface the pair, and each ranks the other first in
+    // the exact join, so both rows contribute at least one hit
+    val planted = vecs.map { case (i, v, l) =>
+      (i, if (i == 42L) vecs(17)._2 else v, l)
+    }
+    val df = planted.toDF("vec_id", "embedding", "label")
+    val got = AnnQueries.knnRecall(df, k = 3, planes = 8, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 50)
+    got.foreach { case (_, ne, nh, rec) =>
+      assert(ne == 3L && nh >= 0L && nh <= ne)
+      assert(math.abs(rec - nh.toDouble / ne) < 1e-12)
+    }
+    assert(got.find(_._1 == 17L).get._3 >= 1L)
+    assert(got.find(_._1 == 42L).get._3 >= 1L)
+    // recall agrees with a driver recompute from the two join outputs
+    def pairs(dfq: org.apache.spark.sql.DataFrame) = dfq.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(AnnQueries.knnJoin(df, k = 3, blocks = 4))
+    val approx = pairs(AnnQueries.knnJoinLsh(df, k = 3, planes = 8,
+      signatures = AnnQueries.signSignaturesPortable))
+    val wantHits = exact.groupBy(_._1).map { case (id, es) =>
+      id -> es.count(approx.contains).toLong
+    }
+    got.foreach { case (id, _, nh, _) => assert(nh == wantHits(id)) }
+  }
+
   test("semDeDup: planted twins resolve keep-first; matches driver recompute; blocking-invariant") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
