@@ -44,7 +44,13 @@ class PlanAuditSpec extends SparkSpec {
       // q67 builds the same triangle-blocked edges (embedNearDupPairs, as
       // q35) but its registered plan is lineage-cut by the connected-
       // components checkpoint, so the marker is not visible there
-      "q80_incremental_dedup" -> "__salt")
+      "q80_incremental_dedup" -> "__salt",
+      "q92_knn_join" -> "__bi",
+      // q103's Lloyd stage is lineage-cut (Checkpoints), but the
+      // within-cell pair join is downstream of the checkpoint, so its
+      // triangle cover stays visible in the registered plan
+      "q103_semdedup" -> "__bi",
+      "q106_knn_recall" -> "__bi")
     val missing = expected.toSeq.sortBy(_._1).collect {
       case (n, marker) if !PlanAudit.hasColumn(plans(n), marker) => s"$n lost $marker"
     }
