@@ -124,6 +124,43 @@ object CurationQueries {
       .orderedOutput(col("doc_id"))
   }
 
+  /** Per-source distinctive terms — the keyword-extraction corpus report
+    * (which vocabulary is CONCENTRATED in each source?): for tokens
+    * appearing in ≥ `minDf` distinct documents, the concentration score
+    * tf_source·10⁶ div tf_corpus (share of the token's occurrences owned
+    * by the source, pure BIGINT), reporting every token whose score ties
+    * or beats the source's k-th largest (RANK ≤ k semantics — ties at
+    * the boundary are kept, so the answer set is deterministic without a
+    * tie-break policy).
+    *
+    * Shape: three keyed aggregates over the token stream (source tf,
+    * corpus tf, distinct-doc df — all map-side combinable), and the
+    * per-source k-th largest score via [[Selection.kthSmallest]] at rank
+    * n−k+1 (≤ 7 aggregate passes, no rank window over the vocabulary);
+    * the threshold relation is one row per source → broadcast. */
+  def distinctiveTerms(documents: DataFrame, k: Int = 10,
+                       minDf: Long = 5L): DataFrame = {
+    val tok = documents.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("token"))
+    val dfDocs = tok.select(col("token"), col("doc_id")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val corpusTf = tok.groupBy(col("token")).agg(count(lit(1)).as("ctf"))
+    val srcTf = tok.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val scores = srcTf.join(corpusTf, Seq("token"))
+      .join(dfDocs.filter(col("df") >= minDf), Seq("token"))
+      .select(col("source"), col("token"), col("tf"), col("df"),
+        expr("tf * 1000000 div ctf").as("score"))
+    val thresh = Selection.kthSmallest(
+      scores.select(col("source"), col("score")), "source", "score",
+      n => math.max(n - (k - 1), 1L))
+      .withColumnRenamed("score", "vk")
+    scores.join(broadcast(thresh), Seq("source"))
+      .filter(col("score") >= col("vk"))
+      .select(col("source"), col("token"), col("tf"), col("df"), col("score"))
+      .orderedResult(col("source"), col("token"))
+  }
+
   /** Incremental dedup — the production shape near-dup detection actually
     * runs in: a daily INCOMING batch screened against the EXISTING
     * corpus (and against itself), rather than an offline all-corpus
@@ -334,6 +371,30 @@ object CurationQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
              |FROM d JOIN q USING (source)
              |GROUP BY d.source ORDER BY source""".stripMargin)),
+
+    // ── per-source distinctive terms (df ≥ 5, top-10-with-ties by
+    //    concentration score): windowless k-th-largest via radix
+    //    selection; oracle derives the same multiset rank via a value-
+    //    ordered row_number (ties don't move the value at a rank) ──
+    "q107_distinctive_terms" -> QueryDef(
+      (s, d) => distinctiveTerms(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    unnest(string_split(text, ' ')) AS token FROM documents),
+             |d AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+             |c AS (SELECT token, COUNT(*) AS ctf FROM t GROUP BY 1),
+             |s AS (SELECT source, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+             |sc AS (SELECT s.source, s.token, s.tf, d.df,
+             |    (s.tf * 1000000) // c.ctf AS score
+             |  FROM s JOIN c USING (token) JOIN d USING (token)
+             |  WHERE d.df >= 5),
+             |r AS (SELECT source, score, ROW_NUMBER() OVER (
+             |        PARTITION BY source ORDER BY score) AS rk,
+             |      COUNT(*) OVER (PARTITION BY source) AS n FROM sc),
+             |k AS (SELECT source, MAX(CASE WHEN rk = GREATEST(n - 9, CAST(1 AS BIGINT))
+             |        THEN score END) AS vk FROM r GROUP BY source)
+             |SELECT sc.source, sc.token, sc.tf, sc.df, sc.score
+             |FROM sc JOIN k USING (source) WHERE sc.score >= k.vk
+             |ORDER BY source, token""".stripMargin)),
 
     // ── per-source heavy hitters at frequency ≥ 1/500: MG candidates +
     //    exact verify; oracle recomputes the exact answer directly ──

@@ -108,6 +108,27 @@ class CurationSpec extends SparkSpec {
     assert(!got.exists(r => r._2 == "C" || r._1 == "C"))
   }
 
+  test("distinctiveTerms: owned vocabulary scores 10^6, df gate drops rare tokens, boundary ties kept") {
+    import spark.implicits._
+    // shared vocabulary spread over both sources + a token OWNED by srcA;
+    // every token below appears in >= 5 distinct docs except "rare"
+    def mk(id: Long, src: String, text: String) = (id, text, src)
+    val docs = ((0L until 6L).map(i => mk(i, "srcA", "common alpha owned")) ++
+      (6L until 12L).map(i => mk(i, "srcB", "common alpha")) ++
+      Seq(mk(12L, "srcA", "rare"))).toDF("doc_id", "text", "source")
+    val got = CurationQueries.distinctiveTerms(docs, k = 2, minDf = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    val a = got.filter(_._1 == "srcA").map(t => t._2 -> t._3).toMap
+    // srcA owns "owned" outright: 6/6 occurrences -> 10^6; shares
+    // common/alpha at 6/12 -> 500000, a two-way TIE at the k=2 boundary
+    // -> BOTH kept (rank<=k-with-ties semantics)
+    assert(a("owned") == 1000000L)
+    assert(a("common") == 500000L && a("alpha") == 500000L)
+    assert(!a.contains("rare"), "df < 5 token must be gated out")
+    val b = got.filter(_._1 == "srcB").map(t => t._2 -> t._3).toMap
+    assert(b == Map("common" -> 500000L, "alpha" -> 500000L))
+  }
+
   test("lengthOutlierFences: planted long doc past the high fence, hand-checked quartiles") {
     import spark.implicits._
     val mk = (n: Int) => Seq.fill(n)("w").mkString(" ")
