@@ -326,21 +326,30 @@ object AnnQueries {
       .orderedOutput(col("vec_id"), col("rk"))
   }
 
-  def knnJoin(embeddings: DataFrame, k: Int = 3, blocks: Int = 8): DataFrame = {
-    val e = withNorms(embeddings)
+  /** Triangle-blocked scored pairs over a normed relation (shared by
+    * [[knnJoin]] and [[semDeDup]]): every unordered within-group pair
+    * scored ONCE as (ida, idb, c = ROUND(cos·10⁶) BIGINT). `groupCols`
+    * empty = global all-pairs; non-empty (e.g. the k-means cell) bounds
+    * pairing to the group. The barrier keeps CollapseProject from
+    * re-inlining the dot product per downstream consumer. */
+  private def scoredPairs(e: DataFrame, groupCols: Seq[String],
+                          blocks: Int): DataFrame = {
     val (lft, rgt) = Blocking.triangleSides(e, col("vec_id"), blocks)
-    val a = lft.select(col("__bi"), col("__bj"), col("vec_id").as("ida"),
-      col("v").as("va"), col("norm").as("na"))
-    val b = rgt.select(col("__bi"), col("__bj"), col("vec_id").as("idb"),
-      col("v").as("vb"), col("norm").as("nb"))
-    // barrier: `c` feeds BOTH endpoint rows of the explode below — without
-    // it CollapseProject re-inlines the dot product per consumer
-    val pairs = a.join(b, Seq("__bi", "__bj"))
+    val keys = groupCols ++ Seq("__bi", "__bj")
+    val a = lft.select(keys.map(col) ++ Seq(col("vec_id").as("ida"),
+      col("v").as("va"), col("norm").as("na")): _*)
+    val b = rgt.select(keys.map(col) ++ Seq(col("vec_id").as("idb"),
+      col("v").as("vb"), col("norm").as("nb")): _*)
+    a.join(b, keys)
       .filter(Blocking.pairPredicate(col("ida"), col("idb")))
       .withColumn("c", graft.functions.CollapseBarrier(
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
           .cast("long")))
       .select(col("ida"), col("idb"), col("c"))
+  }
+
+  def knnJoin(embeddings: DataFrame, k: Int = 3, blocks: Int = 8): DataFrame = {
+    val pairs = scoredPairs(withNorms(embeddings), Seq.empty, blocks)
     rankedNeighbours(pairs.select(explode(array(
         struct(col("ida").as("vec_id"), col("idb").as("nb"), col("c")),
         struct(col("idb").as("vec_id"), col("ida").as("nb"), col("c")))).as("m"))
@@ -405,18 +414,7 @@ object AnnQueries {
                tauScaled: Long = 300000L, blocks: Int = 4): DataFrame = {
     val cells = kmeansCells(embeddings, kCells, iters)
     val e = withNorms(embeddings).join(cells, Seq("vec_id"))
-    val (lft, rgt) = Blocking.triangleSides(e, col("vec_id"), blocks)
-    val a = lft.select(col("cell"), col("__bi"), col("__bj"),
-      col("vec_id").as("ida"), col("v").as("va"), col("norm").as("na"))
-    val b = rgt.select(col("cell"), col("__bi"), col("__bj"),
-      col("vec_id").as("idb"), col("v").as("vb"), col("norm").as("nb"))
-    // barrier: `c` feeds the τ filter and (via the explode) both endpoint
-    // rows — without it CollapseProject re-inlines the dot per consumer
-    val pairs = a.join(b, Seq("cell", "__bi", "__bj"))
-      .filter(Blocking.pairPredicate(col("ida"), col("idb")))
-      .withColumn("c", graft.functions.CollapseBarrier(
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
-          .cast("long")))
+    val pairs = scoredPairs(e, Seq("cell"), blocks)
       .filter(col("c") >= tauScaled)
       // cross-bucket rows arrive with ids in either order (Blocking doc)
       .select(least(col("ida"), col("idb")).as("id1"),
@@ -469,49 +467,35 @@ object AnnQueries {
     val exact = knnJoin(embeddings, k, blocks)
       .select(col("vec_id"), col("nb_id"))
     val approx = knnJoinLsh(embeddings, k, planes, signSignaturesPortable)
-      .select(col("vec_id"), col("nb_id"))
-    val ne = exact.groupBy(col("vec_id")).agg(count(lit(1)).as("n_exact"))
-    val hit = exact.join(approx, Seq("vec_id", "nb_id"), "left_semi")
-      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_hit"))
-    ne.join(hit, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("n_exact"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
-          .as("recall"))
+      .select(col("vec_id"), col("nb_id"), lit(1).as("hit"))
+    // ONE pass over the (expensive) exact side: the left join marks hits
+    // — approx rows are unique per (vec_id, nb_id), so no fan-out — and
+    // both aggregates ride the same groupBy (a separate semi-join branch
+    // planned the all-pairs exact subtree twice, r7e review)
+    exact.join(approx, Seq("vec_id", "nb_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("vec_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
       .orderedOutput(col("vec_id"))
   }
 
-  /** DuckDB twin of [[knnRecall]]: the q92 and q93 chains composed under
-    * prefixed CTE names, then the semi-join recall rollup. */
-  private def knnRecallOracleSql(planes: Int, k: Int): String = {
-    val meets = (s"b.sig = a.sig" +: (0 until planes).map(j =>
-      s"b.sig = xor(a.sig, ${1L << j})")).mkString(" OR ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, SQRT(list_inner_product(v, v)) AS nm FROM e
-       |      WHERE list_inner_product(v, v) > 0),
-       |xp AS (SELECT a.vec_id AS id, b.vec_id AS nb,
-       |    CAST(ROUND(list_inner_product(a.v, b.v) / (a.nm * b.nm) * 1000000)
-       |      AS BIGINT) AS c
-       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
-       |xr AS (SELECT id, nb, ROW_NUMBER() OVER (
-       |        PARTITION BY id ORDER BY c DESC, nb) AS rk FROM xp),
+  /** DuckDB twin of [[knnRecall]]: the q92 and q93 chains (shared
+    * fragments, prefixed CTE names), then the left-join recall rollup. */
+  private def knnRecallOracleSql(planes: Int, k: Int): String =
+    s"""WITH $knnBaseSql,
+       |xp AS (${scoredSql("n")}),
+       |xr AS (${rankedSql("xp")}),
        |exact AS (SELECT id, nb FROM xr WHERE rk <= $k),
-       |sg AS (SELECT vec_id, v, nm, ${portableSigSql(planes)} AS sig FROM n),
-       |ap AS (SELECT a.vec_id AS id, b.vec_id AS nb,
-       |    CAST(ROUND(list_inner_product(a.v, b.v) / (a.nm * b.nm) * 1000000)
-       |      AS BIGINT) AS c
-       |  FROM sg a JOIN sg b ON a.vec_id <> b.vec_id AND ($meets)),
-       |ar AS (SELECT id, nb, ROW_NUMBER() OVER (
-       |        PARTITION BY id ORDER BY c DESC, nb) AS rk FROM ap),
-       |approx AS (SELECT id, nb FROM ar WHERE rk <= $k),
-       |ne AS (SELECT id, COUNT(*) AS n_exact FROM exact GROUP BY id),
-       |ht AS (SELECT exact.id, COUNT(*) AS n_hit FROM exact
-       |       JOIN approx USING (id, nb) GROUP BY exact.id)
-       |SELECT ne.id AS vec_id, ne.n_exact,
-       |  CAST(COALESCE(ht.n_hit, 0) AS BIGINT) AS n_hit,
-       |  CAST(COALESCE(ht.n_hit, 0) AS DOUBLE) / ne.n_exact AS recall
-       |FROM ne LEFT JOIN ht USING (id) ORDER BY vec_id""".stripMargin
-  }
+       |sg AS (${sigRelSql(planes)}),
+       |ap AS (${scoredSql("sg", lshMeetSql(planes))}),
+       |ar AS (${rankedSql("ap")}),
+       |approx AS (SELECT id, nb, 1 AS hit FROM ar WHERE rk <= $k)
+       |SELECT exact.id AS vec_id, COUNT(*) AS n_exact,
+       |  CAST(COUNT(approx.hit) AS BIGINT) AS n_hit,
+       |  CAST(COUNT(approx.hit) AS DOUBLE) / COUNT(*) AS recall
+       |FROM exact LEFT JOIN approx USING (id, nb)
+       |GROUP BY exact.id ORDER BY vec_id""".stripMargin
 
   /** The deterministic probe row (lowest vec_id) WITHOUT a global sort:
     * a non-root `orderBy().limit(1)` cannot plan as TakeOrderedAndProject
@@ -592,19 +576,7 @@ object AnnQueries {
     // row_number ranking over scaled-integer cosines
     "q92_knn_join" -> QueryDef(
       (s, d) => knnJoin(Tables.embeddings(s, d)),
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |n AS (SELECT vec_id, v, SQRT(list_inner_product(v, v)) AS nm FROM e
-             |      WHERE list_inner_product(v, v) > 0),
-             |p AS (SELECT a.vec_id AS id, b.vec_id AS nb,
-             |    CAST(ROUND(list_inner_product(a.v, b.v) / (a.nm * b.nm) * 1000000)
-             |      AS BIGINT) AS c
-             |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
-             |r AS (SELECT id, nb, c,
-             |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, nb) AS rk
-             |  FROM p)
-             |SELECT id AS vec_id, CAST(rk AS INT) AS rk, nb AS nb_id,
-             |  c AS cos_scaled
-             |FROM r WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin)),
+      Some(knnJoinOracleSql(k = 3))),
     // the LSH-bucketed kNN join over PORTABLE integer signatures: the
     // whole approximate join (signatures, hamming-1 multiprobe,
     // scaled-cosine ranking) re-derived in DuckDB — q92's scale path,
@@ -628,24 +600,51 @@ object AnnQueries {
       Some(semDeDupOracleSql(k = 8, iters = 3, tauScaled = 300000L)))
   )
 
-  /** DuckDB twin of the portable LSH kNN join (q93). */
-  private def knnLshOracleSql(planes: Int, k: Int): String = {
-    val meets = (s"b.sig = a.sig" +: (0 until planes).map(j =>
-      s"b.sig = xor(a.sig, ${1L << j})")).mkString(" OR ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |sigs AS (SELECT vec_id, v, SQRT(list_inner_product(v, v)) AS nm,
-       |    ${portableSigSql(planes)} AS sig FROM e
-       |  WHERE list_inner_product(v, v) > 0),
-       |p AS (SELECT a.vec_id AS id, b.vec_id AS nb,
+  /** Shared DuckDB fragments of the kNN-join oracles (q92/q93/q106) —
+    * factored so a semantics fix (tie-break, zero-norm filter, scaling)
+    * reaches every dependent oracle at once (the kmeansChainSql
+    * treatment applied to the kNN family, r7e review). */
+  private def knnBaseSql: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, SQRT(list_inner_product(v, v)) AS nm FROM e
+      |      WHERE list_inner_product(v, v) > 0)""".stripMargin
+
+  /** Scored candidate pairs (id, nb, c) over `rel`, optionally bucket-
+    * restricted by `extraCond` (must start with " AND" when present). */
+  private def scoredSql(rel: String, extraCond: String = ""): String =
+    s"""SELECT a.vec_id AS id, b.vec_id AS nb,
        |    CAST(ROUND(list_inner_product(a.v, b.v) / (a.nm * b.nm) * 1000000)
        |      AS BIGINT) AS c
-       |  FROM sigs a JOIN sigs b ON a.vec_id <> b.vec_id AND ($meets)),
-       |r AS (SELECT id, nb, c,
-       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, nb) AS rk
-       |  FROM p)
+       |  FROM $rel a JOIN $rel b ON a.vec_id <> b.vec_id$extraCond""".stripMargin
+
+  private def rankedSql(p: String): String =
+    s"""SELECT id, nb, c, ROW_NUMBER() OVER (
+       |    PARTITION BY id ORDER BY c DESC, nb) AS rk FROM $p""".stripMargin
+
+  private def sigRelSql(planes: Int): String =
+    s"SELECT vec_id, v, nm, ${portableSigSql(planes)} AS sig FROM n"
+
+  private def lshMeetSql(planes: Int): String =
+    (s"b.sig = a.sig" +: (0 until planes).map(j =>
+      s"b.sig = xor(a.sig, ${1L << j})")).mkString(" AND (", " OR ", ")")
+
+  /** DuckDB twin of the exact kNN join (q92). */
+  private def knnJoinOracleSql(k: Int): String =
+    s"""WITH $knnBaseSql,
+       |p AS (${scoredSql("n")}),
+       |r AS (${rankedSql("p")})
+       |SELECT id AS vec_id, CAST(rk AS INT) AS rk, nb AS nb_id,
+       |  c AS cos_scaled
+       |FROM r WHERE rk <= $k ORDER BY vec_id, rk""".stripMargin
+
+  /** DuckDB twin of the portable LSH kNN join (q93). */
+  private def knnLshOracleSql(planes: Int, k: Int): String =
+    s"""WITH $knnBaseSql,
+       |sg AS (${sigRelSql(planes)}),
+       |p AS (${scoredSql("sg", lshMeetSql(planes))}),
+       |r AS (${rankedSql("p")})
        |SELECT id AS vec_id, CAST(rk AS INT) AS rk, nb AS nb_id, c AS cos_scaled
        |FROM r WHERE rk <= $k ORDER BY vec_id, rk""".stripMargin
-  }
 
   /** DuckDB twin of the portable sign-LSH search: signature bits from the
     * identical integer arithmetic (1-based DuckDB lambda index i =

@@ -35,11 +35,16 @@ class CorpusStoreSpec extends SparkSpec {
       assert(joined.count() == 64)
 
       // exact-dup pass over the materialized hash: the scan must prune
-      // `text` entirely (the whole point of materializing the hash)
+      // `text` entirely (the whole point of materializing the hash) —
+      // asserted on the scans' required schemas, not a plan-string grep
       val dup = d.groupBy(col("content_hash")).agg(count(lit(1)).as("n"))
-      val dupPlan = dup.queryExecution.executedPlan.toString
-      assert(!dupPlan.contains("text"),
-        s"hash-only dedup pass must not read text:\n$dupPlan")
+      val scanSchemas = dup.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.requiredSchema.fieldNames.toSet
+      }
+      assert(scanSchemas.nonEmpty &&
+        scanSchemas.forall(!_.contains("text")),
+        s"hash-only dedup pass must not read text: $scanSchemas")
       assert(dup.count() == 64)
 
       // source partition pruning: a per-source pass scans one partition
