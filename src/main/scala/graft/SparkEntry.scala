@@ -13,7 +13,7 @@ object SparkEntry {
       DedupQueries.registry ++ MultimodalQueries.registry ++
       AnnQueries.registry ++ GtfsPipeline.registry ++
       PipelineQueries.registry ++ CurationQueries.registry ++
-      AssemblyQueries.registry
+      AssemblyQueries.registry ++ AuditQueries.registry
 
   /** Flagship: the engine's own domain end-to-end — GTFS schedule + 40
     * realtime feeds → records → curves → scheduled predictions (driver

@@ -67,3 +67,18 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], (Int, Long)] {
   override def outputEncoder: Encoder[(Int, Long)] =
     Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
 }
+
+/** The same KMV buffer, finished as the full sorted value array instead
+  * of (n_kept, kth) — for estimators that COMPARE sketches (pairwise
+  * Jaccard / intersection, q109) rather than read off one cardinality.
+  * Same bounded state, same map-side combine, same determinism. */
+class KmvValues(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  private val inner = new KmvSketch(k)
+  override def zero: Array[Long] = inner.zero
+  override def reduce(b: Array[Long], a: Long): Array[Long] = inner.reduce(b, a)
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = inner.merge(x, y)
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

@@ -325,7 +325,80 @@ object CurationQueries {
       .orderedResult(col("s1"), col("s2"))
   }
 
+  /** Sketch-based source-overlap matrix (q109): the bounded-state twin of
+    * [[sourceOverlap]]. Per source, a KMV sketch
+    * ([[graft.functions.KmvValues]]) keeps the k smallest distinct
+    * multiplicative-hash values of the 8-char-gram fingerprints; the
+    * pairwise Jaccard estimate is the k-minimum-values coincidence ratio
+    * (Beyer et al., SIGMOD 2007): with U the k smallest values of
+    * SA ∪ SB, Ĵ = |U ∩ SA ∩ SB| / |U|.
+    *
+    * Why it exists next to the exact q98: the exact matrix shuffles the
+    * full distinct (source, gram) relation — one row per distinct gram
+    * per source, corpus-vocabulary-sized. The sketch path never shuffles
+    * grams at all: the gram stream map-side combines into ≤k-long sorted
+    * buffers (one per partial aggregate), the final state is
+    * sources × k longs, and the pair stage is a broadcast cross of
+    * dimension-sized rows. At 100 TB the exact matrix is a vocabulary
+    *-scale job; this is a map-side pass. Every step — hash, sketch
+    * content, merged-union slice, coincidence count, one IEEE division —
+    * is deterministic and re-derived bit-for-bit in DuckDB, so the
+    * ESTIMATOR itself is oracle-checked (the q74 pattern, pairwise).
+    * KmvOverlapSpec additionally pins k→∞ degeneration to q98's exact
+    * jac and bounds the k=256 estimate error. */
+  def kmvOverlap(documents: DataFrame, k: Int = 256): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvValues(k), Encoders.scalaLong)
+    // gram fingerprints are already in [0, p); one more affine spread
+    // (g·C mod p, exact BIGINT: both factors < p ≈ 2³⁰ · 4) decorrelates
+    // rank order from the polynomial's structure. KMV keeps distinct
+    // hashes by construction — no distinct() anywhere.
+    val hv = (col("g") * lit(2654435761L)) % lit(1000000007L)
+    val sk = documents.filter(length(col("text")) >= 8)
+      .select(col("source"), explode(array_distinct(
+        graft.functions.GramHashArray(col("text")))).as("g"))
+      .select(col("source"), hv.as("hv"))
+      .groupBy(col("source")).agg(kmv(col("hv")).as("sk"))
+    val a = sk.select(col("source").as("s1"), col("sk").as("ska"))
+    val b = sk.select(col("source").as("s2"), col("sk").as("skb"))
+    a.crossJoin(broadcast(b)).filter(col("s1") < col("s2"))
+      .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("n_both", size(array_intersect(col("u"),
+        array_intersect(col("ska"), col("skb")))))
+      .select(col("s1"), col("s2"),
+        size(col("ska")).as("n_kept1"), size(col("skb")).as("n_kept2"),
+        size(col("u")).as("n_union_kept"), col("n_both"),
+        round(col("n_both").cast("double") / size(col("u")), 6).as("jac_est"))
+      .orderedResult(col("s1"), col("s2"))
+  }
+
   val registry: Map[String, QueryDef] = Map(
+
+    // ── KMV-sketch source-overlap estimates: map-side-combinable ≤k-long
+    //    buffers instead of q98's vocabulary-scale distinct shuffle; the
+    //    whole estimator (hash → sketch → union slice → coincidence
+    //    ratio) re-derived exactly in DuckDB ──
+    "q109_kmv_overlap" -> QueryDef(
+      (s, d) => kmvOverlap(Tables.documents(s, d)),
+      Some(s"""WITH g AS (SELECT source, doc_id,
+             |    list_distinct(list_transform(generate_series(1, length(text) - 7),
+             |      i -> (${(0 until 8).map(DedupQueries.gramHashSql).mkString(" + ")})
+             |           % 1000000007)) AS gs
+             |  FROM documents WHERE length(text) >= 8),
+             |hv AS (SELECT DISTINCT source, (g * 2654435761) % 1000000007 AS hv
+             |       FROM (SELECT source, unnest(gs) AS g FROM g)),
+             |r AS (SELECT source, hv,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rk FROM hv),
+             |sk AS (SELECT source, list(hv ORDER BY hv) AS sk
+             |       FROM r WHERE rk <= 256 GROUP BY source),
+             |p AS (SELECT a.source AS s1, b.source AS s2, a.sk AS ska, b.sk AS skb,
+             |        (list_sort(list_distinct(a.sk || b.sk)))[1:256] AS u
+             |      FROM sk a JOIN sk b ON a.source < b.source)
+             |SELECT s1, s2, len(ska) AS n_kept1, len(skb) AS n_kept2,
+             |  len(u) AS n_union_kept,
+             |  len(list_intersect(u, list_intersect(ska, skb))) AS n_both,
+             |  ROUND(CAST(len(list_intersect(u, list_intersect(ska, skb))) AS DOUBLE)
+             |    / len(u), 6) AS jac_est
+             |FROM p ORDER BY s1, s2""".stripMargin)),
 
     // ── cross-source distinct-gram contamination matrix: one gram-keyed
     //    self-join with sources²-bounded fan-out; full construction

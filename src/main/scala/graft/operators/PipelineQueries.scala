@@ -322,6 +322,123 @@ object PipelineQueries {
       .orderedResult(col("component"))
   }
 
+  /** Bloom-prefiltered decontamination (q111): q61's contract — per
+    * training doc, how many of its distinct 8-char-gram fingerprints
+    * appear in ANY eval (src0) document — with the corpus-side join
+    * input cut by a broadcast Bloom filter before anything shuffles.
+    *
+    * Three regimes for the eval side at scale: small → broadcast the
+    * exact long set (q61); medium → broadcast a Bloom of it (~10 bits
+    * per gram at 1% FPP vs 64+ for the exact set) and keep the exact
+    * set only for the post-filter verify join; huge → shuffle join
+    * (no broadcast at all). The bloom is built with one `treeAggregate`
+    * pass over the (dimension-sized) eval gram set via
+    * `DataFrameStatFunctions.bloomFilter`, embedded in the plan as a
+    * BINARY literal, and probed by Spark's native
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * — codegen'd, no UDF in the corpus-side hot path. False positives
+    * only add rows the exact verify join then rejects, so the output is
+    * bit-identical to q61 (same oracle). */
+  def bloomDecontaminate(documents: org.apache.spark.sql.DataFrame,
+                         fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    val g = documents.select(col("doc_id"), col("source"),
+      array_distinct(graft.functions.GramHashArray(col("text"))).as("gs"))
+    // the eval gram set has two consumers (bloom build, verify join) and
+    // two actions run against it — materialize it once
+    val ev = Checkpoints.truncate(
+      g.filter(col("source") === "src0").select(explode(col("gs")).as("g")).distinct())
+    val nEv = math.max(ev.count(), 1L)
+    val bloom = ev.stat.bloomFilter("g", nEv, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(col("g"))))
+    val tr = g.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .filter(might)
+    tr.join(ev, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderedOutput(col("doc_id"))
+  }
+
+  /** Per-source triangle census of the duplicate graph (q110):
+    * edges / wedges / triangles per source — the clustering-structure
+    * diagnostic that separates chain-like duplication (scrape drift:
+    * many edges, few triangles) from clique-like duplication (mirrored
+    * corpora: triangle-dense). Degree-ordered counting (Schank &
+    * Wagner 2005; the MapReduce formulation is Suri & Vassilvitskii,
+    * WWW 2011):
+    *
+    *  1. orient every edge from the endpoint lower in the total order
+    *     π(x) = (degree(x), x) to the higher;
+    *  2. wedges = the oriented self-join on the apex u, spokes
+    *     π-ordered so each unordered wedge appears exactly once and
+    *     already oriented like its closing edge;
+    *  3. triangles = wedges ⋈ oriented edges on the (spoke, spoke) key.
+    *
+    * Why orientation matters at scale: a plain wedge join fans out
+    * quadratically in the MAX degree (a near-dup clique of c docs has a
+    * c-degree hub → c² wedges at one key); π-orientation bounds every
+    * out-degree by O(√m), so per-key fan-out — and each triangle is
+    * counted once with no /3 correction or global dedup. The wedge count
+    * itself never materializes wedges: it is Σ C(outdeg, 2), a
+    * broadcast-sized aggregate over out-degrees.
+    *
+    * The edge set is the prefix-filtered similarity join (q56's scale
+    * shape, sorted=false), checkpoint-truncated once: it feeds the
+    * degree count, both spoke sides and the closing join. Oracle:
+    * the whole construction re-derived in DuckDB over the shared pairs
+    * CTE. */
+  def triangleCensus(documents: org.apache.spark.sql.DataFrame,
+                     threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val pairs = Checkpoints.truncate(
+      DedupQueries.tokenPrefixJoin(documents, threshold, sorted = false)
+        .select(col("id1"), col("id2")))
+    val deg = pairs.select(col("id1").as("id"))
+      .unionByName(pairs.select(col("id2").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val e = pairs
+      .join(deg.select(col("id").as("id1"), col("deg").as("d1")), Seq("id1"))
+      .join(deg.select(col("id").as("id2"), col("deg").as("d2")), Seq("id2"))
+    val fwd = col("d1") < col("d2") ||
+      (col("d1") === col("d2") && col("id1") < col("id2"))
+    // oriented edges have FOUR consumers (two spoke sides, the closing
+    // join, the out-degree count): materialize once
+    val o = Checkpoints.truncate(e.select(
+      when(fwd, col("id1")).otherwise(col("id2")).as("u"),
+      when(fwd, col("id2")).otherwise(col("id1")).as("v"),
+      when(fwd, col("d2")).otherwise(col("d1")).as("dv")))
+    val x = o.select(col("u"), col("v").as("a"), col("dv").as("da"))
+    val y = o.select(col("u"), col("v").as("b"), col("dv").as("db"))
+    val wedges = x.join(y, Seq("u"))
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+    val tri = wedges.join(o.select(col("u").as("a"), col("v").as("b")),
+      Seq("a", "b"))
+    val srcOf = documents.select(col("doc_id"), col("source"))
+    def bySrc(df: org.apache.spark.sql.DataFrame, idCol: String,
+              agg: org.apache.spark.sql.Column, as: String) =
+      df.join(srcOf.withColumnRenamed("doc_id", idCol), Seq(idCol))
+        .groupBy(col("source")).agg(agg.as(as))
+    val eSrc = bySrc(pairs, "id1", count(lit(1)), "n_edges")
+    // wedge COUNT without wedge rows: Σ C(outdeg, 2) over apexes
+    val outdeg = o.groupBy(col("u")).agg(count(lit(1)).as("od"))
+    val wSrc = bySrc(outdeg, "u",
+      sum(expr("od * (od - 1) DIV 2")).cast("long"), "n_wedges")
+    val tSrc = bySrc(tri, "u", count(lit(1)), "n_triangles")
+    eSrc.join(wSrc, Seq("source"), "left").join(tSrc, Seq("source"), "left")
+      .select(col("source"), col("n_edges"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderedResult(col("source"))
+  }
+
   /** q56's oracle CTE fragment: token-Jaccard pairs at threshold `t`
     * within source blocks — reused by q57 as the duplicate edge set. */
   private[operators] def jaccardPairsCte(t: Double): String =
@@ -341,6 +458,40 @@ object PipelineQueries {
     "q96_pagerank" -> QueryDef(
       (s, d) => pageRank(Tables.documents(s, d)),
       Some(pageRankOracleSql(5, 0.4))),
+
+    // ── per-source triangle census of the duplicate graph: degree-
+    //    ordered wedge join (π-orientation bounds per-key fan-out by
+    //    O(√m)), wedge counts as Σ C(outdeg,2) with no wedge
+    //    materialization; full construction re-derived in DuckDB ──
+    "q110_triangles" -> QueryDef(
+      (s, d) => triangleCensus(Tables.documents(s, d)),
+      Some(s"""WITH ${jaccardPairsCte(0.5)},
+             |deg AS (SELECT id, COUNT(*) AS deg FROM (
+             |    SELECT id1 AS id FROM pairs UNION ALL SELECT id2 FROM pairs)
+             |  GROUP BY 1),
+             |e AS (SELECT p.id1, p.id2, d1.deg AS dg1, d2.deg AS dg2,
+             |        (d1.deg < d2.deg OR (d1.deg = d2.deg AND p.id1 < p.id2)) AS fwd
+             |      FROM pairs p JOIN deg d1 ON d1.id = p.id1
+             |                   JOIN deg d2 ON d2.id = p.id2),
+             |o AS (SELECT CASE WHEN fwd THEN id1 ELSE id2 END AS u,
+             |             CASE WHEN fwd THEN id2 ELSE id1 END AS v,
+             |             CASE WHEN fwd THEN dg2 ELSE dg1 END AS dv FROM e),
+             |w AS (SELECT x.u, x.v AS a, y.v AS b FROM o x JOIN o y
+             |      ON x.u = y.u AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))),
+             |tri AS (SELECT w.u FROM w JOIN o ON o.u = w.a AND o.v = w.b),
+             |od AS (SELECT u, COUNT(*) AS od FROM o GROUP BY 1),
+             |es AS (SELECT d.source, COUNT(*) AS n_edges
+             |       FROM pairs p JOIN documents d ON d.doc_id = p.id1 GROUP BY 1),
+             |ws AS (SELECT d.source, SUM(od * (od - 1) // 2) AS n_wedges
+             |       FROM od JOIN documents d ON d.doc_id = od.u GROUP BY 1),
+             |ts AS (SELECT d.source, COUNT(*) AS n_triangles
+             |       FROM tri JOIN documents d ON d.doc_id = tri.u GROUP BY 1)
+             |SELECT es.source, es.n_edges,
+             |  CAST(COALESCE(ws.n_wedges, 0) AS BIGINT) AS n_wedges,
+             |  CAST(COALESCE(ts.n_triangles, 0) AS BIGINT) AS n_triangles
+             |FROM es LEFT JOIN ws ON ws.source = es.source
+             |        LEFT JOIN ts ON ts.source = es.source
+             |ORDER BY es.source""".stripMargin)),
 
     // ── duplicate-cluster canonical selection by centrality: components
     //    + PageRank over ONE edge set, per-cluster argmax; the oracle
@@ -629,6 +780,31 @@ object PipelineQueries {
           // per-document output: see orderedOutput note on q57
           .orderedOutput(col("doc_id"))
       },
+      Some(s"""WITH g AS (SELECT doc_id, source,
+             |    list_distinct(list_transform(generate_series(1, length(text) - 7),
+             |      i -> (${(0 until 8).map(DedupQueries.gramHashSql).mkString(" + ")})
+             |           % 1000000007)) AS gs
+             |  FROM documents),
+             |ev AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE source = 'src0'),
+             |tr AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE source <> 'src0')
+             |SELECT tr.doc_id, COUNT(*) AS n_hits
+             |FROM tr JOIN ev ON tr.g = ev.g
+             |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── bloom-prefiltered decontamination: the middle-scale shape of
+    //    q61. q61 joins the corpus gram stream against the exact eval
+    //    gram set — fine while the eval set broadcasts as longs. When it
+    //    doesn't (pretraining-scale held-out suites), the bloom carries
+    //    the same membership at ~10 bits per gram instead of 64+, and
+    //    the corpus side drops non-members MAP-SIDE inside codegen
+    //    (Spark's native BloomFilterMightContain — no UDF): only the
+    //    tiny surviving fraction ever shuffles into the exact verify
+    //    join. FPP affects only how many false survivors the exact join
+    //    then discards — the result is bit-identical to q61 (same
+    //    oracle; BloomDecontamSpec pins path equality and that the
+    //    prefilter actually prunes). ──
+    "q111_bloom_decontaminate" -> QueryDef(
+      (s, d) => bloomDecontaminate(Tables.documents(s, d)),
       Some(s"""WITH g AS (SELECT doc_id, source,
              |    list_distinct(list_transform(generate_series(1, length(text) - 7),
              |      i -> (${(0 until 8).map(DedupQueries.gramHashSql).mkString(" + ")})

@@ -248,4 +248,37 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(nov - (1.0 - stale.toDouble / n)) < 1e-6)
     }
   }
+
+  private def exactOverlap(d: String): Map[(String, String), Double] =
+    CurationQueries.sourceOverlap(graft.sources.Tables.documents(spark, d))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+
+  test("kmvOverlap with k >= universe degenerates to the exact Jaccard matrix") {
+    // when every sketch holds its source's FULL distinct hash set, the
+    // coincidence ratio IS the exact Jaccard — same pairs, same value
+    val d = "/root/testdata/sf0.001"
+    val got = CurationQueries.kmvOverlap(
+      graft.sources.Tables.documents(spark, d), k = 1 << 20)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(6)).toMap
+    val want = exactOverlap(d)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k0, est) =>
+      assert(math.abs(est - want(k0)) < 1e-6, s"$k0: $est vs ${want(k0)}")
+    }
+  }
+
+  test("kmvOverlap at k=256 estimates within KMV error bounds") {
+    val d = "/root/testdata/sf0.001"
+    val rows = CurationQueries.kmvOverlap(
+      graft.sources.Tables.documents(spark, d), k = 256).collect()
+    val want = exactOverlap(d)
+    // std err of the coincidence ratio is ~sqrt(J(1-J)/k) <= 0.032 at
+    // k=256; 5 sigma with margin
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val est = r.getDouble(6)
+      assert(math.abs(est - want(key)) < 0.16, s"$key: est $est vs ${want(key)}")
+      assert(r.getInt(4) <= 256 && r.getInt(5) <= r.getInt(4))
+    }
+  }
 }

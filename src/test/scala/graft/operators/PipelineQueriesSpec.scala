@@ -338,6 +338,98 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got == refPageRank(nodes, pairs))
   }
 
+  private def bruteTriangles(pairs: Seq[(Long, Long)]): (Long, Long) = {
+    // wedges = Σ C(deg,2) over the UNDIRECTED degree? No — the census
+    // counts ORIENTED wedges (each unordered wedge once), which equals
+    // Σ C(outdeg,2) under the π-orientation; brute-force the same way
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val deg = adj.map { case (k, v) => k -> v.size }
+    def pi(x: Long) = (deg(x), x)
+    import scala.math.Ordering.Implicits._
+    val out = pairs.map { case (a, b) => if (pi(a) < pi(b)) (a, b) else (b, a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val wedges = out.values.map(vs => vs.size.toLong * (vs.size - 1) / 2).sum
+    val edgeSet = pairs.map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    val tris = out.values.flatMap { vs =>
+      for (i <- vs.indices; j <- vs.indices if i < j) yield {
+        val (x, y) = (vs(i), vs(j))
+        if (edgeSet.contains(if (x < y) (x, y) else (y, x))) 1L else 0L
+      }
+    }.sum
+    (wedges, tris)
+  }
+
+  test("triangle census: planted clique + path + isolate match brute force") {
+    import spark.implicits._
+    // src s: docs 0-2 a near-identical triad (triangle), 3-4 a pair
+    // (edge, no triangle), 5 isolated; src t: a 4-clique 6-9 with
+    // C(4,3)=4 triangles
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val base = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val d = Seq(
+      (0L, doc(base), "s"),
+      (1L, doc(base.updated(0, "x1")), "s"),
+      (2L, doc(base.updated(1, "x2")), "s"),
+      (3L, doc(Seq("p", "q", "r", "s", "t", "u", "v", "w")), "s"),
+      (4L, doc(Seq("p", "q", "r", "s", "t", "u", "v", "z")), "s"),
+      (5L, doc(Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8")), "s"),
+      (6L, doc(base.map(_ + "t")), "t"),
+      (7L, doc(base.map(_ + "t").updated(0, "y1")), "t"),
+      (8L, doc(base.map(_ + "t").updated(1, "y2")), "t"),
+      (9L, doc(base.map(_ + "t").updated(2, "y3")), "t")
+    ).toDF("doc_id", "text", "source")
+    val pairs = DedupQueries.tokenPrefixJoin(d, threshold = 0.5, sorted = false)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // sanity on the fixture: the triad and the 4-clique must be complete
+    assert(pairs.toSet.contains((0L, 1L)) && pairs.toSet.contains((6L, 9L)))
+    val got = PipelineQueries.triangleCensus(d, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val bySrc = Seq("s", "t").map { src =>
+      val sp = pairs.filter { case (a, b) =>
+        val ids = if (src == "s") (0L to 5L).toSet else (6L to 9L).toSet
+        ids.contains(a) && ids.contains(b)
+      }
+      val (w, t) = bruteTriangles(sp)
+      (src, sp.size.toLong, w, t)
+    }
+    assert(got == bySrc)
+    val t = got.find(_._1 == "t").get
+    assert(t._4 == 4L, "4-clique has C(4,3)=4 triangles")
+  }
+
+  test("triangle census on the real table matches brute force") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = DedupQueries.tokenPrefixJoin(docs, threshold = 0.5, sorted = false)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val srcOf = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = pairs.groupBy(p => srcOf(p._1)).map { case (src, sp) =>
+      val (w, t) = bruteTriangles(sp)
+      (src, sp.size.toLong, w, t)
+    }.toSeq.sortBy(_._1)
+    val got = PipelineQueries.triangleCensus(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+  }
+
+  test("bloom decontamination equals the exact q61 path and keeps the prefilter in-plan") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val bloomed = PipelineQueries.bloomDecontaminate(docs)
+    // the native prefilter must survive optimization into the executed plan
+    assert(bloomed.queryExecution.executedPlan.toString.contains("might_contain"),
+      "BloomFilterMightContain missing from the executed plan")
+    val exact = PipelineQueries.registry("q61_decontaminate").build(spark, d)
+    val got = bloomed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, "bloom path must be bit-identical to the exact join")
+  }
+
   test("canonicalByRank picks each cluster's top-PageRank member on the real table") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, d)
