@@ -371,7 +371,77 @@ object CurationQueries {
       .orderedResult(col("s1"), col("s2"))
   }
 
+  /** Snapshot diff (q113): per-(source, status) counts of added /
+    * removed / changed / unchanged documents between two corpus
+    * snapshots — the first question an incremental curation run asks
+    * (what moved since last time → what to re-dedup, re-score,
+    * re-shard).
+    *
+    * Shape: each side projects to (doc_id, source, md5(text)) — 16
+    * bytes of digest instead of the document body, computed scan-side —
+    * then ONE full-outer hash join on doc_id decides every status, and
+    * the rollup is a dimension-sized aggregate. The text column never
+    * shuffles; over a [[graft.sources.CorpusStore]] layout both sides
+    * are pre-bucketed by doc_id and even the digest join is
+    * Exchange-free (and the stored content_hash makes the md5
+    * recompute unnecessary). md5 over UTF-8 bytes is identical in
+    * DuckDB, so statuses — not just counts — are oracle-exact. */
+  def corpusDiff(previous: DataFrame, current: DataFrame): DataFrame = {
+    def digest(df: DataFrame, h: String, s: String) =
+      df.select(col("doc_id"), col("source").as(s),
+        md5(col("text").cast("binary")).as(h))
+    digest(previous, "h_prev", "src_prev")
+      .join(digest(current, "h_cur", "src_cur"), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_cur"), col("src_prev")).as("source"),
+        when(col("h_prev").isNull, lit("added"))
+          .when(col("h_cur").isNull, lit("removed"))
+          .when(col("h_prev") === col("h_cur"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .groupBy(col("source"), col("status")).agg(count(lit(1)).as("n"))
+      .orderedResult(col("source"), col("status"))
+  }
+
   val registry: Map[String, QueryDef] = Map(
+
+    // ── corpus snapshot diff: the "previous" snapshot is derived
+    //    deterministically from the table by content-hash bucket
+    //    (bucket 0 absent from prev → added; bucket 1 text-edited →
+    //    changed; bucket 2 contributes a retired shifted twin →
+    //    removed; the rest identical → unchanged), so the operator sees
+    //    all four statuses; digest-projected full-outer join, text
+    //    never shuffles ──
+    "q113_corpus_diff" -> QueryDef(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        val b = PipelineQueries.docHash % 5
+        val prev = base.filter(b =!= 0)
+          .select(col("doc_id"), col("source"),
+            when(b === 1, concat(col("text"), lit(" legacy")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(base.filter(b === 2)
+            .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+              col("source"), concat(lit("retired "), col("text")).as("text")))
+        corpusDiff(prev, base)
+      },
+      Some("""WITH base AS (SELECT doc_id, source, text,
+             |    (doc_id % 1000000007 * 2654435761) % 1000000007 % 5 AS b
+             |  FROM documents),
+             |prev AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN b = 1 THEN text || ' legacy' ELSE text END AS text
+             |  FROM base WHERE b <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000, source, 'retired ' || text
+             |  FROM base WHERE b = 2),
+             |j AS (SELECT COALESCE(c.source, p.source) AS source,
+             |        CASE WHEN p.doc_id IS NULL THEN 'added'
+             |             WHEN c.doc_id IS NULL THEN 'removed'
+             |             WHEN md5(p.text) = md5(c.text) THEN 'unchanged'
+             |             ELSE 'changed' END AS status
+             |      FROM prev p FULL OUTER JOIN base c ON p.doc_id = c.doc_id)
+             |SELECT source, status, COUNT(*) AS n FROM j
+             |GROUP BY 1, 2 ORDER BY source, status""".stripMargin)),
 
     // ── KMV-sketch source-overlap estimates: map-side-combinable ≤k-long
     //    buffers instead of q98's vocabulary-scale distinct shuffle; the

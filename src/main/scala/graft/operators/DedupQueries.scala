@@ -142,6 +142,28 @@ object DedupQueries {
              |    / len(list_distinct(a.t || b.t)) >= 0.5
              |ORDER BY id1, id2""".stripMargin)),
 
+    // ── WEIGHTED (multiset/TF) Jaccard near-dup pairs: the q44 guarded
+    //    inverted-index shape carrying per-(doc, token) TF; Σmin via
+    //    map-side-combinable pair aggregation, Σmax = totals − Σmin ──
+    "q112_weighted_jaccard" -> QueryDef(
+      (s, d) => weightedJaccardJoin(Tables.documents(s, d)),
+      Some("""WITH tf AS (SELECT doc_id, source, token, COUNT(*) AS tf FROM
+             |    (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+             |     FROM documents)
+             |  GROUP BY 1, 2, 3),
+             |tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tot FROM tf GROUP BY 1),
+             |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |         CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS minsum
+             |       FROM tf a JOIN tf b ON a.source = b.source
+             |         AND a.token = b.token AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT id1, id2,
+             |  CAST(minsum AS DOUBLE) / (t1.tot + t2.tot - minsum) AS wjac
+             |FROM co JOIN tot t1 ON t1.doc_id = id1
+             |        JOIN tot t2 ON t2.doc_id = id2
+             |WHERE CAST(minsum AS DOUBLE) / (t1.tot + t2.tot - minsum) >= 0.4
+             |ORDER BY id1, id2""".stripMargin)),
+
     // ── MinHash + LSH banding near-dup candidates (xxhash64 — no oracle;
     //    verified by planted duplicates in DedupSpec) ──
     "q30_minhash_lsh" -> QueryDef(
@@ -769,6 +791,66 @@ object DedupQueries {
         (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("id1"), col("id2"), col("jac"))
+      .orderedResult(col("id1"), col("id2"))
+  }
+
+  /** WEIGHTED (multiset / TF) Jaccard join (q112): Σ_t min(tfA,tfB) /
+    * Σ_t max(tfA,tfB) — the dedup measure that still fires when a
+    * boilerplate-heavy document repeats its near-dup's tokens at
+    * different multiplicities (set Jaccard saturates at 1 token each;
+    * the weighted form weighs every occurrence). Σmax is derived as
+    * totA + totB − Σmin, so only the min-sum needs the pair join.
+    *
+    * Shape: the q44 guarded inverted index, carrying per-(doc, token)
+    * TF instead of presence — co-occurrence rows contribute
+    * least(tf1, tf2) and map-side partial aggregation collapses them
+    * before the (id1, id2) shuffle; posting lists ≥
+    * `heavyTokenThreshold` route through the salted scatter join
+    * exactly as q44 (the quadratic emission is inherent, the guard
+    * spreads it over `salt` tasks). Totals are per-document
+    * (data-sized) — shuffle-joined, broadcast only if AQE decides. */
+  def weightedJaccardJoin(documents: DataFrame, threshold: Double = 0.4,
+                          heavyTokenThreshold: Int = 4096,
+                          salt: Int = 16): DataFrame = {
+    val tf = documents.select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val heavyKeys = tf.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= heavyTokenThreshold)
+      .select(col("source"), col("token"), lit(true).as("__heavy"))
+    // four consumers (totals + both sides of both paths): materialize
+    // the scan→explode→tf→flag pipeline once (see invertedJaccardJoin)
+    val flagged = Checkpoints.truncate(
+      tf.join(broadcast(heavyKeys), Seq("source", "token"), "left"))
+    val totals = flagged.groupBy(col("doc_id").as("sid"))
+      .agg(sum(col("tf")).as("tot"))
+    def side(df: DataFrame, as: String, tfAs: String): DataFrame =
+      df.select(col("source"), col("token"), col("doc_id").as(as),
+        col("tf").as(tfAs))
+    val light = flagged.filter(col("__heavy").isNull)
+    val heavy = flagged.filter(col("__heavy").isNotNull)
+    val lightCo = side(light, "id1", "tf1")
+      .join(side(light, "id2", "tf2"), Seq("source", "token"))
+    val heavyCo = Salting.saltedJoin(side(heavy, "id1", "tf1"),
+      side(heavy, "id2", "tf2"), Seq("source", "token"),
+      scatterCols = Seq(col("id1")), salt = salt)
+    val minsum = lightCo.select(col("id1"), col("id2"),
+        least(col("tf1"), col("tf2")).as("m"))
+      .unionByName(heavyCo.select(col("id1"), col("id2"),
+        least(col("tf1"), col("tf2")).as("m")))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(sum(col("m")).as("minsum"))
+    minsum
+      .join(totals, col("id1") === col("sid")).drop("sid")
+      .withColumnRenamed("tot", "t1")
+      .join(totals, col("id2") === col("sid")).drop("sid")
+      .withColumnRenamed("tot", "t2")
+      .withColumn("wjac", col("minsum").cast("double") /
+        (col("t1") + col("t2") - col("minsum")))
+      .filter(col("wjac") >= threshold)
+      .select(col("id1"), col("id2"), col("wjac"))
       .orderedResult(col("id1"), col("id2"))
   }
 

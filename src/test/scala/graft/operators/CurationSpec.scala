@@ -281,4 +281,41 @@ class CurationSpec extends SparkSpec {
       assert(r.getInt(4) <= 256 && r.getInt(5) <= r.getInt(4))
     }
   }
+
+  test("corpusDiff classifies every status exactly") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, "s", "kept the same"),
+      (2L, "s", "old wording here"),
+      (3L, "t", "will be deleted"),
+      (5L, "t", "same in both")
+    ).toDF("doc_id", "source", "text")
+    val cur = Seq(
+      (1L, "s", "kept the same"),        // unchanged
+      (2L, "s", "new wording here"),     // changed
+      (4L, "s", "freshly scraped"),      // added
+      (5L, "t", "same in both")          // unchanged
+    ).toDF("doc_id", "source", "text")
+    val got = CurationQueries.corpusDiff(prev, cur)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("s", "added") -> 1L, ("s", "changed") -> 1L, ("s", "unchanged") -> 1L,
+      ("t", "removed") -> 1L, ("t", "unchanged") -> 1L))
+  }
+
+  test("q113 snapshot-derivation buckets produce the expected status mix") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val byBucket = docs.select(
+        ((col("doc_id") % 1000000007L) * 2654435761L % 1000000007L % 5).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = CurationQueries.registry("q113_corpus_diff").build(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def tot(status: String) = got.collect { case ((_, s), n) if s == status => n }.sum
+    assert(tot("added") == byBucket.getOrElse(0L, 0L))
+    assert(tot("changed") == byBucket.getOrElse(1L, 0L))
+    assert(tot("removed") == byBucket.getOrElse(2L, 0L))
+    assert(tot("unchanged") ==
+      byBucket.getOrElse(2L, 0L) + byBucket.getOrElse(3L, 0L) + byBucket.getOrElse(4L, 0L))
+  }
 }

@@ -104,6 +104,61 @@ class DedupSpec extends SparkSpec {
     assert(hot > 10)
   }
 
+  test("q112 weighted Jaccard matches brute force and distinguishes multiplicity") {
+    import spark.implicits._
+    // docs 0/1: same token SET, different multiplicities — set Jaccard
+    // is 1.0, weighted must be strictly lower; docs 2/3 exact dups
+    val corpus = Seq(
+      (0L, "s", "a a a a b"),
+      (1L, "s", "a b b b b"),
+      (2L, "s", "x y z w q"),
+      (3L, "s", "x y z w q"),
+      (4L, "s", "k l m n o")
+    ).toDF("doc_id", "source", "text")
+    val got = DedupQueries.weightedJaccardJoin(corpus, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute: 0 vs 1 — min(4,1)+min(1,4)=2, max-sum = 5+5-2 = 8 -> 0.25
+    assert(math.abs(got((0L, 1L)) - 0.25) < 1e-12)
+    assert(got((2L, 3L)) == 1.0, "exact dup scores 1")
+    assert(!got.contains((0L, 4L)) && !got.contains((2L, 4L)))
+    // driver brute force over every pair at the registry threshold
+    val rows = corpus.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    val want = (for {
+      (i, si, ti) <- rows; (j, sj, tj) <- rows
+      if si == sj && i < j
+    } yield {
+      val ci = ti.groupBy(identity).view.mapValues(_.size)
+      val cj = tj.groupBy(identity).view.mapValues(_.size)
+      val minSum = (ci.keySet ++ cj.keySet).toSeq
+        .map(t => math.min(ci.getOrElse(t, 0), cj.getOrElse(t, 0))).sum
+      ((i, j), minSum.toDouble / (ti.size + tj.size - minSum))
+    }).filter(_._2 >= 0.2).toMap
+    assert(got == want)
+  }
+
+  test("q112 heavy-token guard: salted path == unguarded join on a hot-token corpus") {
+    import spark.implicits._
+    val rand = new scala.util.Random(11)
+    // hot vocabulary of 15 tokens with REPEATED draws (multiset weights
+    // exercised under the guard), plus every 4th doc duplicating its
+    // predecessor so qualifying pairs exist
+    val rows = (0 until 60).map { i =>
+      (i.toLong, "s", (0 until 10).map(_ => s"w${rand.nextInt(15)}").mkString(" "))
+    }
+    val corpus = rows.map { case (id, src, t) =>
+      if (id % 4 == 3) (id, src, rows(id.toInt - 1)._3) else (id, src, t)
+    }.toDF("doc_id", "source", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    val guarded = key(DedupQueries.weightedJaccardJoin(corpus,
+      heavyTokenThreshold = 5, salt = 4))
+    val plain = key(DedupQueries.weightedJaccardJoin(corpus,
+      heavyTokenThreshold = Int.MaxValue))
+    assert(guarded == plain, "guard must not change the result")
+    assert(plain.nonEmpty)
+  }
+
   test("prefix-filtered char-shingle join == all-pairs join on a real table") {
     // exactness of the prefix filter: candidates generated from each doc's
     // rarest shingles + length filter must reproduce the all-pairs result
