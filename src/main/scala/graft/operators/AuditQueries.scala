@@ -35,8 +35,9 @@ import QueryDef.OrderedResultOps
 object AuditQueries {
 
   /** stack(n, 'name1', v1, ...) unpivots the single aggregate row into
-    * one `(check, n_bad)` row per rule — all rules share the scan. */
-  private def stackChecks(checks: (String, Column)*): Column = {
+    * one `(check, n_bad)` row per rule — all rules share the scan.
+    * Shared with the streaming monitor ([[graft.streaming.AuditStream]]). */
+  private[graft] def stackChecks(checks: (String, Column)*): Column = {
     val args = checks.flatMap { case (n, c) => Seq(lit(n), c.cast("long")) }
     stack(Seq(lit(checks.size)) ++ args: _*)
   }

@@ -401,7 +401,95 @@ object CurationQueries {
       .orderedResult(col("source"), col("status"))
   }
 
+  /** Posting-list cost probe (q115): per source, the statistics that
+    * PREDICT an inverted-index similarity join's cost before running it —
+    * distinct tokens, total postings, the longest posting list, the
+    * exact co-occurrence row count the plain join would emit
+    * (Σ C(f, 2) over posting-list lengths f) and how many lists the
+    * heavy-token guard would salt. At 100 TB this one cheap pass is how
+    * a deployment picks thresholds (shingle length, guard cutoff, salt)
+    * for q44/q48/q56/q112 instead of discovering a quadratic wall mid-
+    * job; it is the relational form of the q110 census question, asked
+    * BEFORE candidate generation. One token shuffle, dimension-sized
+    * output. */
+  def joinCostProbe(documents: DataFrame, heavyThreshold: Long = 4096L): DataFrame = {
+    val f = documents.select(col("source"), col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("f"))
+    f.groupBy(col("source")).agg(
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(col("f")).cast("long").as("n_postings"),
+        max(col("f")).as("max_f"),
+        sum(expr("f * (f - 1) DIV 2")).cast("long").as("pair_rows"),
+        sum(when(col("f") >= heavyThreshold, 1L).otherwise(0L))
+          .cast("long").as("n_heavy"))
+      .orderedResult(col("source"))
+  }
+
+  /** Token diversity profile (q116): per source, the lexical-health
+    * numbers a corpus report leads with — token count m, vocabulary V,
+    * type-token ratio V/m, Simpson collision index Σ f(f−1) / (m(m−1))
+    * (the probability two random tokens coincide: boilerplate-heavy
+    * sources spike it) and the hapax ratio (fraction of the vocabulary
+    * seen once — scrape noise and OCR garbage spike THIS one). All
+    * ratios are single fixed IEEE chains over exact integer aggregates,
+    * so the oracle checks values, not approximations. One token shuffle,
+    * dimension-sized output. Caveat: Σ f(f−1) is BIGINT — a single
+    * token beyond ~3·10⁹ occurrences in one source overflows it; at
+    * that scale the KMV/MG sketches (q74/q77) are the tool. */
+  def tokenDiversity(documents: DataFrame): DataFrame = {
+    val f = documents.select(col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("f"))
+    f.groupBy(col("source")).agg(
+        sum(col("f")).cast("long").as("m"),
+        count(lit(1)).as("v"),
+        sum(expr("f * (f - 1)")).cast("long").as("coll"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).cast("long").as("hapax"))
+      .select(col("source"), col("m"), col("v"),
+        (col("v").cast("double") / col("m").cast("double")).as("ttr"),
+        (col("coll").cast("double") /
+          (col("m").cast("double") * (col("m") - 1).cast("double")))
+          .as("simpson"),
+        (col("hapax").cast("double") / col("v").cast("double")).as("hapax_ratio"))
+      .orderedResult(col("source"))
+  }
+
   val registry: Map[String, QueryDef] = Map(
+
+    // ── per-source lexical diversity: TTR, Simpson collision index,
+    //    hapax ratio — exact integer aggregates, fixed IEEE ratio chains ──
+    "q116_token_diversity" -> QueryDef(
+      (s, d) => tokenDiversity(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+             |          FROM documents),
+             |f AS (SELECT source, token, COUNT(*) AS f FROM t GROUP BY 1, 2),
+             |a AS (SELECT source, CAST(SUM(f) AS BIGINT) AS m, COUNT(*) AS v,
+             |    CAST(SUM(f * (f - 1)) AS BIGINT) AS coll,
+             |    CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+             |  FROM f GROUP BY source)
+             |SELECT source, m, v,
+             |  CAST(v AS DOUBLE) / CAST(m AS DOUBLE) AS ttr,
+             |  CAST(coll AS DOUBLE)
+             |    / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE)) AS simpson,
+             |  CAST(hapax AS DOUBLE) / CAST(v AS DOUBLE) AS hapax_ratio
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // ── inverted-index cost probe: posting-list length distribution +
+    //    exact predicted co-occurrence volume per source — the
+    //    threshold-picking pass that runs BEFORE a similarity join ──
+    "q115_join_cost_probe" -> QueryDef(
+      (s, d) => joinCostProbe(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    unnest(list_distinct(string_split(text, ' '))) AS token
+             |  FROM documents),
+             |f AS (SELECT source, token, COUNT(*) AS f FROM t GROUP BY 1, 2)
+             |SELECT source, COUNT(*) AS n_distinct_tokens,
+             |  CAST(SUM(f) AS BIGINT) AS n_postings,
+             |  MAX(f) AS max_f,
+             |  CAST(SUM(f * (f - 1) // 2) AS BIGINT) AS pair_rows,
+             |  CAST(SUM(CASE WHEN f >= 4096 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)),
 
     // ── corpus snapshot diff: the "previous" snapshot is derived
     //    deterministically from the table by content-hash bucket

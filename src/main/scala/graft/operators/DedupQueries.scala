@@ -164,6 +164,32 @@ object DedupQueries {
              |WHERE CAST(minsum AS DOUBLE) / (t1.tot + t2.tot - minsum) >= 0.4
              |ORDER BY id1, id2""".stripMargin)),
 
+    // ── directed containment pairs: Σmin/|sub| ≥ 0.8 — quotes/excerpts/
+    //    supersets that weighted Jaccard under-scores; both directions
+    //    from ONE unordered pair-stats relation ──
+    "q117_containment" -> QueryDef(
+      (s, d) => containmentJoin(Tables.documents(s, d)),
+      Some("""WITH tf AS (SELECT doc_id, source, token, COUNT(*) AS tf FROM
+             |    (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+             |     FROM documents)
+             |  GROUP BY 1, 2, 3),
+             |tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tot FROM tf GROUP BY 1),
+             |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |         CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS minsum
+             |       FROM tf a JOIN tf b ON a.source = b.source
+             |         AND a.token = b.token AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2),
+             |dir AS (
+             |  SELECT id1 AS id_sub, id2 AS id_sup,
+             |    CAST(minsum AS DOUBLE) / t1.tot AS containment
+             |  FROM co JOIN tot t1 ON t1.doc_id = id1
+             |  UNION ALL
+             |  SELECT id2, id1, CAST(minsum AS DOUBLE) / t2.tot
+             |  FROM co JOIN tot t2 ON t2.doc_id = id2)
+             |SELECT id_sub, id_sup, containment FROM dir
+             |WHERE containment >= 0.8
+             |ORDER BY id_sub, id_sup""".stripMargin)),
+
     // ── MinHash + LSH banding near-dup candidates (xxhash64 — no oracle;
     //    verified by planted duplicates in DedupSpec) ──
     "q30_minhash_lsh" -> QueryDef(
@@ -811,7 +837,39 @@ object DedupQueries {
     * (data-sized) — shuffle-joined, broadcast only if AQE decides. */
   def weightedJaccardJoin(documents: DataFrame, threshold: Double = 0.4,
                           heavyTokenThreshold: Int = 4096,
-                          salt: Int = 16): DataFrame = {
+                          salt: Int = 16): DataFrame =
+    tfPairStats(documents, heavyTokenThreshold, salt)
+      .withColumn("wjac", col("minsum").cast("double") /
+        (col("t1") + col("t2") - col("minsum")))
+      .filter(col("wjac") >= threshold)
+      .select(col("id1"), col("id2"), col("wjac"))
+      .orderedResult(col("id1"), col("id2"))
+
+  /** Directed CONTAINMENT join (q117): emit (id_sub, id_sup) when
+    * Σ_t min(tf_sub, tf_sup) / |sub| ≥ t — the asymmetric cousin of
+    * weighted Jaccard that catches quotes, excerpts and supersets
+    * (a short doc fully contained in a long one scores containment ≈ 1
+    * while its Jaccard stays low). Both directions derive from the SAME
+    * unordered pair statistics ([[tfPairStats]]) — no second join. */
+  def containmentJoin(documents: DataFrame, threshold: Double = 0.8,
+                      heavyTokenThreshold: Int = 4096,
+                      salt: Int = 16): DataFrame = {
+    val stats = tfPairStats(documents, heavyTokenThreshold, salt)
+    val fwd = stats.select(col("id1").as("id_sub"), col("id2").as("id_sup"),
+      (col("minsum").cast("double") / col("t1")).as("containment"))
+    val bwd = stats.select(col("id2").as("id_sub"), col("id1").as("id_sup"),
+      (col("minsum").cast("double") / col("t2")).as("containment"))
+    fwd.unionByName(bwd)
+      .filter(col("containment") >= threshold)
+      .orderedResult(col("id_sub"), col("id_sup"))
+  }
+
+  /** Shared TF-pair statistics of q112/q117: unordered within-source
+    * pairs `(id1 < id2, minsum = Σ_t min(tf1, tf2), t1, t2)` through the
+    * q44 guarded inverted index carrying per-(doc, token) TF. */
+  private def tfPairStats(documents: DataFrame,
+                          heavyTokenThreshold: Int,
+                          salt: Int): DataFrame = {
     val tf = documents.select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("source"), col("token"))
@@ -842,16 +900,12 @@ object DedupQueries {
         least(col("tf1"), col("tf2")).as("m")))
       .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(sum(col("m")).as("minsum"))
+    // totals are per-DOCUMENT (data-sized): no broadcast hint (q44 rule)
     minsum
       .join(totals, col("id1") === col("sid")).drop("sid")
       .withColumnRenamed("tot", "t1")
       .join(totals, col("id2") === col("sid")).drop("sid")
       .withColumnRenamed("tot", "t2")
-      .withColumn("wjac", col("minsum").cast("double") /
-        (col("t1") + col("t2") - col("minsum")))
-      .filter(col("wjac") >= threshold)
-      .select(col("id1"), col("id2"), col("wjac"))
-      .orderedResult(col("id1"), col("id2"))
   }
 
   /** Exact Jaccard similarity join over per-document element arrays

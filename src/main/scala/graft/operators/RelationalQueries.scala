@@ -692,6 +692,64 @@ object RelationalQueries {
              |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
              |      ORDER BY cents DESC, l_orderkey) AS rk FROM c)
              |SELECT l_returnflag, rk AS rank, l_orderkey, cents
-             |FROM r WHERE rk <= 3 ORDER BY l_returnflag, rank""".stripMargin))
+             |FROM r WHERE rk <= 3 ORDER BY l_returnflag, rank""".stripMargin)),
+
+    // ── per-user OLS trend (value over time): ONE map-side-combinable
+    //    aggregate per user collecting (n, Σx, Σy, Σxy, Σxx) as exact
+    //    integers — x = floored epoch seconds centered at 2024-01-01
+    //    (shrinks magnitudes so every decimal product stays well under
+    //    precision 38 even at 10⁹ rows per user; slope is
+    //    shift-invariant), y = value milli-units via exact DECIMAL.
+    //    Slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²) as a ratio of exact integer
+    //    polynomials — Spark holds them in sized DECIMALs, DuckDB in
+    //    HUGEINT — each side cast to double once and divided once, so
+    //    both engines perform the IDENTICAL IEEE operations; the
+    //    intercept (value at the centering epoch) reuses the slope
+    //    double through the same fixed float chain on both engines. No
+    //    window, no sort, no second pass: regression-by-sums is the
+    //    100 TB shape (the residual formulation needs the mean first —
+    //    two passes). ──
+    "q114_user_trend" -> QueryDef(
+      (s, d) => {
+        // floor-to-second on both engines: unix_timestamp truncates,
+        // the oracle uses epoch_us // 1000000
+        val x = (unix_timestamp(col("ts")) - lit(1704067200L)).cast("decimal(10,0)")
+        val y = (col("value").cast("decimal(18,3)") * 1000).cast("decimal(10,0)")
+        val agg = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("user_id"), x.as("x"), y.as("y"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("decimal(10,0)").as("n"),
+            sum(col("x")).cast("decimal(17,0)").as("sx"),
+            sum(col("y")).cast("decimal(16,0)").as("sy"),
+            sum(col("x") * col("y")).cast("decimal(22,0)").as("sxy"),
+            sum(col("x") * col("x")).cast("decimal(23,0)").as("sxx"))
+        val slope = col("numS").cast("double") / col("den").cast("double")
+        agg.select(col("user_id"), col("n"), col("sx"), col("sy"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("numS"))
+          .filter(col("n") >= 2 && col("den") =!= 0)
+          .select(col("user_id"), col("n").cast("long").as("n_events"),
+            slope.as("slope_milli_per_sec"),
+            ((col("sy").cast("double") - slope * col("sx").cast("double"))
+              / col("n").cast("double")).as("intercept_milli"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH p AS (SELECT user_id,
+             |    epoch_us(ts) // 1000000 - 1704067200 AS x,
+             |    CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS y
+             |  FROM events WHERE value IS NOT NULL),
+             |a AS (SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+             |  FROM p GROUP BY user_id),
+             |s AS (SELECT user_id, n, sx, sy,
+             |    CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+             |  FROM a WHERE n >= 2 AND n * sxx - sx * sx <> 0)
+             |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+             |  slope AS slope_milli_per_sec,
+             |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE) AS intercept_milli
+             |FROM s ORDER BY user_id""".stripMargin))
   )
 }

@@ -282,6 +282,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("tokenDiversity: hand-computed TTR, Simpson and hapax on a tiny corpus") {
+    import spark.implicits._
+    // source s: tokens a a a b b c  -> m=6, v=3, hapax=1 (c),
+    // coll = 3*2 + 2*1 + 0 = 8, simpson = 8/30
+    val docs = Seq(
+      (0L, "s", "a a a b"), (1L, "s", "b c"),
+      (2L, "t", "x y z w")                         // all hapax
+    ).toDF("doc_id", "source", "text")
+    val got = CurationQueries.tokenDiversity(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got("s") == (6L, 3L, 3.0 / 6, 8.0 / 30, 1.0 / 3))
+    assert(got("t") == (4L, 4L, 1.0, 0.0, 1.0))
+  }
+
   test("corpusDiff classifies every status exactly") {
     import spark.implicits._
     val prev = Seq(

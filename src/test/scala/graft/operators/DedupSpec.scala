@@ -137,6 +137,36 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q117 containment: planted excerpt scores 1.0 toward its superset, brute-force match") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "s", "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "s", "beta gamma delta epsilon"),           // strict subset of 0
+      (2L, "s", "alpha alpha beta"),                    // multiset: needs tf-aware min
+      (3L, "s", "iota kappa lambda mu")                 // disjoint
+    ).toDF("doc_id", "source", "text")
+    val got = DedupQueries.containmentJoin(corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 0L)) == 1.0, "excerpt fully contained in superset")
+    assert(got((0L, 1L)) == 0.5, "reverse direction is 4/8")
+    // doc 2 vs 0: min over {alpha: min(2,1)=1, beta: min(1,1)=1} = 2; |2| = 3
+    assert(math.abs(got((2L, 0L)) - 2.0 / 3) < 1e-12)
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // brute force over all ordered pairs at the threshold
+    val rows = corpus.collect().map(r =>
+      (r.getLong(0), r.getString(2).split(" ").toSeq))
+    val want = (for {
+      (i, ti) <- rows; (j, tj) <- rows if i != j
+    } yield {
+      val ci = ti.groupBy(identity).view.mapValues(_.size)
+      val cj = tj.groupBy(identity).view.mapValues(_.size)
+      val minSum = ci.keys.toSeq
+        .map(t => math.min(ci(t), cj.getOrElse(t, 0))).sum
+      ((i, j), minSum.toDouble / ti.size)
+    }).filter { case (_, c) => c >= 0.5 && c > 0 }.toMap
+    assert(got == want)
+  }
+
   test("q112 heavy-token guard: salted path == unguarded join on a hot-token corpus") {
     import spark.implicits._
     val rand = new scala.util.Random(11)
