@@ -42,12 +42,21 @@ object AuditQueries {
     stack(Seq(lit(checks.size)) ++ args: _*)
   }
 
-  /** Scalar-rule profile of one table: all rules ride one aggregate. */
+  /** Scalar-rule profile of one table: all rules ride one aggregate.
+    * `pk_unique` is defined over the NON-NULL key domain on both engines
+    * (Spark's count_distinct skips any-NULL argument rows, DuckDB's
+    * DISTINCT over a row-value does not — so both sides filter
+    * explicitly): a NULL key is a completeness defect, not a duplicate,
+    * and counting it here would double-book it (r7f review). */
   private def scalarAudit(df: DataFrame, table: String,
                           pk: Seq[Column], rules: (String, Column)*): DataFrame = {
     val pkRule: Seq[(String, Column)] =
       if (pk.isEmpty) Seq.empty
-      else Seq("pk_unique" -> (count(lit(1)) - count_distinct(pk.head, pk.tail: _*)))
+      else {
+        val allNotNull = pk.map(_.isNotNull).reduce(_ && _)
+        Seq("pk_unique" -> (sum(when(allNotNull, 1L).otherwise(0L)) -
+          count_distinct(pk.head, pk.tail: _*)))
+      }
     val ruleAggs = rules.map { case (n, pred) =>
       n -> sum(when(pred, 1L).otherwise(0L))
     } ++ pkRule
@@ -59,17 +68,21 @@ object AuditQueries {
         col("__n").as("n_rows"))
   }
 
-  /** Referential-integrity rule: count child rows whose foreign key has
-    * no parent. Key-projected left join against the parent's DISTINCT
-    * keys (never trust the key being checked to be unique — a duplicated
-    * parent key would multiply child rows and corrupt both counts). */
+  /** Referential-integrity rule: count child rows whose NON-NULL foreign
+    * key has no parent — SQL FK semantics (and Deequ's), where a NULL FK
+    * satisfies the constraint (an optional reference is a completeness
+    * question for a separate rule, not an orphan; r7f review).
+    * Key-projected left join against the parent's DISTINCT keys (never
+    * trust the key being checked to be unique — a duplicated parent key
+    * would multiply child rows and corrupt both counts). */
   private def riAudit(child: DataFrame, fk: Column, parent: DataFrame,
                       pk: Column, table: String, check: String): DataFrame = {
     child.select(fk.as("__fk"))
       .join(parent.select(pk.as("__pk")).distinct(),
         col("__fk") === col("__pk"), "left")
       .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("__pk").isNull, 1L).otherwise(0L)).cast("long").as("n_bad"))
+        sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_bad"))
       .select(lit(table).as("table_name"), lit(check).as("check"),
         col("n_bad"), col("n_rows"))
   }
@@ -94,7 +107,8 @@ object AuditQueries {
     val c = scalarAudit(customer.select(col("c_custkey")),
       "customer", Seq(col("c_custkey")))
     val ev = scalarAudit(events.select(col("value")), "events", Seq.empty,
-      "value_complete" -> col("value").isNull)
+      "value_complete" -> col("value").isNull,
+      "value_nonnegative" -> (col("value") < 0))
     val ri = Seq(
       riAudit(orders, col("o_custkey"), customer, col("c_custkey"),
         "orders", "fk_custkey"),
@@ -128,39 +142,50 @@ object AuditQueries {
              |    COUNT(*) FROM lineitem
              |  UNION ALL
              |  SELECT 'lineitem', 'pk_unique',
-             |    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)), COUNT(*) FROM lineitem
+             |    COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+             |      - COUNT(DISTINCT (l_orderkey, l_linenumber))
+             |        FILTER (WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL),
+             |    COUNT(*) FROM lineitem
              |  UNION ALL
              |  SELECT 'orders', 'o_totalprice_positive',
              |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
              |    COUNT(*) FROM orders
              |  UNION ALL
              |  SELECT 'orders', 'pk_unique',
-             |    COUNT(*) - COUNT(DISTINCT o_orderkey), COUNT(*) FROM orders
+             |    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey), COUNT(*) FROM orders
              |  UNION ALL
              |  SELECT 'customer', 'pk_unique',
-             |    COUNT(*) - COUNT(DISTINCT c_custkey), COUNT(*) FROM customer
+             |    COUNT(c_custkey) - COUNT(DISTINCT c_custkey), COUNT(*) FROM customer
              |  UNION ALL
              |  SELECT 'events', 'value_complete',
              |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              |    COUNT(*) FROM events
              |  UNION ALL
+             |  SELECT 'events', 'value_nonnegative',
+             |    CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+             |    COUNT(*) FROM events
+             |  UNION ALL
              |  SELECT 'orders', 'fk_custkey',
-             |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+             |    CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+             |      THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
              |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
              |    ON o.o_custkey = c.c_custkey
              |  UNION ALL
              |  SELECT 'lineitem', 'fk_orderkey',
-             |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+             |    CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+             |      THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
              |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
              |    ON l.l_orderkey = o.o_orderkey
              |  UNION ALL
              |  SELECT 'lineitem', 'fk_partkey',
-             |    CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+             |    CAST(SUM(CASE WHEN l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+             |      THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
              |  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
              |    ON l.l_partkey = p.p_partkey
              |  UNION ALL
              |  SELECT 'lineitem', 'fk_suppkey',
-             |    CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+             |    CAST(SUM(CASE WHEN l.l_suppkey IS NOT NULL AND s.s_suppkey IS NULL
+             |      THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
              |  FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
              |    ON l.l_suppkey = s.s_suppkey
              |) ORDER BY table_name, "check"""".stripMargin))

@@ -411,7 +411,11 @@ object CurationQueries {
     * for q44/q48/q56/q112 instead of discovering a quadratic wall mid-
     * job; it is the relational form of the q110 census question, asked
     * BEFORE candidate generation. One token shuffle, dimension-sized
-    * output. */
+    * output. Caveat (same as [[tokenDiversity]]'s Σ f(f−1)): f·(f−1) is
+    * BIGINT — a posting list beyond ~3·10⁹ docs overflows the term
+    * (fail-fast under ANSI); at that point the probe's ANSWER is already
+    * known (every such list is catastrophically hot) and the KMV/MG
+    * sketches are the tool. */
   def joinCostProbe(documents: DataFrame, heavyThreshold: Long = 4096L): DataFrame = {
     val f = documents.select(col("source"), col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("token"))

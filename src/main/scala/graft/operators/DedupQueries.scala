@@ -784,26 +784,10 @@ object DedupQueries {
                           salt: Int = 16): DataFrame = {
     val toks = documents.select(col("doc_id"), col("source"),
       explode(array_distinct(tokens(col("text")))).as("token"))
-    val heavyKeys = toks.groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= heavyTokenThreshold)
-      .select(col("source"), col("token"), lit(true).as("__heavy"))
-    // the flagged index has four consumers (both sides of both paths):
-    // materialize the scan→explode→flag pipeline once (see
-    // prefixSimilarityJoin's identical trade)
-    val flagged = Checkpoints.truncate(
-      toks.join(broadcast(heavyKeys), Seq("source", "token"), "left"))
+    val (flagged, co) = guardedCoOccurrence(toks, Seq.empty,
+      heavyTokenThreshold, salt)
     val sizes = flagged.groupBy(col("doc_id").as("sid")).agg(count(lit(1)).as("sz"))
-    def side(df: DataFrame, as: String): DataFrame =
-      df.select(col("source"), col("token"), col("doc_id").as(as))
-    val light = flagged.filter(col("__heavy").isNull)
-    val heavy = flagged.filter(col("__heavy").isNotNull)
-    val lightCo = side(light, "id1").join(side(light, "id2"), Seq("source", "token"))
-    val heavyCo = Salting.saltedJoin(side(heavy, "id1"), side(heavy, "id2"),
-      Seq("source", "token"), scatterCols = Seq(col("id1")), salt = salt)
-    val inter = lightCo.select(col("id1"), col("id2"))
-      .unionByName(heavyCo.select(col("id1"), col("id2")))
-      .filter(col("id1") < col("id2"))
+    val inter = co.select(col("id1"), col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     // sizes is per-DOCUMENT (data-sized, not dimension-sized): no
     // broadcast hint — at corpus scale it must shuffle-join on doc id;
@@ -874,31 +858,12 @@ object DedupQueries {
         explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("source"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val heavyKeys = tf.groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= heavyTokenThreshold)
-      .select(col("source"), col("token"), lit(true).as("__heavy"))
-    // four consumers (totals + both sides of both paths): materialize
-    // the scan→explode→tf→flag pipeline once (see invertedJaccardJoin)
-    val flagged = Checkpoints.truncate(
-      tf.join(broadcast(heavyKeys), Seq("source", "token"), "left"))
+    val (flagged, co) = guardedCoOccurrence(tf, Seq("tf"),
+      heavyTokenThreshold, salt)
     val totals = flagged.groupBy(col("doc_id").as("sid"))
       .agg(sum(col("tf")).as("tot"))
-    def side(df: DataFrame, as: String, tfAs: String): DataFrame =
-      df.select(col("source"), col("token"), col("doc_id").as(as),
-        col("tf").as(tfAs))
-    val light = flagged.filter(col("__heavy").isNull)
-    val heavy = flagged.filter(col("__heavy").isNotNull)
-    val lightCo = side(light, "id1", "tf1")
-      .join(side(light, "id2", "tf2"), Seq("source", "token"))
-    val heavyCo = Salting.saltedJoin(side(heavy, "id1", "tf1"),
-      side(heavy, "id2", "tf2"), Seq("source", "token"),
-      scatterCols = Seq(col("id1")), salt = salt)
-    val minsum = lightCo.select(col("id1"), col("id2"),
+    val minsum = co.select(col("id1"), col("id2"),
         least(col("tf1"), col("tf2")).as("m"))
-      .unionByName(heavyCo.select(col("id1"), col("id2"),
-        least(col("tf1"), col("tf2")).as("m")))
-      .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(sum(col("m")).as("minsum"))
     // totals are per-DOCUMENT (data-sized): no broadcast hint (q44 rule)
     minsum
@@ -906,6 +871,42 @@ object DedupQueries {
       .withColumnRenamed("tot", "t1")
       .join(totals, col("id2") === col("sid")).drop("sid")
       .withColumnRenamed("tot", "t2")
+  }
+
+  /** The guarded within-source co-occurrence generator shared by the
+    * inverted-index joins (q44 set-Jaccard; q112/q117 via
+    * [[tfPairStats]]): pairs every two index rows sharing
+    * (source, token). `index` is one row per (doc_id, source, token)
+    * plus optional `payload` columns, which come back suffixed
+    * (`tf` → `tf1`/`tf2`). Posting lists ≥ `heavyTokenThreshold` route
+    * through [[Salting.saltedJoin]] (scatter/replicate — the quadratic
+    * emission is inherent to the formulation; the guard spreads it over
+    * `salt` tasks); heavy keys are few by definition → broadcastable
+    * flag set, and the two paths partition the key space, so the union
+    * is exactly the plain join's row set (spec-pinned on hot-token
+    * corpora for both the set and TF payloads). Returns
+    * (flaggedIndex, coRows): the index is checkpoint-materialized once
+    * because it feeds per-doc statistics plus both sides of both join
+    * paths (see [[prefixSimilarityJoin]]'s identical trade). */
+  private def guardedCoOccurrence(index: DataFrame, payload: Seq[String],
+                                  heavyTokenThreshold: Int,
+                                  salt: Int): (DataFrame, DataFrame) = {
+    val heavyKeys = index.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= heavyTokenThreshold)
+      .select(col("source"), col("token"), lit(true).as("__heavy"))
+    val flagged = Checkpoints.truncate(
+      index.join(broadcast(heavyKeys), Seq("source", "token"), "left"))
+    def side(df: DataFrame, suffix: String): DataFrame =
+      df.select(Seq(col("source"), col("token"),
+        col("doc_id").as(s"id$suffix")) ++
+        payload.map(p => col(p).as(s"$p$suffix")): _*)
+    val light = flagged.filter(col("__heavy").isNull)
+    val heavy = flagged.filter(col("__heavy").isNotNull)
+    val lightCo = side(light, "1").join(side(light, "2"), Seq("source", "token"))
+    val heavyCo = Salting.saltedJoin(side(heavy, "1"), side(heavy, "2"),
+      Seq("source", "token"), scatterCols = Seq(col("id1")), salt = salt)
+    (flagged, lightCo.unionByName(heavyCo).filter(col("id1") < col("id2")))
   }
 
   /** Exact Jaccard similarity join over per-document element arrays

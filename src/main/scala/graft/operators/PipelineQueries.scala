@@ -370,25 +370,33 @@ object PipelineQueries {
   /** Per-source triangle census of the duplicate graph (q110):
     * edges / wedges / triangles per source — the clustering-structure
     * diagnostic that separates chain-like duplication (scrape drift:
-    * many edges, few triangles) from clique-like duplication (mirrored
-    * corpora: triangle-dense). Degree-ordered counting (Schank &
-    * Wagner 2005; the MapReduce formulation is Suri & Vassilvitskii,
-    * WWW 2011):
+    * many wedges, few triangles) from clique-like duplication (mirrored
+    * corpora: triangle-dense; transitivity 3T/W → 1). Degree-ordered
+    * counting (Schank & Wagner 2005; the MapReduce formulation is Suri
+    * & Vassilvitskii, WWW 2011):
     *
     *  1. orient every edge from the endpoint lower in the total order
     *     π(x) = (degree(x), x) to the higher;
-    *  2. wedges = the oriented self-join on the apex u, spokes
-    *     π-ordered so each unordered wedge appears exactly once and
-    *     already oriented like its closing edge;
-    *  3. triangles = wedges ⋈ oriented edges on the (spoke, spoke) key.
+    *  2. candidate wedges = the oriented self-join on the apex u,
+    *     spokes π-ordered — each TRIANGLE's closing pair is generated
+    *     exactly once, already oriented like its closing edge;
+    *  3. triangles = candidates ⋈ oriented edges on the (spoke, spoke)
+    *     key.
     *
     * Why orientation matters at scale: a plain wedge join fans out
     * quadratically in the MAX degree (a near-dup clique of c docs has a
     * c-degree hub → c² wedges at one key); π-orientation bounds every
     * out-degree by O(√m), so per-key fan-out — and each triangle is
-    * counted once with no /3 correction or global dedup. The wedge count
-    * itself never materializes wedges: it is Σ C(outdeg, 2), a
-    * broadcast-sized aggregate over out-degrees.
+    * counted once with no /3 correction or global dedup.
+    *
+    * Two wedge columns, both aggregates over degree relations with no
+    * wedge materialization: `n_wedges` is the GRAPH's wedge count
+    * Σ C(deg, 2) over undirected degrees (the transitivity
+    * denominator — 3·n_triangles / n_wedges is the standard clustering
+    * coefficient); `n_wedge_checks` is Σ C(outdeg, 2) over the
+    * π-orientation — the number of candidate pairs the closing join
+    * actually examines, i.e. the COST of step 3 (≤ n_wedges, the
+    * orientation's saving).
     *
     * The edge set is the prefix-filtered similarity join (q56's scale
     * shape, sorted=false), checkpoint-truncated once: it feeds the
@@ -427,14 +435,20 @@ object PipelineQueries {
       df.join(srcOf.withColumnRenamed("doc_id", idCol), Seq(idCol))
         .groupBy(col("source")).agg(agg.as(as))
     val eSrc = bySrc(pairs, "id1", count(lit(1)), "n_edges")
-    // wedge COUNT without wedge rows: Σ C(outdeg, 2) over apexes
+    // both wedge COUNTS without wedge rows: Σ C(deg, 2) over undirected
+    // degrees (graph wedges) and Σ C(outdeg, 2) over apexes (closing-
+    // join work)
+    val wSrc = bySrc(deg.withColumnRenamed("id", "u"), "u",
+      sum(expr("deg * (deg - 1) DIV 2")).cast("long"), "n_wedges")
     val outdeg = o.groupBy(col("u")).agg(count(lit(1)).as("od"))
-    val wSrc = bySrc(outdeg, "u",
-      sum(expr("od * (od - 1) DIV 2")).cast("long"), "n_wedges")
+    val cSrc = bySrc(outdeg, "u",
+      sum(expr("od * (od - 1) DIV 2")).cast("long"), "n_wedge_checks")
     val tSrc = bySrc(tri, "u", count(lit(1)), "n_triangles")
-    eSrc.join(wSrc, Seq("source"), "left").join(tSrc, Seq("source"), "left")
+    eSrc.join(wSrc, Seq("source"), "left")
+      .join(cSrc, Seq("source"), "left").join(tSrc, Seq("source"), "left")
       .select(col("source"), col("n_edges"),
         coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+        coalesce(col("n_wedge_checks"), lit(0L)).as("n_wedge_checks"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .orderedResult(col("source"))
   }
@@ -461,8 +475,9 @@ object PipelineQueries {
 
     // ── per-source triangle census of the duplicate graph: degree-
     //    ordered wedge join (π-orientation bounds per-key fan-out by
-    //    O(√m)), wedge counts as Σ C(outdeg,2) with no wedge
-    //    materialization; full construction re-derived in DuckDB ──
+    //    O(√m)); graph wedges Σ C(deg,2) AND closing-join work
+    //    Σ C(outdeg,2), both counted with no wedge materialization;
+    //    full construction re-derived in DuckDB ──
     "q110_triangles" -> QueryDef(
       (s, d) => triangleCensus(Tables.documents(s, d)),
       Some(s"""WITH ${jaccardPairsCte(0.5)},
@@ -482,14 +497,18 @@ object PipelineQueries {
              |od AS (SELECT u, COUNT(*) AS od FROM o GROUP BY 1),
              |es AS (SELECT d.source, COUNT(*) AS n_edges
              |       FROM pairs p JOIN documents d ON d.doc_id = p.id1 GROUP BY 1),
-             |ws AS (SELECT d.source, SUM(od * (od - 1) // 2) AS n_wedges
+             |ws AS (SELECT d.source, SUM(deg.deg * (deg.deg - 1) // 2) AS n_wedges
+             |       FROM deg JOIN documents d ON d.doc_id = deg.id GROUP BY 1),
+             |cs AS (SELECT d.source, SUM(od * (od - 1) // 2) AS n_wedge_checks
              |       FROM od JOIN documents d ON d.doc_id = od.u GROUP BY 1),
              |ts AS (SELECT d.source, COUNT(*) AS n_triangles
              |       FROM tri JOIN documents d ON d.doc_id = tri.u GROUP BY 1)
              |SELECT es.source, es.n_edges,
              |  CAST(COALESCE(ws.n_wedges, 0) AS BIGINT) AS n_wedges,
+             |  CAST(COALESCE(cs.n_wedge_checks, 0) AS BIGINT) AS n_wedge_checks,
              |  CAST(COALESCE(ts.n_triangles, 0) AS BIGINT) AS n_triangles
              |FROM es LEFT JOIN ws ON ws.source = es.source
+             |        LEFT JOIN cs ON cs.source = es.source
              |        LEFT JOIN ts ON ts.source = es.source
              |ORDER BY es.source""".stripMargin)),
 

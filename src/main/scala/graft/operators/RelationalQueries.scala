@@ -715,15 +715,23 @@ object RelationalQueries {
         // the oracle uses epoch_us // 1000000
         val x = (unix_timestamp(col("ts")) - lit(1704067200L)).cast("decimal(10,0)")
         val y = (col("value").cast("decimal(18,3)") * 1000).cast("decimal(10,0)")
+        // Precision contract (sized so every decimal product stays ≤ 38
+        // digits): ≤ 10⁹ rows per user, |x| ≤ 3.2·10⁸ s (±10 years from
+        // the centering epoch), |y| ≤ 10⁷ milli (|value| ≤ 10⁴) ⇒
+        // |sx| ≤ 3.2e17 (18), |sy| ≤ 1e16 (17), |sxy| ≤ 3.2e24 (25),
+        // |sxx| ≤ 1.1e26 (27); n·sxx ≤ 10+27+1 = 38, sx² ≤ 37,
+        // n·sxy ≤ 36, sx·sy ≤ 36. Out-of-contract corpora fail FAST
+        // under Spark's default ANSI mode (cast throws) instead of
+        // silently dropping users vs the HUGEINT oracle.
         val agg = Tables.events(s, d)
           .filter(col("value").isNotNull)
           .select(col("user_id"), x.as("x"), y.as("y"))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).cast("decimal(10,0)").as("n"),
-            sum(col("x")).cast("decimal(17,0)").as("sx"),
-            sum(col("y")).cast("decimal(16,0)").as("sy"),
-            sum(col("x") * col("y")).cast("decimal(22,0)").as("sxy"),
-            sum(col("x") * col("x")).cast("decimal(23,0)").as("sxx"))
+            sum(col("x")).cast("decimal(18,0)").as("sx"),
+            sum(col("y")).cast("decimal(17,0)").as("sy"),
+            sum(col("x") * col("y")).cast("decimal(25,0)").as("sxy"),
+            sum(col("x") * col("x")).cast("decimal(27,0)").as("sxx"))
         val slope = col("numS").cast("double") / col("den").cast("double")
         agg.select(col("user_id"), col("n"), col("sx"), col("sy"),
             (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),

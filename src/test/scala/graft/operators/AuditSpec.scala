@@ -37,7 +37,7 @@ class AuditSpec extends SparkSpec {
   test("clean data: every rule reports zero violations") {
     val (li, o, c, p, s, ev) = clean
     val got = auditMap(li, o, c, p, s, ev)
-    assert(got.size == 11, s"expected 11 rules, got ${got.keys.toSeq.sorted}")
+    assert(got.size == 12, s"expected 12 rules, got ${got.keys.toSeq.sorted}")
     assert(got.values.forall(_._1 == 0L), s"clean data flagged: $got")
     assert(got(("lineitem", "pk_unique"))._2 == 3L)
     assert(got(("orders", "fk_custkey"))._2 == 2L)
@@ -71,8 +71,29 @@ class AuditSpec extends SparkSpec {
     assert(got(("orders", "fk_custkey"))._1 == 1L)      // o_custkey=42
     assert(got(("customer", "pk_unique"))._1 == 1L)
     assert(got(("events", "value_complete"))._1 == 1L)
+    assert(got(("events", "value_nonnegative"))._1 == 0L)
     // a duplicated PARENT key must not multiply child rows in RI counts
     assert(got(("orders", "fk_custkey"))._2 == 3L, "n_rows = child rows, not join rows")
+  }
+
+  test("NULL keys: completeness problems, never duplicates or orphans") {
+    val (li, o0, c, p, s, ev) = clean
+    // two orders with NULL o_orderkey and one with NULL o_custkey: the
+    // NULL keys must not count as pk duplicates (r7f review: Spark's
+    // count_distinct skips them, DuckDB's row-DISTINCT does not — both
+    // sides now audit the non-null domain), and a NULL FK satisfies RI
+    val o = o0.unionByName(Seq(
+      (Option.empty[Long], Option(3L), 10.0),
+      (Option.empty[Long], Option(4L), 20.0),
+      (Option(12L), Option.empty[Long], 30.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+    val got = auditMap(li, o, c, p, s, ev)
+    assert(got(("orders", "pk_unique"))._1 == 0L,
+      "NULL keys are not duplicates of each other")
+    // custkeys 3 and 4 ARE orphans (non-null, no parent); NULL is not
+    assert(got(("orders", "fk_custkey"))._1 == 2L,
+      "NULL FK satisfies referential integrity")
+    assert(got(("orders", "fk_custkey"))._2 == 5L)
   }
 
   test("registered q108 matches hand-derived rules on the real tables") {

@@ -338,18 +338,19 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got == refPageRank(nodes, pairs))
   }
 
-  private def bruteTriangles(pairs: Seq[(Long, Long)]): (Long, Long) = {
-    // wedges = Σ C(deg,2) over the UNDIRECTED degree? No — the census
-    // counts ORIENTED wedges (each unordered wedge once), which equals
-    // Σ C(outdeg,2) under the π-orientation; brute-force the same way
+  private def bruteTriangles(pairs: Seq[(Long, Long)]): (Long, Long, Long) = {
+    // n_wedges = Σ C(deg,2) over UNDIRECTED degrees (the graph's wedge
+    // count — transitivity denominator); n_wedge_checks = Σ C(outdeg,2)
+    // under the π-orientation (the closing join's candidate volume)
     val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
     val deg = adj.map { case (k, v) => k -> v.size }
+    val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
     def pi(x: Long) = (deg(x), x)
     import scala.math.Ordering.Implicits._
     val out = pairs.map { case (a, b) => if (pi(a) < pi(b)) (a, b) else (b, a) }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-    val wedges = out.values.map(vs => vs.size.toLong * (vs.size - 1) / 2).sum
+    val checks = out.values.map(vs => vs.size.toLong * (vs.size - 1) / 2).sum
     val edgeSet = pairs.map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
     val tris = out.values.flatMap { vs =>
       for (i <- vs.indices; j <- vs.indices if i < j) yield {
@@ -357,7 +358,7 @@ class PipelineQueriesSpec extends SparkSpec {
         if (edgeSet.contains(if (x < y) (x, y) else (y, x))) 1L else 0L
       }
     }.sum
-    (wedges, tris)
+    (wedges, checks, tris)
   }
 
   test("triangle census: planted clique + path + isolate match brute force") {
@@ -385,19 +386,22 @@ class PipelineQueriesSpec extends SparkSpec {
     // sanity on the fixture: the triad and the 4-clique must be complete
     assert(pairs.toSet.contains((0L, 1L)) && pairs.toSet.contains((6L, 9L)))
     val got = PipelineQueries.triangleCensus(d, threshold = 0.5)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSeq
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
     val bySrc = Seq("s", "t").map { src =>
       val sp = pairs.filter { case (a, b) =>
         val ids = if (src == "s") (0L to 5L).toSet else (6L to 9L).toSet
         ids.contains(a) && ids.contains(b)
       }
-      val (w, t) = bruteTriangles(sp)
-      (src, sp.size.toLong, w, t)
+      val (w, c, t) = bruteTriangles(sp)
+      (src, sp.size.toLong, w, c, t)
     }
     assert(got == bySrc)
     val t = got.find(_._1 == "t").get
-    assert(t._4 == 4L, "4-clique has C(4,3)=4 triangles")
+    assert(t._5 == 4L, "4-clique has C(4,3)=4 triangles")
+    // 4-clique: 12 graph wedges (Σ C(3,2) over 4 nodes), but the
+    // orientation examines only Σ C(outdeg,2) = C(3,2)+C(2,2)+C(1,2) = 4
+    assert(t._3 == 12L && t._4 == 4L, "orientation saves 2/3 of the wedge checks")
   }
 
   test("triangle census on the real table matches brute force") {
@@ -408,12 +412,12 @@ class PipelineQueriesSpec extends SparkSpec {
     val srcOf = docs.select(col("doc_id"), col("source")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val want = pairs.groupBy(p => srcOf(p._1)).map { case (src, sp) =>
-      val (w, t) = bruteTriangles(sp)
-      (src, sp.size.toLong, w, t)
+      val (w, c, t) = bruteTriangles(sp)
+      (src, sp.size.toLong, w, c, t)
     }.toSeq.sortBy(_._1)
     val got = PipelineQueries.triangleCensus(docs)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSeq
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
     assert(got == want)
   }
 
