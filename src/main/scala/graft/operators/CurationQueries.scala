@@ -459,7 +459,72 @@ object CurationQueries {
       .orderedResult(col("source"))
   }
 
+  /** Top collocations by association lift (q119): adjacent-token
+    * bigrams whose observed rate beats the independence expectation —
+    * lift = (c_xy / N_bi) / ((c_x / N) · (c_y / N)) — min support
+    * c_xy ≥ `minCount`, top `k` by (lift, w1, w2). Boilerplate phrases
+    * ("click here", "all rights reserved") lead this report; it is the
+    * phrase-level companion of q77's token heavy hitters.
+    *
+    * Shapes: bigram and unigram counts are two map-side-combinable
+    * aggregates over one tokenized scan each; the corpus totals are
+    * single-row broadcasts; the support gate (≥ minCount) shrinks the
+    * bigram relation BEFORE the two unigram joins; the final top-k is
+    * sort+limit — Spark plans TakeOrdered (per-partition heaps + one
+    * k-row merge), never a global sort shuffle. Lift is one fixed IEEE
+    * chain over exact BIGINT counts, identical on both engines; ties
+    * break on (w1, w2). */
+  def collocations(documents: DataFrame, minCount: Long = 10L,
+                   k: Int = 20): DataFrame = {
+    val tk = split(col("text"), " ")
+    val toks = documents.select(explode(tk).as("t"))
+    val bi = documents
+      .select(explode(transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val totals = uni.agg(sum(col("cu")).cast("long").as("n_tok"))
+    val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val biTotal = bi.agg(count(lit(1)).as("n_bi"))
+    biCounts
+      .join(uni.select(col("t").as("w1"), col("cu").as("c_x")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("cu").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(biTotal))
+      .withColumn("lift",
+        (col("c_xy").cast("double") / col("n_bi").cast("double")) /
+          ((col("c_x").cast("double") / col("n_tok").cast("double")) *
+            (col("c_y").cast("double") / col("n_tok").cast("double"))))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   val registry: Map[String, QueryDef] = Map(
+
+    // ── top bigram collocations by association lift: two token
+    //    aggregates + support-gated unigram joins + TakeOrdered top-k;
+    //    lift re-derived exactly in DuckDB ──
+    "q119_collocations" -> QueryDef(
+      (s, d) => collocations(Tables.documents(s, d)),
+      Some("""WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+             |toks AS (SELECT unnest(t) AS t FROM tk),
+             |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2
+             |       FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+             |uni AS (SELECT t, COUNT(*) AS cu FROM toks GROUP BY t),
+             |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_tok FROM uni),
+             |bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2
+             |       HAVING COUNT(*) >= 10),
+             |bt AS (SELECT COUNT(*) AS n_bi FROM bi)
+             |SELECT bc.w1, bc.w2, bc.c_xy, u1.cu AS c_x, u2.cu AS c_y,
+             |  (CAST(bc.c_xy AS DOUBLE) / CAST(bt.n_bi AS DOUBLE))
+             |    / ((CAST(u1.cu AS DOUBLE) / CAST(tot.n_tok AS DOUBLE))
+             |     * (CAST(u2.cu AS DOUBLE) / CAST(tot.n_tok AS DOUBLE))) AS lift
+             |FROM bc JOIN uni u1 ON u1.t = bc.w1
+             |        JOIN uni u2 ON u2.t = bc.w2, tot, bt
+             |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin)),
 
     // ── per-source lexical diversity: TTR, Simpson collision index,
     //    hapax ratio — exact integer aggregates, fixed IEEE ratio chains ──

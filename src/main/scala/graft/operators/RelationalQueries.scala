@@ -758,6 +758,158 @@ object RelationalQueries {
              |  slope AS slope_milli_per_sec,
              |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
              |    / CAST(n AS DOUBLE) AS intercept_milli
-             |FROM s ORDER BY user_id""".stripMargin))
+             |FROM s ORDER BY user_id""".stripMargin)),
+
+    // ── hourly ingest-anomaly detection: per event_type, flag hours
+    //    whose count deviates ≥ 3σ from the trailing 24-hour window
+    //    (current hour excluded). The window runs over the HOURLY
+    //    AGGREGATE — dimension-sized (hours × types), so the per-type
+    //    ordered window never touches row-scale data; z is one fixed
+    //    IEEE chain over exact integer window sums, identical on both
+    //    engines. The feed-health monitor for the automatic mode's
+    //    ingest (a dying feed → z ≪ 0; a replay storm → z ≫ 0). ──
+    "q118_hourly_anomaly" -> QueryDef(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+          .rowsBetween(-24, -1)
+        val nb = count(lit(1)).over(w)
+        val sx = sum(col("c")).over(w)
+        val sxx = sum(col("c") * col("c")).over(w)
+        val nD = nb.cast("double")
+        val mean = sx.cast("double") / nD
+        val variance = (sxx.cast("double") -
+          sx.cast("double") * sx.cast("double") / nD) / nD
+        val z = (col("c").cast("double") - mean) / sqrt(variance)
+        hourly
+          .select(col("event_type"), col("hour"), col("c"),
+            nb.as("n_base"), variance.as("__var"), z.as("z"))
+          // the variance>0 gate (not an inf/NaN filter) keeps the
+          // constant-baseline degenerate case out identically on both
+          // engines — float division by zero semantics never reached
+          .filter(col("n_base") === 24 && col("__var") > 0 &&
+            abs(col("z")) >= 3)
+          .drop("__var")
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+             |    COUNT(*) AS c FROM events GROUP BY 1, 2),
+             |w AS (SELECT event_type, hour, c,
+             |    COUNT(*) OVER tw AS n_base,
+             |    SUM(c) OVER tw AS sx, SUM(c * c) OVER tw AS sxx
+             |  FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+             |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+             |v AS (SELECT event_type, hour, c, n_base,
+             |    (CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_base AS DOUBLE))
+             |      / CAST(n_base AS DOUBLE) AS var,
+             |    CAST(c AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n_base AS DOUBLE) AS dev
+             |  FROM w WHERE n_base = 24)
+             |SELECT event_type, hour, c, CAST(n_base AS BIGINT) AS n_base,
+             |  dev / SQRT(var) AS z
+             |FROM v WHERE var > 0 AND ABS(dev / SQRT(var)) >= 3
+             |ORDER BY event_type, hour""".stripMargin)),
+
+    // ── weekly retention cohorts: users grouped by first-activity week,
+    //    active-user counts per (cohort, week offset). Two user-keyed
+    //    aggregates + one distinct — no window anywhere; the matrix is
+    //    dimension-sized (weeks²). The product-analytics staple, and the
+    //    rider-retention question for the transit domain. ──
+    "q120_retention_cohorts" -> QueryDef(
+      (s, d) => {
+        val wk = date_trunc("week", col("ts"))
+        val ev = Tables.events(s, d).select(col("user_id"), wk.as("aw"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("aw")).as("cw"))
+        ev.join(first, Seq("user_id"))
+          .select(col("cw").as("cohort_week"),
+            expr("datediff(aw, cw) div 7").cast("long").as("week_offset"),
+            col("user_id"))
+          .distinct()
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_active_users"))
+          .orderedResult(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH w AS (SELECT user_id, date_trunc('week', ts) AS aw FROM events),
+             |f AS (SELECT user_id, MIN(aw) AS cw FROM w GROUP BY 1),
+             |a AS (SELECT DISTINCT f.cw, date_diff('day', f.cw, w.aw) // 7 AS off,
+             |        w.user_id
+             |      FROM w JOIN f USING (user_id))
+             |SELECT cw AS cohort_week, CAST(off AS BIGINT) AS week_offset,
+             |  COUNT(*) AS n_active_users
+             |FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // ── RFM segmentation WITHOUT NTILE: recency/frequency/monetary
+    //    terciles per customer. The textbook formulation is three global
+    //    NTILE(3) windows — three full sorts of the customer relation
+    //    through one partition each. Here the six tercile thresholds
+    //    come from [[Selection.kthSmallest]] over the stacked
+    //    (metric, value) relation (map-side aggregate passes, driver
+    //    state = 3 groups), and bucketing is a broadcast-literal
+    //    comparison — no sort, no window, one final 27-row rollup.
+    //    Oracle re-derives the same thresholds by ranking (value at a
+    //    rank is tie-order-invariant). ──
+    "q121_rfm_segments" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val per = o
+          .groupBy(col("o_custkey"))
+          .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+            count(lit(1)).as("f"),
+            sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+              .cast("long").as("m"))
+          .crossJoin(broadcast(o.agg(max(to_date(col("o_orderdate"))).as("ref"))))
+          .select(col("o_custkey"),
+            datediff(col("ref"), col("last_d")).cast("long").as("r"),
+            col("f"), col("m"))
+        val stacked = per.select(col("o_custkey"),
+          expr("stack(3, 'r', r, 'f', f, 'm', m) as (metric, v)"))
+        def thresholds(kOfN: Long => Long): Map[String, Long] =
+          Selection.kthSmallest(stacked, "metric", "v", kOfN)
+            .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+        val t1 = thresholds(n => (n + 2) / 3)
+        val t2 = thresholds(n => (2 * n + 2) / 3)
+        def bucket(c: org.apache.spark.sql.Column, metric: String) =
+          lit(1) + when(c > t1(metric), 1).otherwise(0) +
+            when(c > t2(metric), 1).otherwise(0)
+        per.select(bucket(col("r"), "r").as("r_bucket"),
+            bucket(col("f"), "f").as("f_bucket"),
+            bucket(col("m"), "m").as("m_bucket"))
+          .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderedResult(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      },
+      Some("""WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS rd FROM orders),
+             |per AS (SELECT o_custkey,
+             |    date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+             |              (SELECT rd FROM ref)) AS r,
+             |    COUNT(*) AS f,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             |      AS BIGINT) AS m
+             |  FROM orders GROUP BY 1),
+             |mx AS (SELECT 'r' AS metric, CAST(r AS BIGINT) AS v FROM per
+             |  UNION ALL SELECT 'f', f FROM per
+             |  UNION ALL SELECT 'm', m FROM per),
+             |rk AS (SELECT metric, v,
+             |    ROW_NUMBER() OVER (PARTITION BY metric ORDER BY v) AS rk,
+             |    COUNT(*) OVER (PARTITION BY metric) AS n FROM mx),
+             |th AS (SELECT metric,
+             |    MAX(CASE WHEN rk = (n + 2) // 3 THEN v END) AS t1,
+             |    MAX(CASE WHEN rk = (2 * n + 2) // 3 THEN v END) AS t2
+             |  FROM rk GROUP BY metric)
+             |SELECT
+             |  1 + (CASE WHEN p.r > tr.t1 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN p.r > tr.t2 THEN 1 ELSE 0 END) AS r_bucket,
+             |  1 + (CASE WHEN p.f > tf.t1 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN p.f > tf.t2 THEN 1 ELSE 0 END) AS f_bucket,
+             |  1 + (CASE WHEN p.m > tm.t1 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN p.m > tm.t2 THEN 1 ELSE 0 END) AS m_bucket,
+             |  COUNT(*) AS n_customers
+             |FROM per p,
+             |  (SELECT t1, t2 FROM th WHERE metric = 'r') tr,
+             |  (SELECT t1, t2 FROM th WHERE metric = 'f') tf,
+             |  (SELECT t1, t2 FROM th WHERE metric = 'm') tm
+             |GROUP BY 1, 2, 3 ORDER BY r_bucket, f_bucket, m_bucket""".stripMargin))
   )
 }

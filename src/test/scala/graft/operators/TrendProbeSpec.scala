@@ -40,6 +40,111 @@ class TrendProbeSpec extends SparkSpec {
     assert(got.values.map(_._2).toSet.size > 1)
   }
 
+  test("q118 anomaly: planted spike flagged, constant baseline excluded, z matches driver") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600L * 1000)
+    // type A: alternating 2/3 counts for 25 h, then an 80-count spike at
+    // hour 25; type B: constant 5 (variance 0 -> must NOT be flagged even
+    // though hour 26 deviates)
+    val rows = (0 until 25).flatMap(h =>
+        Seq.fill(if (h % 2 == 0) 2 else 3)(("A", at(h)))) ++
+      Seq.fill(80)(("A", at(25))) ++
+      (0 until 26).flatMap(h => Seq.fill(5)(("B", at(h)))) ++
+      Seq.fill(50)(("B", at(26)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom").toString
+    rows.zipWithIndex
+      .map { case ((t, ts), i) => (i.toLong, ts, i.toLong % 7, t, 1.0, "p") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = RelationalQueries.registry("q118_hourly_anomaly").build(spark, dir)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(4)))
+    assert(got.map(g => (g._1, g._2)).toSet == Set(("A", at(25))),
+      s"exactly the type-A spike hour flags: ${got.mkString(",")}")
+    // driver recompute of z for the spike hour: trailing 24 hours are
+    // hours 1..24 (12 threes at odd h, 12 twos at even h)
+    val counts = (1 to 24).map(h => if (h % 2 == 0) 2.0 else 3.0)
+    val mean = counts.sum / 24
+    val variance = (counts.map(c => c * c).sum - counts.sum * counts.sum / 24) / 24
+    val z = (80.0 - mean) / math.sqrt(variance)
+    assert(math.abs(got.head._4 - z) < 1e-9)
+  }
+
+  test("q119 collocations: planted phrase tops the lift ranking, brute-force match") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // filler bigrams from a broad vocabulary + a planted rare-but-always-
+    // adjacent phrase "zeta qoph" repeated 12 times
+    val docs = ((0 until 40).map { i =>
+      (i.toLong, "s", (0 until 30).map(_ => s"w${rnd.nextInt(40)}").mkString(" "))
+    } ++ (40 until 52).map { i => (i.toLong, "s", "zeta qoph filler" + i) })
+      .toDF("doc_id", "source", "text")
+    val got = CurationQueries.collocations(docs, minCount = 10L, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5)))
+    assert(got.head._1 == "zeta" && got.head._2 == "qoph" && got.head._3 == 12L)
+    // driver brute force of the full ranking
+    val texts = docs.collect().map(_.getString(2))
+    val toks = texts.flatMap(_.split(" "))
+    val bis = texts.flatMap(t => { val w = t.split(" "); w.zip(w.tail) })
+    val nTok = toks.length.toDouble
+    val nBi = bis.length.toDouble
+    val cu = toks.groupBy(identity).view.mapValues(_.length).toMap
+    val want = bis.groupBy(identity).collect {
+      case ((a, b), occ) if occ.length >= 10 =>
+        val lift = (occ.length / nBi) / ((cu(a) / nTok) * (cu(b) / nTok))
+        (a, b, occ.length.toLong, lift)
+    }.toSeq.sortBy(t => (-t._4, t._1, t._2)).take(5)
+    assert(got.toSeq == want)
+  }
+
+  test("q120 retention cohorts match a driver recompute on the real events") {
+    val ev = graft.sources.Tables.events(spark, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val cohort = ev.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).min }
+    val want = ev.map { case (u, aw) =>
+      val cw = cohort(u)
+      (cw, (aw.getTime - cw.getTime) / (7L * 86400 * 1000), u)
+    }.distinct.groupBy(t => (t._1, t._2)).map { case ((cw, off), us) =>
+      (cw, off, us.size.toLong)
+    }.toSeq.sortBy(t => (t._1.getTime, t._2))
+    val got = RelationalQueries.registry("q120_retention_cohorts").build(spark, d)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // offset 0 row per cohort exists (every user is active in their own
+    // first week by construction)
+    assert(got.filter(_._2 == 0L).map(_._3).sum ==
+      cohort.keys.size.toLong)
+  }
+
+  test("q121 RFM segments match driver-side tercile bucketing, partition the customers") {
+    val o = spark.read.parquet(s"$d/orders.parquet")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val ref = o.map(_._2).max
+    val per = o.groupBy(_._1).map { case (c, rows) =>
+      val r = java.time.temporal.ChronoUnit.DAYS.between(rows.map(_._2).max, ref)
+      (c, r, rows.size.toLong, rows.map(_._3).sum)
+    }.toSeq
+    def terciles(vs: Seq[Long]): (Long, Long) = {
+      val s = vs.sorted
+      (s(((s.size + 2) / 3 - 1).toInt), s(((2 * s.size + 2) / 3 - 1).toInt))
+    }
+    val (r1, r2) = terciles(per.map(_._2))
+    val (f1, f2) = terciles(per.map(_._3))
+    val (m1, m2) = terciles(per.map(_._4))
+    def b(v: Long, t1: Long, t2: Long) =
+      1 + (if (v > t1) 1 else 0) + (if (v > t2) 1 else 0)
+    val want = per.groupBy(p => (b(p._2, r1, r2), b(p._3, f1, f2), b(p._4, m1, m2)))
+      .map { case ((rb, fb, mb), cs) => (rb, fb, mb, cs.size.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2, t._3))
+    val got = RelationalQueries.registry("q121_rfm_segments").build(spark, d)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.map(_._4).sum == per.size.toLong, "buckets partition the customers")
+  }
+
   test("q115 posting statistics match brute force and predict q44's co-occurrence volume") {
     val docs = graft.sources.Tables.documents(spark, d)
     val posting = docs.select(col("doc_id"), col("source"),
