@@ -145,6 +145,19 @@ class TrendProbeSpec extends SparkSpec {
     assert(got.map(_._4).sum == per.size.toLong, "buckets partition the customers")
   }
 
+  test("float-emitting analytics are bit-stable across independent runs") {
+    // the float-discipline contract: every emitted double is a FIXED
+    // IEEE chain over order-insensitive exact-integer aggregates, so
+    // re-running the same query must reproduce every bit even though
+    // partition order varies. Two independent plan builds + collects.
+    for (q <- Seq("q114_user_trend", "q116_token_diversity",
+        "q118_hourly_anomaly", "q119_collocations", "q121_rfm_segments")) {
+      def run() = (RelationalQueries.registry ++ CurationQueries.registry)(q)
+        .build(spark, d).collect().map(_.toSeq).toSeq
+      assert(run() == run(), s"$q not bit-stable across runs")
+    }
+  }
+
   test("q115 posting statistics match brute force and predict q44's co-occurrence volume") {
     val docs = graft.sources.Tables.documents(spark, d)
     val posting = docs.select(col("doc_id"), col("source"),
