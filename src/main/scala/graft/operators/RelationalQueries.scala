@@ -910,6 +910,131 @@ object RelationalQueries {
              |  (SELECT t1, t2 FROM th WHERE metric = 'r') tr,
              |  (SELECT t1, t2 FROM th WHERE metric = 'f') tf,
              |  (SELECT t1, t2 FROM th WHERE metric = 'm') tm
-             |GROUP BY 1, 2, 3 ORDER BY r_bucket, f_bucket, m_bucket""".stripMargin))
+             |GROUP BY 1, 2, 3 ORDER BY r_bucket, f_bucket, m_bucket""".stripMargin)),
+
+    // ── MERGEABLE quantile sketch: per-group bottom-k row sample by a
+    //    portable uniform hash (the bottom-k sample IS a uniform random
+    //    sample of the group, so its order statistics estimate the
+    //    group's quantiles) — ≤ k pairs per partial aggregate via the
+    //    bounded [[graft.functions.TopK]] buffer, map-side combinable,
+    //    NO per-group sort or window over the data. Completes the
+    //    sketch family: KMV (q74, distinct), Misra-Gries (q77, heavy
+    //    hitters), bottom-k (here, quantiles), Count-Min (q123, point
+    //    counts). The exact twin is q75's radix selection; the sketch
+    //    rung costs one aggregate pass regardless of domain width, and
+    //    unlike q75 it is mergeable across shards/streams. Estimator
+    //    fully deterministic → oracle-checked end to end;
+    //    QuantileSketchSpec bounds the estimate's true CDF position. ──
+    "q122_quantile_sketch" -> QueryDef(
+      (s, d) => {
+        val k = 128
+        // portable uniform row hash: composite line key reduced mod p,
+        // one affine spread — (6e12 and (p-1)·C stay far under 2⁶³)
+        val hv = (((col("l_orderkey") * 1000000 + col("l_linenumber")) %
+          lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
+        val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")
+        val topk = udaf(new graft.functions.TopK(k),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), (-hv).as("nh"), cents.as("cents"))
+          .groupBy(col("l_returnflag"))
+          // TopK orders (value DESC, payload ASC): top-k by -hv ==
+          // bottom-k by hv, ties broken by cents ascending — the exact
+          // order the oracle's (hv, cents) ranking reproduces
+          .agg(topk(col("nh"), col("cents")).as("smp"))
+          .select(col("l_returnflag"),
+            size(col("smp")).as("m"),
+            array_sort(transform(col("smp"), x => x.getField("_2"))).as("vs"))
+          .select(col("l_returnflag"), col("m").cast("long").as("n_sample"),
+            element_at(col("vs"), expr("CAST((m + 1) div 2 AS INT)"))
+              .as("est_median_cents"),
+            element_at(col("vs"), expr("CAST((9 * m + 9) div 10 AS INT)"))
+              .as("est_p90_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH h AS (SELECT l_returnflag,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             |    ((l_orderkey * 1000000 + l_linenumber) % 1000000007
+             |      * 2654435761) % 1000000007 AS hv
+             |  FROM lineitem),
+             |r AS (SELECT l_returnflag, cents,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |      ORDER BY hv, cents) AS rk FROM h),
+             |s AS (SELECT l_returnflag, cents FROM r WHERE rk <= 128),
+             |o AS (SELECT l_returnflag, cents,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS vr,
+             |    COUNT(*) OVER (PARTITION BY l_returnflag) AS m FROM s)
+             |SELECT l_returnflag, MAX(m) AS n_sample,
+             |  MAX(CASE WHEN vr = (m + 1) // 2 THEN cents END) AS est_median_cents,
+             |  MAX(CASE WHEN vr = (9 * m + 9) // 10 THEN cents END) AS est_p90_cents
+             |FROM o GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ── Count-Min sketch point estimates: per event_type a 4×512 CM
+    //    grid of per-user event counts (grid = ONE keyed aggregate,
+    //    types × 4 × 512 rows — bounded regardless of user cardinality,
+    //    mergeable by cell addition), probed for the type's top-10
+    //    users: est = min over the 4 rows' cells, always ≥ the exact
+    //    count. Portable affine row hashes → the whole sketch AND
+    //    estimator re-derived in DuckDB. ──
+    "q123_countmin" -> QueryDef(
+      (s, d) => {
+        val p = 1000000007L
+        def cell(r: Int): Column =
+          ((col("user_id") % p) * lit(2654435761L + 2 * r) + lit(40503L * r + 7)) %
+            lit(p) % 512
+        val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+        val grid = ev
+          .select(col("event_type"), explode(array((0 until 4).map(r =>
+            struct(lit(r).as("r"), cell(r).as("c"))): _*)).as("rc"))
+          .groupBy(col("event_type"), col("rc.r").as("r"), col("rc.c").as("c"))
+          .agg(count(lit(1)).as("n"))
+        val exact = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("exact_n"))
+        // top-10 users per type via the bounded TopK buffer (ordered
+        // (exact_n DESC, user_id ASC) — row_number semantics), not a
+        // per-type rank window over the full user relation
+        val topkU = udaf(new graft.functions.TopK(10),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        val top = exact.groupBy(col("event_type"))
+          .agg(topkU(col("exact_n"), col("user_id")).as("t"))
+          .select(col("event_type"), explode(col("t")).as("e"))
+          .select(col("event_type"), col("e._2").as("user_id"),
+            col("e._1").as("exact_n"))
+        val probes = top.select(col("event_type"), col("user_id"), col("exact_n"),
+          explode(array((0 until 4).map(r =>
+            struct(lit(r).as("r"), cell(r).as("c"))): _*)).as("rc"))
+          .select(col("event_type"), col("user_id"), col("exact_n"),
+            col("rc.r").as("r"), col("rc.c").as("c"))
+        probes.join(grid, Seq("event_type", "r", "c"))
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(max(col("exact_n")).as("exact_n"), min(col("n")).as("cm_est"))
+          .orderedResult(col("event_type"), col("user_id"))
+      },
+      Some("""WITH ev AS (SELECT event_type, user_id FROM events),
+             |cells AS (SELECT event_type, user_id, r,
+             |    ((user_id % 1000000007) * (2654435761 + 2 * r)
+             |      + (40503 * r + 7)) % 1000000007 % 512 AS c
+             |  FROM ev, unnest([0, 1, 2, 3]) AS t(r)),
+             |grid AS (SELECT event_type, r, c, COUNT(*) AS n
+             |         FROM cells GROUP BY 1, 2, 3),
+             |exact AS (SELECT event_type, user_id, COUNT(*) AS exact_n
+             |          FROM ev GROUP BY 1, 2),
+             |top AS (SELECT event_type, user_id, exact_n FROM (
+             |    SELECT event_type, user_id, exact_n, ROW_NUMBER() OVER (
+             |      PARTITION BY event_type ORDER BY exact_n DESC, user_id) AS rk
+             |    FROM exact) WHERE rk <= 10),
+             |pc AS (SELECT t.event_type, t.user_id, t.exact_n, g.n
+             |  FROM top t CROSS JOIN unnest([0, 1, 2, 3]) AS x(r)
+             |  JOIN grid g ON g.event_type = t.event_type AND g.r = x.r
+             |    AND g.c = ((t.user_id % 1000000007) * (2654435761 + 2 * x.r)
+             |      + (40503 * x.r + 7)) % 1000000007 % 512)
+             |SELECT event_type, user_id, MAX(exact_n) AS exact_n,
+             |  MIN(n) AS cm_est
+             |FROM pc GROUP BY 1, 2 ORDER BY event_type, user_id""".stripMargin))
   )
 }

@@ -145,6 +145,49 @@ class TrendProbeSpec extends SparkSpec {
     assert(got.map(_._4).sum == per.size.toLong, "buckets partition the customers")
   }
 
+  test("q122 quantile sketch: estimates land near the true quantiles; exact when k >= group") {
+    val cents = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byFlag = cents.groupBy(_._1).map { case (f, vs) => f -> vs.map(_._2).sorted }
+    val got = RelationalQueries.registry("q122_quantile_sketch").build(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    got.foreach { case (f, (m, med, p90)) =>
+      val vs = byFlag(f)
+      assert(m == math.min(128, vs.size))
+      // true CDF position of the estimates: within ±0.12 of the target
+      // (k=128 uniform sample; bound is ~5 sigma of sqrt(q(1-q)/k))
+      def pos(v: Long) = vs.count(_ <= v).toDouble / vs.size
+      assert(math.abs(pos(med) - 0.5) < 0.12, s"$f median pos ${pos(med)}")
+      assert(math.abs(pos(p90) - 0.9) < 0.12, s"$f p90 pos ${pos(p90)}")
+    }
+    // degenerate small group: a synthetic frame below k gives EXACT stats
+    import spark.implicits._
+    val tiny = (1 to 20).map(i => (100L + i, i, (i * 10).toDouble, "Z"))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+    val dir = java.nio.file.Files.createTempDirectory("graft-qsk").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val z = RelationalQueries.registry("q122_quantile_sketch").build(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    // 20 values 1000..20000 cents: median rank ceil(21/2)=10 -> 10000,
+    // p90 rank ceil(189/10)=18 -> 18000 (wait: (9*20+9)//10 = 18)
+    assert(z == ((20L, 10000L, 18000L)))
+  }
+
+  test("q123 count-min: estimates always dominate exact counts, bounded overshoot") {
+    val got = RelationalQueries.registry("q123_countmin").build(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (t, u, exact, est) =>
+      assert(est >= exact, s"CM must never underestimate: $t/$u $est < $exact")
+      // sf0.001 events: ~2k rows/type over 512-cell rows -> expected
+      // collision mass per cell ~4; min over 4 rows, 64 is >10x slack
+      assert(est - exact <= 64, s"overshoot too large: $t/$u $est vs $exact")
+    }
+  }
+
   test("float-emitting analytics are bit-stable across independent runs") {
     // the float-discipline contract: every emitted double is a FIXED
     // IEEE chain over order-insensitive exact-integer aggregates, so
