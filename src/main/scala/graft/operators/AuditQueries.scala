@@ -50,15 +50,18 @@ object AuditQueries {
     * and counting it here would double-book it (r7f review). */
   private def scalarAudit(df: DataFrame, table: String,
                           pk: Seq[Column], rules: (String, Column)*): DataFrame = {
+    // coalesce: sum() over ZERO rows is NULL — an empty table must
+    // audit as 0 violations, not NULL (r7f review; the oracle
+    // coalesces identically)
     val pkRule: Seq[(String, Column)] =
       if (pk.isEmpty) Seq.empty
       else {
         val allNotNull = pk.map(_.isNotNull).reduce(_ && _)
-        Seq("pk_unique" -> (sum(when(allNotNull, 1L).otherwise(0L)) -
+        Seq("pk_unique" -> (coalesce(sum(when(allNotNull, 1L).otherwise(0L)), lit(0L)) -
           count_distinct(pk.head, pk.tail: _*)))
       }
     val ruleAggs = rules.map { case (n, pred) =>
-      n -> sum(when(pred, 1L).otherwise(0L))
+      n -> coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
     } ++ pkRule
     val agg = df.agg(count(lit(1)).as("__n"),
       ruleAggs.map { case (n, c) => c.as(s"__$n") }: _*)
@@ -81,8 +84,8 @@ object AuditQueries {
       .join(parent.select(pk.as("__pk")).distinct(),
         col("__fk") === col("__pk"), "left")
       .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L).otherwise(0L))
-          .cast("long").as("n_bad"))
+        coalesce(sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+          .otherwise(0L)), lit(0L)).cast("long").as("n_bad"))
       .select(lit(table).as("table_name"), lit(check).as("check"),
         col("n_bad"), col("n_rows"))
   }
@@ -134,11 +137,11 @@ object AuditQueries {
         Tables.events(s, d)),
       Some("""SELECT * FROM (
              |  SELECT 'lineitem' AS table_name, 'l_quantity_range' AS "check",
-             |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+             |    CAST(COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bad,
              |    COUNT(*) AS n_rows FROM lineitem
              |  UNION ALL
              |  SELECT 'lineitem', 'l_discount_range',
-             |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
              |    COUNT(*) FROM lineitem
              |  UNION ALL
              |  SELECT 'lineitem', 'pk_unique',
@@ -148,7 +151,7 @@ object AuditQueries {
              |    COUNT(*) FROM lineitem
              |  UNION ALL
              |  SELECT 'orders', 'o_totalprice_positive',
-             |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
              |    COUNT(*) FROM orders
              |  UNION ALL
              |  SELECT 'orders', 'pk_unique',
@@ -158,34 +161,34 @@ object AuditQueries {
              |    COUNT(c_custkey) - COUNT(DISTINCT c_custkey), COUNT(*) FROM customer
              |  UNION ALL
              |  SELECT 'events', 'value_complete',
-             |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
              |    COUNT(*) FROM events
              |  UNION ALL
              |  SELECT 'events', 'value_nonnegative',
-             |    CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(COALESCE(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
              |    COUNT(*) FROM events
              |  UNION ALL
              |  SELECT 'orders', 'fk_custkey',
-             |    CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
-             |      THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+             |    CAST(COALESCE(SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+             |      THEN 1 ELSE 0 END), 0) AS BIGINT), COUNT(*)
              |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
              |    ON o.o_custkey = c.c_custkey
              |  UNION ALL
              |  SELECT 'lineitem', 'fk_orderkey',
-             |    CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
-             |      THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+             |    CAST(COALESCE(SUM(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+             |      THEN 1 ELSE 0 END), 0) AS BIGINT), COUNT(*)
              |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
              |    ON l.l_orderkey = o.o_orderkey
              |  UNION ALL
              |  SELECT 'lineitem', 'fk_partkey',
-             |    CAST(SUM(CASE WHEN l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
-             |      THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+             |    CAST(COALESCE(SUM(CASE WHEN l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+             |      THEN 1 ELSE 0 END), 0) AS BIGINT), COUNT(*)
              |  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
              |    ON l.l_partkey = p.p_partkey
              |  UNION ALL
              |  SELECT 'lineitem', 'fk_suppkey',
-             |    CAST(SUM(CASE WHEN l.l_suppkey IS NOT NULL AND s.s_suppkey IS NULL
-             |      THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+             |    CAST(COALESCE(SUM(CASE WHEN l.l_suppkey IS NOT NULL AND s.s_suppkey IS NULL
+             |      THEN 1 ELSE 0 END), 0) AS BIGINT), COUNT(*)
              |  FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
              |    ON l.l_suppkey = s.s_suppkey
              |) ORDER BY table_name, "check"""".stripMargin))

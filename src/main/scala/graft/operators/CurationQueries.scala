@@ -478,16 +478,18 @@ object CurationQueries {
                    k: Int = 20): DataFrame = {
     val tk = split(col("text"), " ")
     val toks = documents.select(explode(tk).as("t"))
-    val bi = documents
-      .select(explode(transform(sequence(lit(1), size(tk) - 1),
-        i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
-        .as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // shared GUARDED bigram builder (single-token docs contribute no
+    // bigrams on either engine — r7f review)
+    val bi = PipelineQueries.adjacentBigrams(documents)
+      .select(col("t1").as("w1"), col("t2").as("w2"))
     val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("cu"))
     val totals = uni.agg(sum(col("cu")).cast("long").as("n_tok"))
     val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
-    val biTotal = bi.agg(count(lit(1)).as("n_bi"))
+    // n_bi = Σ max(size-1, 0) — one scalar scan of documents, not a
+    // second tokenize+explode pass over the corpus (r7f review)
+    val biTotal = documents
+      .agg(sum(greatest(size(tk) - 1, lit(0))).cast("long").as("n_bi"))
     biCounts
       .join(uni.select(col("t").as("w1"), col("cu").as("c_x")), Seq("w1"))
       .join(uni.select(col("t").as("w2"), col("cu").as("c_y")), Seq("w2"))

@@ -453,6 +453,24 @@ object PipelineQueries {
       .orderedResult(col("source"))
   }
 
+  /** Adjacent-token bigrams per document as (doc_id, t1, t2), GUARDED
+    * for single-token and empty texts: size < 2 contributes no bigram
+    * rows — an unguarded `sequence(1, size-1)` yields the DESCENDING
+    * array [1, 0] when size = 1 and element_at then throws
+    * INVALID_ARRAY_INDEX (r7f review; DuckDB's generate_series(1, 0) is
+    * empty, so the guard also keeps the engines aligned). Shared by
+    * q72's LM scorer and q119's collocation lift. */
+  private[operators] def adjacentBigrams(documents: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val tk = tokens(col("text"))
+    documents.filter(size(tk) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("t1"),
+          element_at(tk, i + 1).as("t2")))).as("b"))
+      .select(col("doc_id"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+  }
+
   /** q56's oracle CTE fragment: token-Jaccard pairs at threshold `t`
     * within source blocks — reused by q57 as the duplicate edge set. */
   private[operators] def jaccardPairsCte(t: Double): String =
@@ -955,12 +973,7 @@ object PipelineQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val tk = tokens(col("text"))
-        val big = docs.filter(size(tk) >= 2)
-          .select(col("doc_id"), explode(transform(
-            sequence(lit(1), size(tk) - 1),
-            i => struct(element_at(tk, i).as("t1"),
-              element_at(tk, i + 1).as("t2")))).as("b"))
-          .select(col("doc_id"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+        val big = adjacentBigrams(docs)
         val uni = docs.select(explode(tk).as("t"))
         val c2 = big.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c2"))
         val c1 = uni.groupBy(col("t")).agg(count(lit(1)).as("c1"))

@@ -96,6 +96,20 @@ class AuditSpec extends SparkSpec {
     assert(got(("orders", "fk_custkey"))._2 == 5L)
   }
 
+  test("empty tables audit as zero violations, never NULL") {
+    import spark.implicits._
+    val (li, o, c, p, s, ev) = clean
+    val emptyO = o.filter(lit(false))
+    val got = auditMap(li, emptyO, c, p, s, ev)
+    // sum() over zero rows is NULL unless coalesced (r7f review): an
+    // empty orders table must report 0 for its pk/range/RI rules
+    assert(got(("orders", "pk_unique")) == ((0L, 0L)))
+    assert(got(("orders", "o_totalprice_positive")) == ((0L, 0L)))
+    assert(got(("orders", "fk_custkey")) == ((0L, 0L)))
+    // lineitem's RI against the EMPTY parent: every line is an orphan
+    assert(got(("lineitem", "fk_orderkey"))._1 == 3L)
+  }
+
   test("registered q108 matches hand-derived rules on the real tables") {
     val d = "/root/testdata/sf0.001"
     val got = AuditQueries.registry("q108_data_audit").build(spark, d)

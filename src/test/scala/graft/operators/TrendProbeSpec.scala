@@ -97,6 +97,20 @@ class TrendProbeSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("collocations survive single-token and empty-text documents") {
+    import spark.implicits._
+    // the unguarded bigram builder crashed here: sequence(1, 0) is the
+    // DESCENDING [1, 0] and element_at(tk, 0) throws (r7f review)
+    val docs = (Seq((0L, "s", "single"), (1L, "s", "")) ++
+      (2 until 30).map(i => (i.toLong, "s", "zeta qoph common words here")))
+      .toDF("doc_id", "source", "text")
+    val got = CurationQueries.collocations(docs, minCount = 10L, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // all 4 bigrams tie on lift (equal counts); the point is the query
+    // neither crashes nor counts phantom bigrams from the short docs
+    assert(got.length == 3)
+  }
+
   test("q120 retention cohorts match a driver recompute on the real events") {
     val ev = graft.sources.Tables.events(spark, d)
       .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
