@@ -190,6 +190,35 @@ object DedupQueries {
              |WHERE containment >= 0.8
              |ORDER BY id_sub, id_sup""".stripMargin)),
 
+    // ── per-doc top-3 similar neighbors, integer-scaled weighted
+    //    Jaccard (the dedup review relation); bounded TopK per doc,
+    //    no rank window over the pair relation ──
+    "q124_top_similar" -> QueryDef(
+      (s, d) => topSimilarPerDoc(Tables.documents(s, d)),
+      Some("""WITH tf AS (SELECT doc_id, source, token, COUNT(*) AS tf FROM
+             |    (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+             |     FROM documents)
+             |  GROUP BY 1, 2, 3),
+             |tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tot FROM tf GROUP BY 1),
+             |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |         CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS minsum
+             |       FROM tf a JOIN tf b ON a.source = b.source
+             |         AND a.token = b.token AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2),
+             |sc AS (SELECT id1, id2,
+             |         minsum * 1000000000 // (t1.tot + t2.tot - minsum) AS ws
+             |       FROM co JOIN tot t1 ON t1.doc_id = id1
+             |               JOIN tot t2 ON t2.doc_id = id2
+             |       WHERE minsum * 1000000000 // (t1.tot + t2.tot - minsum)
+             |             >= 100000000),
+             |dir AS (SELECT id1 AS doc_id, id2 AS neighbor, ws FROM sc
+             |        UNION ALL SELECT id2, id1, ws FROM sc),
+             |r AS (SELECT doc_id, neighbor, ws, ROW_NUMBER() OVER (
+             |        PARTITION BY doc_id ORDER BY ws DESC, neighbor) AS rank
+             |      FROM dir)
+             |SELECT doc_id, rank, neighbor, CAST(ws AS BIGINT) AS wjac_scaled
+             |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // ── MinHash + LSH banding near-dup candidates (xxhash64 — no oracle;
     //    verified by planted duplicates in DedupSpec) ──
     "q30_minhash_lsh" -> QueryDef(
@@ -846,6 +875,39 @@ object DedupQueries {
     fwd.unionByName(bwd)
       .filter(col("containment") >= threshold)
       .orderedResult(col("id_sub"), col("id_sup"))
+  }
+
+  /** Per-document top-k most-similar neighbors (q124): the dedup REVIEW
+    * relation — for every document, its k nearest corpus neighbors by
+    * weighted Jaccard, with an integer-scaled score so the ranking is
+    * bit-exact on both engines (ws = minsum·10⁹ div Σmax — no float in
+    * a result-bearing ORDER). Derived from the SAME [[tfPairStats]]
+    * relation as q112/q117; the per-doc top-k is the bounded
+    * [[graft.functions.TopK]] buffer (ordered ws DESC, neighbor ASC),
+    * never a per-doc rank window over the pair relation. `minScaled`
+    * floors the candidate set (0.1 here) so the relation stays
+    * review-sized. */
+  def topSimilarPerDoc(documents: DataFrame, k: Int = 3,
+                       minScaled: Long = 100000000L): DataFrame = {
+    val stats = tfPairStats(documents, heavyTokenThreshold = 4096, salt = 16)
+    val sc = stats.withColumn("ws",
+        expr("minsum * 1000000000 DIV (t1 + t2 - minsum)"))
+      .filter(col("ws") >= minScaled)
+    val dir = sc.select(explode(array(
+        struct(col("id1").as("d"), col("id2").as("o"), col("ws")),
+        struct(col("id2").as("d"), col("id1").as("o"), col("ws")))).as("m"))
+      .select(col("m.d").as("doc_id"), col("m.o").as("neighbor"),
+        col("m.ws").as("ws"))
+    val topk = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    dir.groupBy(col("doc_id"))
+      .agg(topk(col("ws"), col("neighbor")).as("t"))
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "e")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("rank"),
+        col("e._2").as("neighbor"), col("e._1").as("wjac_scaled"))
+      .orderedOutput(col("doc_id"), col("rank"))
   }
 
   /** Shared TF-pair statistics of q112/q117: unordered within-source

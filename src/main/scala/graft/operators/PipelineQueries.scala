@@ -453,6 +453,33 @@ object PipelineQueries {
       .orderedResult(col("source"))
   }
 
+  /** Duplicate-cluster statistics report (q125): for every REAL
+    * near-dup cluster (component of ≥ 2 docs over the q57 edge set),
+    * the shape a dedup review reads first — cluster size, how many
+    * sources it spans (cross-source clusters = syndication/mirrors;
+    * single-source = boilerplate), and the token-mass at stake (what
+    * dedup would reclaim). One join of the component assignment to a
+    * projected documents relation + a component-keyed rollup; the
+    * components operator dominates. */
+  def dupClusterStats(documents: org.apache.spark.sql.DataFrame,
+                      threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val edges = DedupQueries.tokenPrefixJoin(documents, threshold,
+        sorted = false)
+      .select(col("id1").as("u"), col("id2").as("v"))
+    val comps = ConnectedComponents.components(
+      documents.select(col("doc_id").as("id")), edges)
+    comps.join(documents.select(col("doc_id").as("id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), Seq("id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+      .filter(col("n_docs") >= 2)
+      .orderedResult(col("component"))
+  }
+
   /** Adjacent-token bigrams per document as (doc_id, t1, t2), GUARDED
     * for single-token and empty texts: size < 2 contributes no bigram
     * rows — an unguarded `sequence(1, size-1)` yields the DESCENDING
@@ -490,6 +517,30 @@ object PipelineQueries {
     "q96_pagerank" -> QueryDef(
       (s, d) => pageRank(Tables.documents(s, d)),
       Some(pageRankOracleSql(5, 0.4))),
+
+    // ── per-cluster dedup report: size, source span, token mass for
+    //    every ≥2-doc component; oracle composes the recursive-CTE
+    //    reachability with the rollup ──
+    "q125_cluster_stats" -> QueryDef(
+      (s, d) => dupClusterStats(Tables.documents(s, d)),
+      Some(s"""WITH RECURSIVE ${jaccardPairsCte(0.5)},
+             |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+             |          UNION ALL SELECT id2, id1 FROM pairs),
+             |reach AS (
+             |  SELECT doc_id AS id, doc_id AS comp FROM documents
+             |  UNION
+             |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id
+             |  WHERE r.comp < e.v),
+             |comps AS (SELECT id, MIN(comp) AS component
+             |          FROM reach GROUP BY id)
+             |SELECT c.component, COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT d.source) AS n_sources,
+             |  MIN(CAST(len(string_split(d.text, ' ')) AS BIGINT)) AS min_tokens,
+             |  MAX(CAST(len(string_split(d.text, ' ')) AS BIGINT)) AS max_tokens,
+             |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens
+             |FROM comps c JOIN documents d ON d.doc_id = c.id
+             |GROUP BY c.component HAVING COUNT(*) >= 2
+             |ORDER BY c.component""".stripMargin)),
 
     // ── per-source triangle census of the duplicate graph: degree-
     //    ordered wedge join (π-orientation bounds per-key fan-out by

@@ -167,6 +167,38 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q124 top-similar: per-doc ranking matches brute force, both directions emitted") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "s", "a b c d e f g h"),
+      (1L, "s", "a b c d e f g x"),   // very close to 0
+      (2L, "s", "a b c d p q r s"),   // mid similarity to 0/1
+      (3L, "s", "a b z z z z z z"),   // weak
+      (4L, "s", "k l m n o u v w")    // disjoint
+    ).toDF("doc_id", "source", "text")
+    val got = DedupQueries.topSimilarPerDoc(corpus, k = 2, minScaled = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver brute force of the integer-scaled weighted jaccard ranking
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(2).split(" ").toSeq))
+    def ws(a: Seq[String], b: Seq[String]): Long = {
+      val ca = a.groupBy(identity).view.mapValues(_.size)
+      val cb = b.groupBy(identity).view.mapValues(_.size)
+      val minSum = (ca.keySet ++ cb.keySet).toSeq
+        .map(t => math.min(ca.getOrElse(t, 0), cb.getOrElse(t, 0))).sum
+      minSum.toLong * 1000000000L / (a.size + b.size - minSum)
+    }
+    val want = rows.flatMap { case (i, ti) =>
+      rows.filter(_._1 != i)
+        .map { case (j, tj) => (j, ws(ti, tj)) }
+        .filter(_._2 >= 1L)
+        .sortBy { case (j, w) => (-w, j) }.take(2).zipWithIndex
+        .map { case ((j, w), p) => (i, (p + 1).toLong, j, w) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+    // doc 4 shares nothing: absent from the relation entirely
+    assert(!got.exists(_._1 == 4L))
+  }
+
   test("q112 heavy-token guard: salted path == unguarded join on a hot-token corpus") {
     import spark.implicits._
     val rand = new scala.util.Random(11)

@@ -434,6 +434,33 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got == want, "bloom path must be bit-identical to the exact join")
   }
 
+  test("q125 cluster stats match union-find + driver rollup on the real table") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val pairs = DedupQueries.tokenPrefixJoin(docs, threshold = 0.5, sorted = false)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val meta = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nodes = meta.map(_._1).sorted
+    val idx = nodes.zipWithIndex.toMap
+    val uf = unionFind(nodes.size, pairs.map { case (a, b) =>
+      (idx(a).toLong, idx(b).toLong)
+    })
+    val comp = nodes.map(n => n -> nodes(uf(idx(n).toLong).toInt)).toMap
+    val want = meta.groupBy(m => comp(m._1)).collect {
+      case (c, ms) if ms.length >= 2 =>
+        (c, ms.length.toLong, ms.map(_._2).distinct.length.toLong,
+          ms.map(_._3).min, ms.map(_._3).max, ms.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val got = PipelineQueries.dupClusterStats(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "the testdata plants real near-dup clusters")
+  }
+
   test("canonicalByRank picks each cluster's top-PageRank member on the real table") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, d)
