@@ -60,3 +60,13 @@ class TopK(k: Int)
   override def outputEncoder: Encoder[Array[(Long, Long)]] =
     ExpressionEncoder[Array[(Long, Long)]]()
 }
+
+object TopK {
+  /** The (Long, Long) udaf every call site needs — one place to change
+    * the encoder wiring instead of six (r7f review). */
+  def longPairUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+}

@@ -314,10 +314,7 @@ object AnnQueries {
     * `(vec_id, c, nb)` scored candidates → (vec_id, rk, nb_id,
     * cos_scaled), deterministically ordered. */
   private def rankedNeighbours(scored: DataFrame, k: Int): DataFrame = {
-    val topk = udaf(new graft.functions.TopK(k),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaLong))
+    val topk = graft.functions.TopK.longPairUdaf(k)
     scored.groupBy(col("vec_id"))
       .agg(topk(col("c"), col("nb")).as("top"))
       .select(col("vec_id"), posexplode(col("top")).as(Seq("i", "e")))

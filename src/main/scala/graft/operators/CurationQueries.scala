@@ -71,8 +71,7 @@ object CurationQueries {
     * per partial, map-side combined; no per-source window, no rank
     * shuffle of the corpus. */
   def prioritySample(documents: DataFrame, k: Int = 20): DataFrame = {
-    val topk = udaf(new graft.functions.TopK(k),
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val topk = graft.functions.TopK.longPairUdaf(k)
     // overflow discipline: doc_id reduces mod p BEFORE the multiply
     // ((p-1)·2654435761 < 2^63, so h ∈ [1, p] for ANY doc_id — a raw
     // product wraps negative past id ≈ 3.47e9 and h could hit 0); the

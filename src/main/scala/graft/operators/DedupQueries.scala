@@ -877,16 +877,20 @@ object DedupQueries {
       .orderedResult(col("id_sub"), col("id_sup"))
   }
 
-  /** Per-document top-k most-similar neighbors (q124): the dedup REVIEW
-    * relation — for every document, its k nearest corpus neighbors by
-    * weighted Jaccard, with an integer-scaled score so the ranking is
-    * bit-exact on both engines (ws = minsum·10⁹ div Σmax — no float in
-    * a result-bearing ORDER). Derived from the SAME [[tfPairStats]]
-    * relation as q112/q117; the per-doc top-k is the bounded
-    * [[graft.functions.TopK]] buffer (ordered ws DESC, neighbor ASC),
-    * never a per-doc rank window over the pair relation. `minScaled`
-    * floors the candidate set (0.1 here) so the relation stays
-    * review-sized. */
+  /** Per-document top-k most-similar SAME-SOURCE neighbors (q124): the
+    * dedup review relation — for every document, its k nearest
+    * neighbors within its source block by weighted Jaccard, with an
+    * integer-scaled score so the ranking is bit-exact on both engines
+    * (ws = minsum·10⁹ div Σmax — no float in a result-bearing ORDER).
+    * Source-blocked like the whole q29/q44/q56/q112 battery (the
+    * blocking unit is the partition strategy); cross-source duplication
+    * is the province of the corpus-block screens (q80 incremental,
+    * q98/q109 overlap, q125 cluster report) — r7f review note. Derived
+    * from the SAME [[tfPairStats]] relation as q112/q117; the per-doc
+    * top-k is the bounded [[graft.functions.TopK]] buffer (ordered
+    * ws DESC, neighbor ASC), never a per-doc rank window over the pair
+    * relation. `minScaled` floors the candidate set (0.1 here) so the
+    * relation stays review-sized. */
   def topSimilarPerDoc(documents: DataFrame, k: Int = 3,
                        minScaled: Long = 100000000L): DataFrame = {
     val stats = tfPairStats(documents, heavyTokenThreshold = 4096, salt = 16)
@@ -898,10 +902,7 @@ object DedupQueries {
         struct(col("id2").as("d"), col("id1").as("o"), col("ws")))).as("m"))
       .select(col("m.d").as("doc_id"), col("m.o").as("neighbor"),
         col("m.ws").as("ws"))
-    val topk = udaf(new graft.functions.TopK(k),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaLong))
+    val topk = graft.functions.TopK.longPairUdaf(k)
     dir.groupBy(col("doc_id"))
       .agg(topk(col("ws"), col("neighbor")).as("t"))
       .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "e")))

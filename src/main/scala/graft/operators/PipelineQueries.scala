@@ -454,17 +454,26 @@ object PipelineQueries {
   }
 
   /** Duplicate-cluster statistics report (q125): for every REAL
-    * near-dup cluster (component of ≥ 2 docs over the q57 edge set),
-    * the shape a dedup review reads first — cluster size, how many
-    * sources it spans (cross-source clusters = syndication/mirrors;
-    * single-source = boilerplate), and the token-mass at stake (what
-    * dedup would reclaim). One join of the component assignment to a
-    * projected documents relation + a component-keyed rollup; the
-    * components operator dominates. */
+    * near-dup cluster (component of ≥ 2 docs), the shape a dedup review
+    * reads first — cluster size, how many sources it spans
+    * (cross-source clusters = syndication/mirrors; single-source =
+    * boilerplate), and the token-mass at stake (what dedup would
+    * reclaim). The edge set is deliberately CROSS-SOURCE — the whole
+    * corpus runs as one similarity block (q80's shape: a source-blocked
+    * join could never produce a multi-source cluster, which is exactly
+    * what this report exists to surface; r7f review) — with q80's
+    * corpus-wide heavy-list threshold and its 0.8 near-match threshold
+    * (0.5 cross-source merges half this corpus into one blob — the
+    * within-source battery's threshold does not transfer to the
+    * corpus-wide regime). One join of the component
+    * assignment to a projected documents relation + a component-keyed
+    * rollup; the components operator dominates. */
   def dupClusterStats(documents: org.apache.spark.sql.DataFrame,
-                      threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
-    val edges = DedupQueries.tokenPrefixJoin(documents, threshold,
-        sorted = false)
+                      threshold: Double = 0.8,
+                      heavyListThreshold: Int = 512): org.apache.spark.sql.DataFrame = {
+    val edges = DedupQueries.tokenPrefixJoin(
+        documents.select(col("doc_id"), lit("all").as("source"), col("text")),
+        threshold, heavyListThreshold, sorted = false)
       .select(col("id1").as("u"), col("id2").as("v"))
     val comps = ConnectedComponents.components(
       documents.select(col("doc_id").as("id")), edges)
@@ -519,11 +528,18 @@ object PipelineQueries {
       Some(pageRankOracleSql(5, 0.4))),
 
     // ── per-cluster dedup report: size, source span, token mass for
-    //    every ≥2-doc component; oracle composes the recursive-CTE
-    //    reachability with the rollup ──
+    //    every ≥2-doc component over CROSS-SOURCE edges (one corpus
+    //    block — a source-blocked join can never span sources); oracle
+    //    composes the recursive-CTE reachability with the rollup ──
     "q125_cluster_stats" -> QueryDef(
       (s, d) => dupClusterStats(Tables.documents(s, d)),
-      Some(s"""WITH RECURSIVE ${jaccardPairsCte(0.5)},
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+             |    list_distinct(string_split(text, ' ')) AS t FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |      / len(list_distinct(a.t || b.t)) >= 0.8),
              |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
              |          UNION ALL SELECT id2, id1 FROM pairs),
              |reach AS (

@@ -57,6 +57,12 @@ object RelationalQueries {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** l_extendedprice as exact integer cents — the shared value domain of
+    * the exact (q75/q76) and sketch (q122) order-statistic rungs; one
+    * definition so the rungs cannot drift (r7f review). */
+  private def priceCents: Column =
+    (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+
   val registry: Map[String, QueryDef] = Map(
 
     // ── A1/F1/F11: filtered scan + groupBy aggregation (pricing summary) ──
@@ -645,8 +651,7 @@ object RelationalQueries {
     //    re-derives the same k-th element by brute-force ranking. ──
     "q75_exact_median" -> QueryDef(
       (s, d) => {
-        val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
-          .cast("long")
+        val cents = priceCents
         Selection.median(
           Tables.lineitem(s, d).select(col("l_returnflag"), cents.as("median_cents")),
           "l_returnflag", "median_cents")
@@ -670,12 +675,8 @@ object RelationalQueries {
     //    ranking identical longs. ──
     "q76_group_topk" -> QueryDef(
       (s, d) => {
-        val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
-          .cast("long")
-        val topk = udaf(new graft.functions.TopK(3),
-          org.apache.spark.sql.Encoders.tuple(
-            org.apache.spark.sql.Encoders.scalaLong,
-            org.apache.spark.sql.Encoders.scalaLong))
+        val cents = priceCents
+        val topk = graft.functions.TopK.longPairUdaf(3)
         Tables.lineitem(s, d)
           .select(col("l_returnflag"), cents.as("cents"), col("l_orderkey"))
           .groupBy(col("l_returnflag"))
@@ -932,12 +933,8 @@ object RelationalQueries {
         // one affine spread — (6e12 and (p-1)·C stay far under 2⁶³)
         val hv = (((col("l_orderkey") * 1000000 + col("l_linenumber")) %
           lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
-        val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
-          .cast("long")
-        val topk = udaf(new graft.functions.TopK(k),
-          org.apache.spark.sql.Encoders.tuple(
-            org.apache.spark.sql.Encoders.scalaLong,
-            org.apache.spark.sql.Encoders.scalaLong))
+        val cents = priceCents
+        val topk = graft.functions.TopK.longPairUdaf(k)
         Tables.lineitem(s, d)
           .select(col("l_returnflag"), (-hv).as("nh"), cents.as("cents"))
           .groupBy(col("l_returnflag"))
@@ -996,10 +993,7 @@ object RelationalQueries {
         // top-10 users per type via the bounded TopK buffer (ordered
         // (exact_n DESC, user_id ASC) — row_number semantics), not a
         // per-type rank window over the full user relation
-        val topkU = udaf(new graft.functions.TopK(10),
-          org.apache.spark.sql.Encoders.tuple(
-            org.apache.spark.sql.Encoders.scalaLong,
-            org.apache.spark.sql.Encoders.scalaLong))
+        val topkU = graft.functions.TopK.longPairUdaf(10)
         val top = exact.groupBy(col("event_type"))
           .agg(topkU(col("exact_n"), col("user_id")).as("t"))
           .select(col("event_type"), explode(col("t")).as("e"))

@@ -437,7 +437,11 @@ class PipelineQueriesSpec extends SparkSpec {
   test("q125 cluster stats match union-find + driver rollup on the real table") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, d)
-    val pairs = DedupQueries.tokenPrefixJoin(docs, threshold = 0.5, sorted = false)
+    // CROSS-SOURCE edges at the report's 0.8 threshold — the same
+    // single-block derivation the operator uses
+    val pairs = DedupQueries.tokenPrefixJoin(
+        docs.select(col("doc_id"), lit("all").as("source"), col("text")),
+        threshold = 0.8, heavyListThreshold = 512, sorted = false)
       .select(col("id1"), col("id2")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val meta = docs.select(col("doc_id"), col("source"),
@@ -459,6 +463,10 @@ class PipelineQueriesSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(got == want)
     assert(got.nonEmpty, "the testdata plants real near-dup clusters")
+    // the column the report exists for: at least one cluster SPANS
+    // sources (a within-source edge set would pin every row to 1 —
+    // the r7f review defect this derivation fixed)
+    assert(got.exists(_._3 > 1L), "no cross-source cluster found")
   }
 
   test("canonicalByRank picks each cluster's top-PageRank member on the real table") {

@@ -185,8 +185,8 @@ class TrendProbeSpec extends SparkSpec {
     tiny.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     val z = RelationalQueries.registry("q122_quantile_sketch").build(spark, dir)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
-    // 20 values 1000..20000 cents: median rank ceil(21/2)=10 -> 10000,
-    // p90 rank ceil(189/10)=18 -> 18000 (wait: (9*20+9)//10 = 18)
+    // 20 values 1000..20000 cents: median rank (20+1) div 2 = 10 ->
+    // 10000; p90 rank (9*20+9) div 10 = 18 -> 18000
     assert(z == ((20L, 10000L, 18000L)))
   }
 
