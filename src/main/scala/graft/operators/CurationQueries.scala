@@ -343,7 +343,7 @@ object CurationQueries {
     * content, merged-union slice, coincidence count, one IEEE division —
     * is deterministic and re-derived bit-for-bit in DuckDB, so the
     * ESTIMATOR itself is oracle-checked (the q74 pattern, pairwise).
-    * KmvOverlapSpec additionally pins k→∞ degeneration to q98's exact
+    * CurationSpec's kmvOverlap tests additionally pin k→∞ degeneration to q98's exact
     * jac and bounds the k=256 estimate error. */
   def kmvOverlap(documents: DataFrame, k: Int = 256): DataFrame = {
     val kmv = udaf(new graft.functions.KmvValues(k), Encoders.scalaLong)
@@ -437,9 +437,14 @@ object CurationQueries {
     * seen once — scrape noise and OCR garbage spike THIS one). All
     * ratios are single fixed IEEE chains over exact integer aggregates,
     * so the oracle checks values, not approximations. One token shuffle,
-    * dimension-sized output. Caveat: Σ f(f−1) is BIGINT — a single
-    * token beyond ~3·10⁹ occurrences in one source overflows it; at
-    * that scale the KMV/MG sketches (q74/q77) are the tool. */
+    * dimension-sized output. Degenerate sources emit NULL, not NaN: a
+    * source whose total token count m < 2 has no defined collision
+    * probability (0/0 otherwise), and an (unreachable by construction —
+    * split() always yields ≥ 1 token per doc) zero vocabulary has no
+    * hapax ratio; both guards are mirrored in the oracle. Caveat:
+    * Σ f(f−1) is BIGINT — a single token beyond ~3·10⁹ occurrences in
+    * one source overflows it; at that scale the KMV/MG sketches
+    * (q74/q77) are the tool. */
   def tokenDiversity(documents: DataFrame): DataFrame = {
     val f = documents.select(col("source"),
         explode(split(col("text"), " ")).as("token"))
@@ -451,10 +456,12 @@ object CurationQueries {
         sum(when(col("f") === 1, 1L).otherwise(0L)).cast("long").as("hapax"))
       .select(col("source"), col("m"), col("v"),
         (col("v").cast("double") / col("m").cast("double")).as("ttr"),
-        (col("coll").cast("double") /
+        when(col("m") >= 2, col("coll").cast("double") /
           (col("m").cast("double") * (col("m") - 1).cast("double")))
           .as("simpson"),
-        (col("hapax").cast("double") / col("v").cast("double")).as("hapax_ratio"))
+        when(col("v") > 0,
+          col("hapax").cast("double") / col("v").cast("double"))
+          .as("hapax_ratio"))
       .orderedResult(col("source"))
   }
 
@@ -540,9 +547,10 @@ object CurationQueries {
              |  FROM f GROUP BY source)
              |SELECT source, m, v,
              |  CAST(v AS DOUBLE) / CAST(m AS DOUBLE) AS ttr,
-             |  CAST(coll AS DOUBLE)
-             |    / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE)) AS simpson,
-             |  CAST(hapax AS DOUBLE) / CAST(v AS DOUBLE) AS hapax_ratio
+             |  CASE WHEN m >= 2 THEN CAST(coll AS DOUBLE)
+             |    / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE)) END AS simpson,
+             |  CASE WHEN v > 0
+             |    THEN CAST(hapax AS DOUBLE) / CAST(v AS DOUBLE) END AS hapax_ratio
              |FROM a ORDER BY source""".stripMargin)),
 
     // ── inverted-index cost probe: posting-list length distribution +

@@ -905,7 +905,7 @@ object PipelineQueries {
     //    tiny surviving fraction ever shuffles into the exact verify
     //    join. FPP affects only how many false survivors the exact join
     //    then discards — the result is bit-identical to q61 (same
-    //    oracle; BloomDecontamSpec pins path equality and that the
+    //    oracle; PipelineQueriesSpec pins path equality and that the
     //    prefilter actually prunes). ──
     "q111_bloom_decontaminate" -> QueryDef(
       (s, d) => bloomDecontaminate(Tables.documents(s, d)),

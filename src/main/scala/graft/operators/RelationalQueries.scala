@@ -763,17 +763,31 @@ object RelationalQueries {
 
     // ── hourly ingest-anomaly detection: per event_type, flag hours
     //    whose count deviates ≥ 3σ from the trailing 24-hour window
-    //    (current hour excluded). The window runs over the HOURLY
-    //    AGGREGATE — dimension-sized (hours × types), so the per-type
+    //    (current hour excluded). The hour axis is DENSIFIED per type
+    //    (sequence over [min, max] observed hour, zero-filled left
+    //    join) BEFORE the window: an hour with zero events is a ROW,
+    //    not a gap — so a dying feed's empty hours score z ≪ 0 instead
+    //    of silently dropping out of both the baseline and the scored
+    //    set, and the trailing 24 rows always span exactly 24 wall-
+    //    clock hours (the r7 ADVICE finding). The window runs over the
+    //    densified HOURLY AGGREGATE — still dimension-sized (the axis
+    //    is types × span-hours, ~9k rows/type/year), so the per-type
     //    ordered window never touches row-scale data; z is one fixed
     //    IEEE chain over exact integer window sums, identical on both
     //    engines. The feed-health monitor for the automatic mode's
     //    ingest (a dying feed → z ≪ 0; a replay storm → z ≫ 0). ──
     "q118_hourly_anomaly" -> QueryDef(
       (s, d) => {
-        val hourly = Tables.events(s, d)
+        val counts = Tables.events(s, d)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
           .agg(count(lit(1)).as("c"))
+        val axis = counts.groupBy(col("event_type"))
+          .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+          .select(col("event_type"), explode(
+            sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hour"))
+        val hourly = axis.join(counts, Seq("event_type", "hour"), "left")
+          .select(col("event_type"), col("hour"),
+            coalesce(col("c"), lit(0L)).as("c"))
         val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
           .rowsBetween(-24, -1)
         val nb = count(lit(1)).over(w)
@@ -795,8 +809,15 @@ object RelationalQueries {
           .drop("__var")
           .orderBy(col("event_type"), col("hour"))
       },
-      Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+      Some("""WITH h0 AS (SELECT event_type, date_trunc('hour', ts) AS hour,
              |    COUNT(*) AS c FROM events GROUP BY 1, 2),
+             |span AS (SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx
+             |  FROM h0 GROUP BY 1),
+             |axis AS (SELECT event_type,
+             |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+             |  FROM span),
+             |h AS (SELECT a.event_type, a.hour, COALESCE(h0.c, 0) AS c
+             |  FROM axis a LEFT JOIN h0 USING (event_type, hour)),
              |w AS (SELECT event_type, hour, c,
              |    COUNT(*) OVER tw AS n_base,
              |    SUM(c) OVER tw AS sx, SUM(c * c) OVER tw AS sxx
@@ -866,20 +887,30 @@ object RelationalQueries {
             col("f"), col("m"))
         val stacked = per.select(col("o_custkey"),
           expr("stack(3, 'r', r, 'f', f, 'm', m) as (metric, v)"))
-        def thresholds(kOfN: Long => Long): Map[String, Long] =
-          Selection.kthSmallest(stacked, "metric", "v", kOfN)
-            .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
-        val t1 = thresholds(n => (n + 2) / 3)
-        val t2 = thresholds(n => (2 * n + 2) / 3)
-        def bucket(c: org.apache.spark.sql.Column, metric: String) =
-          lit(1) + when(c > t1(metric), 1).otherwise(0) +
-            when(c > t2(metric), 1).otherwise(0)
-        per.select(bucket(col("r"), "r").as("r_bucket"),
-            bucket(col("f"), "f").as("f_bucket"),
-            bucket(col("m"), "m").as("m_bucket"))
-          .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
-          .agg(count(lit(1)).as("n_customers"))
-          .orderedResult(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+        // one persisted base feeds BOTH tercile ranks (the refinement
+        // passes re-scan cache, not the stacked projection twice)
+        val ths = Selection.kthSmallestRanks(stacked, "metric", "v",
+            Seq(n => (n + 2) / 3, n => (2 * n + 2) / 3))
+          .map(_.collect().map(row => row.getString(0) -> row.getLong(1)).toMap)
+        val (t1, t2) = (ths(0), ths(1))
+        if (t1.isEmpty) {
+          // empty orders: no thresholds exist — empty result, same
+          // schema, matching the oracle's empty cross join (the q108
+          // empty-table discipline; a Map lookup would throw instead)
+          import s.implicits._
+          Seq.empty[(Int, Int, Int, Long)]
+            .toDF("r_bucket", "f_bucket", "m_bucket", "n_customers")
+        } else {
+          def bucket(c: org.apache.spark.sql.Column, metric: String) =
+            lit(1) + when(c > t1(metric), 1).otherwise(0) +
+              when(c > t2(metric), 1).otherwise(0)
+          per.select(bucket(col("r"), "r").as("r_bucket"),
+              bucket(col("f"), "f").as("f_bucket"),
+              bucket(col("m"), "m").as("m_bucket"))
+            .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+            .agg(count(lit(1)).as("n_customers"))
+            .orderedResult(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+        }
       },
       Some("""WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS rd FROM orders),
              |per AS (SELECT o_custkey,
@@ -925,7 +956,7 @@ object RelationalQueries {
     //    rung costs one aggregate pass regardless of domain width, and
     //    unlike q75 it is mergeable across shards/streams. Estimator
     //    fully deterministic → oracle-checked end to end;
-    //    QuantileSketchSpec bounds the estimate's true CDF position. ──
+    //    TrendProbeSpec's q122 test bounds the estimate's true CDF position. ──
     "q122_quantile_sketch" -> QueryDef(
       (s, d) => {
         val k = 128

@@ -39,6 +39,26 @@ object Selection {
     }
   }
 
+  /** Several order statistics per group over ONE persisted projection:
+    * each function in `kOfNs` yields one (group, value) frame, all
+    * sharing the same cached 2-column base — the refinement passes
+    * re-scan memory, not the source. (q121 needs two tercile ranks;
+    * calling [[kthSmallest]] twice re-projects and re-persists the
+    * stacked relation for each.) Results are materialized before the
+    * base unpersists — each returned frame is a driver-literal. */
+  def kthSmallestRanks(data: DataFrame, groupCol: String, valueCol: String,
+                       kOfNs: Seq[Long => Long],
+                       shiftStep: Int = 10): Seq[DataFrame] = {
+    val base = data.select(col(groupCol).cast("string").as("g"),
+      col(valueCol).cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      kOfNs.map(k => kthSmallestOn(base, groupCol, valueCol, k, shiftStep))
+    } finally {
+      base.unpersist()
+    }
+  }
+
   private def kthSmallestOn(base: DataFrame, groupCol: String, valueCol: String,
                             kOfN: Long => Long, shiftStep: Int): DataFrame = {
     val spark = base.sparkSession

@@ -20,6 +20,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * 24 CLOSED counts; the timeout fires when the watermark passes the
   * earliest open hour, closing hours in event-time order.
   *
+  * Hours close CONTIGUOUSLY from the type's first observed hour: when
+  * the watermark passes an hour with no events, it closes with count 0
+  * and enters the ring like any other — mirroring the batch query's
+  * densified hour axis, so a dying feed's empty hours score z ≪ 0
+  * instead of being invisible to the monitor (the r7 ADVICE finding;
+  * the watermark keeps advancing on the other types' events, which is
+  * exactly the scenario where one feed dies).
+  *
   * State bound: ≤ 24 ring entries + horizon/1h open entries per
   * event_type — dimension-sized forever, independent of throughput.
   * Late rows for already-closed hours are dropped (the same rows a
@@ -59,24 +67,32 @@ object AnomalyStream {
       else open.updated(h, open.getOrElse(h, 0L) + 1L)
     }
     val wm = state.getCurrentWatermarkMs()
-    // close every open hour the watermark has passed, ascending
-    val (toClose, stillOpen) = opened.partition { case (h, _) => h + HourMs <= wm }
-    val closedAsc = toClose.toSeq.sortBy(_._1)
+    // close CONTIGUOUS hours the watermark has passed, starting right
+    // after the last closed hour (zero-filling hours with no events —
+    // the densified axis), or at the earliest observed hour on first
+    // close; hours close in event-time order by construction
     var ring = st.ring
-    val out = closedAsc.map { case (h, c) =>
+    var open = opened
+    val out = Seq.newBuilder[HourScore]
+    var next = ring.lastOption.map(_._1 + HourMs)
+      .orElse(open.keys.minOption)
+    while (next.exists(_ + HourMs <= wm)) {
+      val h = next.get
+      val c = open.getOrElse(h, 0L)
+      open -= h
       val z = zOf(c, ring.takeRight(24).map(_._2))
-      val res = HourScore(eventType, new java.sql.Timestamp(h), c,
+      out += HourScore(eventType, new java.sql.Timestamp(h), c,
         math.min(ring.size, 24), z)
       ring = (ring :+ (h, c)).takeRight(24)
-      res
+      next = Some(h + HourMs)
     }
-    state.update(AnomalyState(stillOpen, ring))
+    state.update(AnomalyState(open, ring))
     // the timeout drives hour closing: fire when the watermark passes
-    // the earliest still-open hour (strictly > current watermark by
-    // construction — every hour ending ≤ wm was just closed)
-    stillOpen.keys.minOption.foreach(h =>
-      state.setTimeoutTimestamp(h + HourMs))
-    out.iterator
+    // the end of the NEXT hour to close — which after a close round is
+    // the hour right after the ring's tail (so zero hours keep closing
+    // while OTHER keys advance the watermark), else the earliest open
+    next.foreach(h => state.setTimeoutTimestamp(h + HourMs))
+    out.result().iterator
   }
 
   /** Per-type hour scores, emitted once per closed hour. `events` needs

@@ -25,8 +25,11 @@ object AuditStream {
 
   /** Running rule counters. `rules` = (name, violation predicate). */
   def ruleCounts(stream: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    // coalesce mirrors q108's scalarAudit: sum() over zero rows is NULL,
+    // so a complete-mode snapshot before any data must still report 0,
+    // not NULL, to keep the batch-audit semantics this module claims
     val aggs = rules.map { case (n, p) =>
-      sum(when(p, 1L).otherwise(0L)).as(s"__$n")
+      coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L)).as(s"__$n")
     }
     stream
       .groupBy() // global: state is ONE row of counters

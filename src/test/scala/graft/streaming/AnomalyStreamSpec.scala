@@ -41,14 +41,16 @@ class AnomalyStreamSpec extends SparkSpec {
     input.addData(("A", at(40)))
     out.processAllAvailable()
     val got = rows()
-    // hours 0..25 closed exactly once each, ascending
-    assert(got.map(_._2).toSeq == (0 to 25).map(h => at(h, 0)).toSeq)
+    // hours 0..39 closed exactly once each, ascending — 26..39 are the
+    // DENSIFIED zero hours the watermark passed with no events
+    assert(got.map(_._2).toSeq == (0 to 39).map(h => at(h, 0)).toSeq)
     assert(got.map(_._3).toSeq ==
-      (0 until 25).map(h => if (h % 2 == 0) 2L else 3L) :+ 80L)
+      ((0 until 25).map(h => if (h % 2 == 0) 2L else 3L) :+ 80L) ++
+        Seq.fill(14)(0L))
     // warm-up hours carry their partial base size and no z beyond 24
     assert(got.take(24).map(_._4).toSeq == (0 until 24))
     // the spike hour: n_base 24, z = the exact batch chain
-    val spike = got.last
+    val spike = got(25)
     val counts = (1 to 24).map(h => if (h % 2 == 0) 2.0 else 3.0)
     val sx = counts.sum; val sxx = counts.map(c => c * c).sum
     val variance = (sxx - sx * sx / 24) / 24
@@ -65,16 +67,19 @@ class AnomalyStreamSpec extends SparkSpec {
       val c = if (h == 27) 60 else 3 + rnd.nextInt(3)
       Seq.fill(c)(("B", at(h, 30)))
     }
-    // batch side: the registered q118 over the same rows
+    // batch side: the registered q118 over the same rows INCLUDING the
+    // watermark pusher, so both engines densify the same hour axis;
+    // compare on the hours the stream actually closed (< pusher hour)
     val dir = java.nio.file.Files.createTempDirectory("graft-anomb").toString
-    events.zipWithIndex
+    (events :+ (("B", at(45)))).zipWithIndex
       .map { case ((t, ts), i) => (i.toLong, ts, i.toLong % 5, t, 1.0, "p") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val batch = graft.operators.RelationalQueries.registry("q118_hourly_anomaly")
       .build(spark, dir).collect()
-      .map(r => (r.getTimestamp(1), r.getLong(2), r.getDouble(4))).toSet
-    // streaming side: all data, then a watermark pusher
+      .map(r => (r.getTimestamp(1), r.getLong(2), r.getDouble(4)))
+      .filter(_._1.getTime < at(45).getTime).toSet
+    // streaming side: all data, then the watermark pusher
     val input = MemoryStream[(String, java.sql.Timestamp)]
     val out = AnomalyStream.hourScores(input.toDS().toDF("event_type", "ts"))
       .writeStream.format("memory").queryName("anom_batch_twin")
@@ -89,6 +94,40 @@ class AnomalyStreamSpec extends SparkSpec {
       .collect { case (h, c, 24, Some(z)) if math.abs(z) >= 3 => (h, c, z) }
       .toSet
     assert(streamed == batch, s"stream $streamed vs batch $batch")
+    out.stop()
+  }
+
+  test("a dying feed's silent hours close with zero counts and flag z << 0") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // type D: alternating 9/11 events per hour (variance 1) for hours
+    // 0..29, then SILENCE; type P is the only thing advancing the
+    // watermark afterwards — the exact scenario the hour-densification
+    // exists for (pre-fix, type D simply vanished from the monitor)
+    val dying = (0 until 30).flatMap(h =>
+      Seq.fill(if (h % 2 == 0) 9 else 11)(("D", at(h, 10))))
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val out = AnomalyStream.hourScores(input.toDS().toDF("event_type", "ts"))
+      .writeStream.format("memory").queryName("anom_dying")
+      .outputMode("append").start()
+    input.addData(dying)
+    out.processAllAvailable()
+    input.addData(("P", at(40)))
+    out.processAllAvailable()
+    val d = spark.table("anom_dying").collect()
+      .filter(_.getString(0) == "D")
+      .map(r => (r.getTimestamp(1), r.getLong(2), r.getInt(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .sortBy(_._1.getTime)
+    // hours 30..38 closed for D with ZERO counts even though no D event
+    // arrived after hour 29 (wm = 40:00 closes through hour 39)
+    assert(d.map(_._1).toSeq == (0 to 39).map(h => at(h, 0)).toSeq)
+    assert(d.drop(30).forall(_._2 == 0L))
+    // the first silent hour scores deeply negative against the live
+    // baseline: mean 10, sigma 1 → z = -10
+    val first = d(30)
+    assert(first._3 == 24 && first._4.exists(_ <= -3.0),
+      s"first silent hour not flagged: $first")
     out.stop()
   }
 }
