@@ -50,6 +50,10 @@ object Bench {
       // the ordering — what a consumer of the query actually pays.
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
+      // the query's action is complete: retire any one-shot reliable
+      // checkpoints its plan materialized (no-op without a checkpoint
+      // dir; the timed action has already consumed the plan)
+      graft.operators.Checkpoints.releaseOneShots()
       (System.nanoTime() - t0) / 1e9
     }
     // Variance protocol (r6 verdict: ±30% per-query / 2.3x whole-run
@@ -88,7 +92,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"toRdd","reps":$reps,"count_action_total":$countTotal,"queries":$qs$spread,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","action":"toRdd","reps":$reps,"count_action_total":$countTotal,"queries":$qs$spread,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's BENCH_rN.json tail truncates long registries (the r7
+    // verdict lost half the per-query medians); persist the COMPLETE
+    // line so round-over-round comparison keeps every query. Committed
+    // per round as bench_full_rN.json.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe for q80's incremental-dedup cost shape (the r7 verdict
+  * task): does the per-batch wall track the BATCH, or the corpus pair
+  * volume? Times three formulations over a deterministic corpus at
+  * existing = E and existing = 10·E with the SAME incoming batch:
+  *
+  *  - probe one-pass: [[graft.operators.CurationQueries.incrementalDedup]]
+  *    (index built in-pass — linear in E — then probe-only candidates);
+  *  - union shape: [[graft.operators.CurationQueries.incrementalDedupUnionShape]]
+  *    (the r7 `weak` plan whose candidate volume tracks the union's
+  *    pair density);
+  *  - persisted probe: [[graft.operators.DedupQueries.prefixProbeJoin]]
+  *    against a PrefixIndex already materialized to parquet — the true
+  *    per-batch cost of a deployed incremental screen (the index build
+  *    amortizes over every batch that probes it).
+  *
+  * Corpus: 60-token docs over a 20k vocabulary in 20-doc clusters, one
+  * planted near-dup per cluster (existing-existing pair volume grows
+  * linearly with E — the volume the probe shape must NOT pay); the
+  * batch draws half exact / half near copies from a FIXED 1000-cluster
+  * slice plus fresh content, so the true cross-match count is
+  * independent of E by construction.
+  *
+  * Run: SPARK_GRAFT_EXISTING=50000 SPARK_GRAFT_INCOMING=5000 \
+  *        sbt 'runMain graft.IncrementalBench'
+  * Dev tooling (PERF.md evidence), not part of the registry. */
+object IncrementalBench {
+
+  /** Deterministic 60-token text for a cluster; `variant` (nullable)
+    * swaps token 7, making a near-dup of the cluster head. Token ids
+    * are CUBED-uniform over a 20k vocabulary (small ids common, tail
+    * rare) — a Zipf-ish frequency profile, so prefix filtering operates
+    * in its design regime (a uniform vocabulary makes every token
+    * equally "rare" and defeats any prefix selection — worth knowing,
+    * but not the production regime). */
+  private def textFor(cluster: Column, variant: Column): Column =
+    concat_ws(" ", transform(sequence(lit(0), lit(59)),
+      i => {
+        val h = pmod(xxhash64(
+          when(i === 7 && variant.isNotNull, variant)
+            .otherwise(cluster * 100 + i)), lit(1048576L))
+        concat(lit("w"),
+          floor(pow(h.cast("double") / 1048576.0, 3.0) * 20000).cast("long"))
+      }))
+
+  def main(args: Array[String]): Unit = {
+    val e0 = sys.env.getOrElse("SPARK_GRAFT_EXISTING", "50000").toLong
+    val nIn = sys.env.getOrElse("SPARK_GRAFT_INCOMING", "5000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // one planted near-dup PAIR per 20-doc cluster (head + variant);
+    // the other 18 docs carry unique content — existing-existing true
+    // pair volume grows linearly in E, like a real curated corpus
+    def existingOf(n: Long): DataFrame = {
+      val cluster = (col("id") / 20).cast("long")
+      spark.range(n).select(col("id").as("doc_id"),
+        when(col("id") % 20 === 0, textFor(cluster, lit(null).cast("long")))
+          .when(col("id") % 20 === 1, textFor(cluster, cluster + 1000000L))
+          .otherwise(textFor(col("id") + 7000000L, lit(null).cast("long")))
+          .as("text"))
+    }
+    // batch content pinned to clusters [0, 1000): cross matches do not
+    // grow with E; ids offset into their own namespace
+    val incoming = spark.range(nIn)
+      .select((col("id") + 50000000L).as("doc_id"),
+        when(col("id") % 5 === 4,
+          textFor(col("id") + 3000000L, lit(null).cast("long")))
+          .otherwise(textFor(col("id") % 1000,
+            when(col("id") % 2 === 0, col("id") % 1000 + 2000000L)))
+          .as("text"))
+      .cache()
+    incoming.count()
+
+    def time(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[inc-bench] $name: $s%.1f s ($n rows)")
+      s
+    }
+
+    import graft.operators.{CurationQueries, DedupQueries}
+    val mults = sys.env.getOrElse("SPARK_GRAFT_MULTS", "1,10")
+      .split(",").map(_.trim.toLong).toSeq
+    for (mult <- mults) {
+      val ne = e0 * mult
+      val existing = existingOf(ne).cache()
+      existing.count()
+      println(s"[inc-bench] === existing=$ne incoming=$nIn ===")
+      time(s"probe one-pass  E=$ne") {
+        CurationQueries.incrementalDedup(existing, incoming, 0.8, 4096).count()
+      }
+      time(s"union shape     E=$ne") {
+        CurationQueries.incrementalDedupUnionShape(
+          existing, incoming, 0.8, 4096).count()
+      }
+      // persisted-index variant: the index is parquet on disk (built +
+      // written once per corpus snapshot); per-batch cost = read + probe.
+      // SPARK_GRAFT_PERSISTED=0 skips it (large-E runs under a timeout).
+      if (sys.env.getOrElse("SPARK_GRAFT_PERSISTED", "1") == "0") {
+        existing.unpersist(); ()
+      } else {
+      val dir = java.nio.file.Files.createTempDirectory("graft-incidx").toString
+      val arrs = existing.select(col("doc_id"), lit("all").as("source"),
+        array_distinct(split(col("text"), " ")).as("sh"))
+      val built = DedupQueries.buildPrefixIndex(arrs, 0.8)
+      built.freq.write.mode("overwrite").parquet(s"$dir/freq")
+      built.entries.write.mode("overwrite").parquet(s"$dir/entries")
+      built.arrays.write.mode("overwrite").parquet(s"$dir/arrays")
+      val loaded = DedupQueries.PrefixIndex(
+        spark.read.parquet(s"$dir/freq"),
+        spark.read.parquet(s"$dir/entries"),
+        spark.read.parquet(s"$dir/arrays"))
+      val inArrs = incoming.select(col("doc_id"), lit("all").as("source"),
+        array_distinct(split(col("text"), " ")).as("sh"))
+      time(s"persisted probe E=$ne") {
+        DedupQueries.prefixProbeJoin(loaded, inArrs, 0.8, 4096).count()
+      }
+      existing.unpersist()
+      }
+    }
+    spark.stop()
+  }
+}

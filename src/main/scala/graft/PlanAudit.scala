@@ -39,11 +39,37 @@ object PlanAudit {
     *     a range-exchange funnel and is recomputed per consumer (the r7
     *     q57/q80/q81 `sorted = false` fix). The final orderBy sits ABOVE
     *     all consumers, so it never trips this rule. */
+  /** Children + subquery plans + cached-relation inner plans, with a
+    * RUNTIME type guard: `QueryPlan.subqueries` blindly casts each
+    * PlanExpression's plan to the host's plan type, and a persisted
+    * relation (the r8 shared tfPairStats cache) can smuggle a LOGICAL
+    * plan into a physical tree that way — `collectWithSubqueries` then
+    * dies on the unsound cast. Cached plans are DESCENDED into: the
+    * work a query parks behind `persist()` is still its plan shape. */
+  private def kids(p: SparkPlan): Seq[SparkPlan] = {
+    val subs = p.expressions
+      .flatMap(_.collect {
+        case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+          pe.plan
+      })
+      .collect { case sp: SparkPlan => sp }
+    val cached = p match {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(im.relation.cachedPlan)
+      case _ => Nil
+    }
+    p.children ++ subs ++ cached
+  }
+
+  private def allNodes(plan: SparkPlan): Seq[SparkPlan] =
+    plan +: kids(plan).flatMap(allNodes)
+
   def audit(plan: SparkPlan): Findings = {
-    val carts = plan.collectWithSubqueries {
+    val nodes = allNodes(plan)
+    val carts = nodes.collect {
       case c: CartesianProductExec => c.simpleString(80)
     }
-    val gw = plan.collectWithSubqueries {
+    val gw = nodes.collect {
       case w: WindowExecBase if w.partitionSpec.isEmpty => w.simpleString(80)
     }
     val sorts = Seq.newBuilder[String]
@@ -57,8 +83,7 @@ object PlanAudit {
         case _: BaseJoinExec | _: BaseAggregateExec | _: WindowExecBase => true
         case _ => false
       })
-      p.children.foreach(walk(_, below))
-      p.subqueries.foreach(walk(_, below))
+      kids(p).foreach(walk(_, below))
     }
     walk(plan, underConsumer = false)
     Findings(carts, gw, sorts.result())
@@ -68,7 +93,7 @@ object PlanAudit {
     * that reaches the file source with `[]` while the query filters on a
     * scanned column means the pushdown broke. */
   def pushedFilters(plan: SparkPlan): Seq[String] =
-    plan.collectWithSubqueries {
+    allNodes(plan).collect {
       case f: FileSourceScanExec => f.metadata.getOrElse("PushedFilters", "")
     }
 
@@ -76,9 +101,7 @@ object PlanAudit {
     * string rendering truncates wide schemas, so marker checks must walk
     * the attributes, not the tree string. */
   def hasColumn(plan: SparkPlan, name: String): Boolean =
-    plan.collectWithSubqueries {
-      case p if p.output.exists(_.name == name) => true
-    }.nonEmpty
+    allNodes(plan).exists(_.output.exists(_.name == name))
 
   /** Dev-only dumper: formatted plans for the named queries. */
   def main(args: Array[String]): Unit = {

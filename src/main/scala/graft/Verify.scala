@@ -29,6 +29,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // parquet write committed → the query's one-shot checkpoints are
+      // consumed; retire them (no-op without a checkpoint dir)
+      graft.operators.Checkpoints.releaseOneShots()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

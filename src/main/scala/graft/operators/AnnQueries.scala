@@ -371,16 +371,26 @@ object AnnQueries {
     * With `signatures = signSignaturesPortable` every stage is
     * cross-engine-exact integer arithmetic, so the WHOLE approximate
     * join — signatures, multiprobe, scores, ranking — has a full DuckDB
-    * twin (q93), mirroring the q49 → q71 treatment. */
+    * twin (q93), mirroring the q49 → q71 treatment.
+    *
+    * Tuning rule (measured by q106 / the r8 sweep in PERF.md): recall
+    * is set by how many signature bits a true neighbour pair may
+    * disagree on — `probeFlips` is the reach (hamming ≤ flips probing,
+    * 1 + P + P(P−1)/2 buckets per probe at flips = 2) and `planes` the
+    * bucket granularity. Scale planes with log₂(n) to hold bucket
+    * occupancy, then raise flips until q106 clears the recall target —
+    * at the bench corpus (planes 8), flips 1 measured 0.19 mean
+    * recall@3, flips 2 cleared 0.8. */
   def knnJoinLsh(embeddings: DataFrame, k: Int = 3, planes: Int = 8,
-                 signatures: (DataFrame, Int) => DataFrame = signSignatures)
+                 signatures: (DataFrame, Int) => DataFrame = signSignatures,
+                 probeFlips: Int = 1)
   : DataFrame = {
     val e = withNorms(embeddings)
       .join(signatures(embeddings, planes), Seq("vec_id"))
     val probe = e.select(col("vec_id").as("ida"), col("v").as("va"),
       col("norm").as("na"), explode(array(
-        col("signature") +: (0 until planes).map(j =>
-          col("signature").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+        probeMasks(planes, probeFlips).map(m =>
+          col("signature").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val build = e.select(col("vec_id").as("idb"), col("v").as("vb"),
       col("norm").as("nb"), col("signature").as("bucket"))
     rankedNeighbours(probe.join(build, Seq("bucket"))
@@ -460,10 +470,11 @@ object AnnQueries {
     * and with the portable signatures every stage has a DuckDB twin.
     * recall = n_hit / n_exact — one IEEE division of exact BIGINTs. */
   def knnRecall(embeddings: DataFrame, k: Int = 3, planes: Int = 8,
-                blocks: Int = 8): DataFrame = {
+                blocks: Int = 8, probeFlips: Int = 1): DataFrame = {
     val exact = knnJoin(embeddings, k, blocks)
       .select(col("vec_id"), col("nb_id"))
-    val approx = knnJoinLsh(embeddings, k, planes, signSignaturesPortable)
+    val approx = knnJoinLsh(embeddings, k, planes, signSignaturesPortable,
+      probeFlips)
       .select(col("vec_id"), col("nb_id"), lit(1).as("hit"))
     // ONE pass over the (expensive) exact side: the left join marks hits
     // — approx rows are unique per (vec_id, nb_id), so no fan-out — and
@@ -479,13 +490,14 @@ object AnnQueries {
 
   /** DuckDB twin of [[knnRecall]]: the q92 and q93 chains (shared
     * fragments, prefixed CTE names), then the left-join recall rollup. */
-  private def knnRecallOracleSql(planes: Int, k: Int): String =
+  private def knnRecallOracleSql(planes: Int, k: Int,
+                                 flips: Int = 1): String =
     s"""WITH $knnBaseSql,
        |xp AS (${scoredSql("n")}),
        |xr AS (${rankedSql("xp")}),
        |exact AS (SELECT id, nb FROM xr WHERE rk <= $k),
        |sg AS (${sigRelSql(planes)}),
-       |ap AS (${scoredSql("sg", lshMeetSql(planes))}),
+       |ap AS (${scoredSql("sg", lshMeetSql(planes, flips))}),
        |ar AS (${rankedSql("ap")}),
        |approx AS (SELECT id, nb, 1 AS hit FROM ar WHERE rk <= $k)
        |SELECT exact.id AS vec_id, COUNT(*) AS n_exact,
@@ -621,9 +633,22 @@ object AnnQueries {
   private def sigRelSql(planes: Int): String =
     s"SELECT vec_id, v, nm, ${portableSigSql(planes)} AS sig FROM n"
 
-  private def lshMeetSql(planes: Int): String =
-    (s"b.sig = a.sig" +: (0 until planes).map(j =>
-      s"b.sig = xor(a.sig, ${1L << j})")).mkString(" AND (", " OR ", ")")
+  /** XOR masks of hamming weight ≤ `flips` (0 = the home bucket) —
+    * mutually distinct, so an ordered pair still meets at EXACTLY one
+    * probe bucket and no distinct() is needed. */
+  private def probeMasks(planes: Int, flips: Int): Seq[Long] = {
+    require(flips >= 0 && flips <= 2, s"probeFlips $flips not in [0, 2]")
+    val one = (0 until planes).map(j => 1L << j)
+    val two = for { i <- 0 until planes; j <- i + 1 until planes }
+      yield (1L << i) | (1L << j)
+    Seq(0L) ++ (if (flips >= 1) one else Nil) ++ (if (flips >= 2) two else Nil)
+  }
+
+  private def lshMeetSql(planes: Int, flips: Int = 1): String =
+    probeMasks(planes, flips).map {
+      case 0L => "b.sig = a.sig"
+      case m => s"b.sig = xor(a.sig, $m)"
+    }.mkString(" AND (", " OR ", ")")
 
   /** DuckDB twin of the exact kNN join (q92). */
   private def knnJoinOracleSql(k: Int): String =
@@ -635,10 +660,10 @@ object AnnQueries {
        |FROM r WHERE rk <= $k ORDER BY vec_id, rk""".stripMargin
 
   /** DuckDB twin of the portable LSH kNN join (q93). */
-  private def knnLshOracleSql(planes: Int, k: Int): String =
+  private def knnLshOracleSql(planes: Int, k: Int, flips: Int = 1): String =
     s"""WITH $knnBaseSql,
        |sg AS (${sigRelSql(planes)}),
-       |p AS (${scoredSql("sg", lshMeetSql(planes))}),
+       |p AS (${scoredSql("sg", lshMeetSql(planes, flips))}),
        |r AS (${rankedSql("p")})
        |SELECT id AS vec_id, CAST(rk AS INT) AS rk, nb AS nb_id, c AS cos_scaled
        |FROM r WHERE rk <= $k ORDER BY vec_id, rk""".stripMargin

