@@ -587,19 +587,27 @@ object AnnQueries {
       (s, d) => knnJoin(Tables.embeddings(s, d)),
       Some(knnJoinOracleSql(k = 3))),
     // the LSH-bucketed kNN join over PORTABLE integer signatures: the
-    // whole approximate join (signatures, hamming-1 multiprobe,
+    // whole approximate join (signatures, hamming<=2 multiprobe,
     // scaled-cosine ranking) re-derived in DuckDB — q92's scale path,
-    // q71's oracle treatment
+    // q71's oracle treatment. Config (planes 4, flips 2) is the
+    // measured recall >= 0.8 frontier point of the r8 q106 sweep
+    // (mean recall@3 = 0.841 at sf0.1; flips 1 at 8 planes scored
+    // 0.19 — the r7 finding). Production sizes planes with log2(n) to
+    // hold bucket occupancy and raises flips to buy recall back
+    // (PERF.md r8 frontier table).
     "q93_knn_join_lsh" -> QueryDef(
-      (s, d) => knnJoinLsh(Tables.embeddings(s, d),
-        signatures = signSignaturesPortable),
-      Some(knnLshOracleSql(planes = 8, k = 3))),
+      (s, d) => knnJoinLsh(Tables.embeddings(s, d), planes = 4,
+        signatures = signSignaturesPortable, probeFlips = 2),
+      Some(knnLshOracleSql(planes = 4, k = 3, flips = 2))),
     // ANN recall diagnostic: per-vector recall of the LSH kNN join vs
     // the exact kNN join — the tuning report an ANN deployment watches;
-    // oracle composes the q92 + q93 chains and the semi-join rollup
+    // oracle composes the q92 + q93 chains and the semi-join rollup.
+    // Registered at q93's configuration, so this IS the report that
+    // certifies the registered recall.
     "q106_knn_recall" -> QueryDef(
-      (s, d) => knnRecall(Tables.embeddings(s, d)),
-      Some(knnRecallOracleSql(planes = 8, k = 3))),
+      (s, d) => knnRecall(Tables.embeddings(s, d), planes = 4,
+        probeFlips = 2),
+      Some(knnRecallOracleSql(planes = 4, k = 3, flips = 2))),
     // SemDeDup: semantic dedup confined to learned k-means cells (the
     // named curation algorithm — q35/q67 block by label, this by the
     // Lloyd quantizer's cells); oracle re-runs the whole construction —
@@ -632,6 +640,27 @@ object AnnQueries {
 
   private def sigRelSql(planes: Int): String =
     s"SELECT vec_id, v, nm, ${portableSigSql(planes)} AS sig FROM n"
+
+  /** The production auto-scale rule for [[knnJoinLsh]]'s `planes`
+    * (scaladoc bucket-occupancy rule, r7 verdict task #4): hold the
+    * EXPECTED bucket occupancy n / 2^planes at `targetOccupancy` as the
+    * corpus grows — planes = ⌈log₂(n / target)⌉, floored at 2. Bucket
+    * work is occupancy² per bucket; fixing occupancy makes the
+    * candidate volume grow LINEARLY in n (buckets ∝ n, each constant
+    * work) instead of quadratically. Recall at the resulting
+    * granularity is bought back with `probeFlips` — measure with q106
+    * (the r8 frontier table in PERF.md). */
+  def planesFor(n: Long, targetOccupancy: Int = 128): Int =
+    math.max(2, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, (n - 1) / targetOccupancy)))
+
+  /** The production auto-scale rule for [[semDeDup]]'s `kCells`
+    * (the scaladoc's kCells ∝ √n note, made executable): cells = ⌈√n⌉
+    * floored at 8 — cell size then grows as √n too, so the within-cell
+    * quadratic work per cell is n/cell² = O(1)·n and total work stays
+    * ~n^1.5 instead of n² (SemDeDup's own scaling argument). */
+  def kCellsFor(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** XOR masks of hamming weight ≤ `flips` (0 = the home bucket) —
     * mutually distinct, so an ordered pair still meets at EXACTLY one

@@ -171,6 +171,49 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(b1.toSeq == loose.toSeq)
   }
 
+  test("auto-scaled knobs: occupancy/sqrt rules; semantics hold at the scaled values") {
+    import spark.implicits._
+    // the rules produce their documented values and grow monotonically
+    assert(AnnQueries.planesFor(128) == 2, "occupancy floor")
+    assert(AnnQueries.planesFor(2000) == 4, "the registered bench point")
+    assert(AnnQueries.planesFor(1L << 20) == 13, "2^20/128 buckets")
+    assert(AnnQueries.planesFor(3000000000L) > AnnQueries.planesFor(1000000L))
+    assert(AnnQueries.kCellsFor(4) == 8 && AnnQueries.kCellsFor(1000000) == 1000)
+    // semantics at the SCALED knob values (not the registry literals):
+    // identical vectors always share every signature bucket and every
+    // k-means cell, so planted twins must behave identically under any
+    // knob the rules emit
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 80L).map { i =>
+      (i, Array.fill(12)(rnd.nextFloat() * 2 - 1), 0)
+    }
+    val planted = vecs.map {
+      case (79L, _, l) => (79L, vecs(59)._2, l)
+      case t => t
+    }
+    val df = planted.toDF("vec_id", "embedding", "label")
+    val lsh = AnnQueries.knnJoinLsh(df, k = 3,
+        planes = AnnQueries.planesFor(80), probeFlips = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(lsh.find(_._1 == 59L).get._3 == 79L)
+    assert(lsh.find(_._1 == 79L).get._3 == 59L)
+    // every reported score equals the exact cosine for that pair
+    val data = planted.map { case (i, v, _) => i -> v.map(_.toDouble) }.toMap
+    def cosScaled(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val nm = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      math.round(dot / nm * 1e6)
+    }
+    lsh.foreach { case (i, _, j, c) => assert(cosScaled(data(i), data(j)) == c) }
+    val sd = AnnQueries.semDeDup(df, kCells = AnnQueries.kCellsFor(80),
+        iters = 2, tauScaled = 999999L, blocks = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(sd(59L) == ((1L, 1L)) && sd(79L) == ((1L, 0L)),
+      "keep-first must hold at the sqrt-scaled cell count")
+    assert(sd.filter(t => t._1 != 59L && t._1 != 79L)
+      .forall(_._2 == ((0L, 1L))))
+  }
+
   test("k-means IVF: probing all cells == brute force; one cell is a subset") {
     val e = Tables.embeddings(spark, sf)
     val probe = e.orderBy(col("vec_id")).limit(1)
