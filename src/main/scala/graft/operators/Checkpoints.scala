@@ -18,6 +18,9 @@ import org.apache.spark.sql.DataFrame
   * This helper picks the strategy from the session: reliable `checkpoint`
   * when a checkpoint dir is set, `localCheckpoint` otherwise. Both are
   * eager, so callers may `unpersist` upstream caches immediately after.
+  * The fault-tolerance claim is EXERCISED by `graft.FaultBench` (r8):
+  * an executor SIGKILLed mid-iteration on a local-cluster master, the
+  * worker relaunches it, components complete correctly (PERF.md r8).
   *
   * Storage discipline: Spark never deletes reliable checkpoint data on its
   * own (the ContextCleaner only does so under
