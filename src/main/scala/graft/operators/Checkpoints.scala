@@ -81,6 +81,29 @@ object Checkpoints {
     ()
   }
 
+  /** Current one-shot registrations (paths) — see [[claimOneShots]]. */
+  private[graft] def snapshotOneShots(): Set[String] = {
+    val out = Set.newBuilder[String]
+    oneShots.keySet().forEach(k => out += k)
+    out.result()
+  }
+
+  /** Transfer ownership of every one-shot registered since `before` to
+    * the caller: they are DEREGISTERED here (so [[releaseOneShots]]
+    * won't delete them) and returned for the caller to delete when its
+    * own lifetime ends. Used by the shared-relation cache: a persisted
+    * relation's LINEAGE may reference these checkpoints (recompute on
+    * block loss), so they must live exactly as long as the cache
+    * entry. */
+  private[graft] def claimOneShots(before: Set[String])
+  : Seq[(org.apache.hadoop.conf.Configuration, String)] = {
+    val out = Seq.newBuilder[(org.apache.hadoop.conf.Configuration, String)]
+    snapshotOneShots().diff(before).foreach { p =>
+      Option(oneShots.remove(p)).foreach(c => out += ((c, p)))
+    }
+    out.result()
+  }
+
   /** The reliable-checkpoint data directory backing `df`, when `df` came
     * out of [[truncate]] on the reliable path (truncate is eager, so the
     * file exists by the time this is called). None on the

@@ -782,8 +782,8 @@ object CurationQueries {
     "q81_leakage_safe_split" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val edges = DedupQueries.tokenPrefixJoin(docs, threshold = 0.5,
-            sorted = false)
+        // shared with q57's identical t=0.5 edge derivation
+        val edges = DedupQueries.tokenPrefixJoinShared(docs, threshold = 0.5)
           .select(col("id1").as("u"), col("id2").as("v"))
         leakageSafeSplit(docs, edges)
       },

@@ -922,33 +922,70 @@ object DedupQueries {
   // can't delete a relation the cache still hands out). Bounded to a
   // few entries; clearSharedPairCache() frees them. ──
   private val MaxSharedPairEntries = 8
-  private val tfPairCache =
-    new java.util.LinkedHashMap[(Int, Int, Int), DataFrame]()
+  private type CacheEntry =
+    (DataFrame, Seq[(org.apache.hadoop.conf.Configuration, String)])
+  private val sharedCache =
+    new java.util.LinkedHashMap[(String, Int, Int, Int), CacheEntry]()
 
-  private def tfPairStatsShared(documents: DataFrame,
-                                heavyTokenThreshold: Int,
-                                salt: Int): DataFrame =
-    tfPairCache.synchronized {
-      val key = (documents.queryExecution.logical.semanticHash(),
-        heavyTokenThreshold, salt)
-      Option(tfPairCache.get(key)).getOrElse {
-        if (tfPairCache.size >= MaxSharedPairEntries) {
-          tfPairCache.values.forEach(df => { df.unpersist(); () })
-          tfPairCache.clear()
-        }
-        val built = tfPairStats(documents, heavyTokenThreshold, salt)
+  private def dropAllShared(): Unit = {
+    sharedCache.values.forEach { case (df, owned) =>
+      df.unpersist()
+      owned.foreach { case (c, p) =>
+        try Checkpoints.deleteCheckpointDir(c, p)
+        catch { case _: Throwable => () }
+      }
+    }
+    sharedCache.clear()
+  }
+
+  private def memoShared(kind: String, input: DataFrame, a: Int, b: Int)
+                        (build: => DataFrame): DataFrame =
+    sharedCache.synchronized {
+      val key = (kind, input.queryExecution.logical.semanticHash(), a, b)
+      Option(sharedCache.get(key)).map(_._1).getOrElse {
+        if (sharedCache.size >= MaxSharedPairEntries) dropAllShared()
+        // the built plan's LINEAGE may hold one-shot checkpoints (the
+        // similarity joins' candidate index); claim them so a runner's
+        // releaseOneShots can't delete storage a cached relation still
+        // needs for block-loss recompute — they die with the entry
+        val before = Checkpoints.snapshotOneShots()
+        val built = build
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        tfPairCache.put(key, built)
+        sharedCache.put(key, (built, Checkpoints.claimOneShots(before)))
         built
       }
     }
 
-  /** Drop every cached shared pair relation (frees executor storage).
-    * Runners keep the cache alive across queries — that is its point —
-    * so this is for deployments that move on to a different corpus. */
-  def clearSharedPairCache(): Unit = tfPairCache.synchronized {
-    tfPairCache.values.forEach(df => { df.unpersist(); () })
-    tfPairCache.clear()
+  private def tfPairStatsShared(documents: DataFrame,
+                                heavyTokenThreshold: Int,
+                                salt: Int): DataFrame =
+    memoShared("tfpair", documents, heavyTokenThreshold, salt)(
+      tfPairStats(documents, heavyTokenThreshold, salt))
+
+  /** Memoized near-dup EDGE relation — [[tokenPrefixJoin]] with
+    * `sorted = false`, shared across registry consumers the same way
+    * [[tfPairStatsShared]] shares the TF pair statistics: q57
+    * (components) and q81 (leakage-safe split) consume the identical
+    * t = 0.5 edge set; q96 (PageRank) and q99 (canonical-by-rank) the
+    * identical t = 0.4 one. Keyed by input plan + threshold (scaled to
+    * ppm) + guard knob; persisted MEMORY_AND_DISK with lineage intact
+    * (a lost block recomputes), and the entry CLAIMS the one-shot
+    * checkpoints its lineage references, so a runner's
+    * [[graft.operators.Checkpoints.releaseOneShots]] never deletes
+    * storage the recompute path still needs. */
+  def tokenPrefixJoinShared(documents: DataFrame, threshold: Double,
+                            heavyListThreshold: Int = 4096): DataFrame =
+    memoShared("edges", documents,
+      math.round(threshold * 1000000).toInt, heavyListThreshold)(
+      tokenPrefixJoin(documents, threshold, heavyListThreshold,
+        sorted = false))
+
+  /** Drop every cached shared pair/edge relation (frees executor
+    * storage and the checkpoint directories the entries own). Runners
+    * keep the cache alive across queries — that is its point — so this
+    * is for deployments that move on to a different corpus. */
+  def clearSharedPairCache(): Unit = sharedCache.synchronized {
+    dropAllShared()
   }
 
   /** Shared TF-pair statistics of q112/q117/q124: unordered

@@ -222,8 +222,9 @@ object PipelineQueries {
     * skew beyond what the similarity threshold already bounds. */
   def pageRank(documents: org.apache.spark.sql.DataFrame, iterations: Int = 5,
                threshold: Double = 0.4): org.apache.spark.sql.DataFrame = {
-    val pairs = DedupQueries.tokenPrefixJoin(documents, threshold,
-      sorted = false).select(col("id1"), col("id2"))
+    // shared edge relation: q99 consumes the identical t=0.4 edge set
+    val pairs = DedupQueries.tokenPrefixJoinShared(documents, threshold)
+      .select(col("id1"), col("id2"))
     pageRankOn(documents.select(col("doc_id")), pairs, iterations)
       .orderedOutput(col("doc_id"))
   }
@@ -304,10 +305,11 @@ object PipelineQueries {
   def canonicalByRank(documents: org.apache.spark.sql.DataFrame,
                       iterations: Int = 5, threshold: Double = 0.4)
   : org.apache.spark.sql.DataFrame = {
-    val ckpt = Checkpoints.cycle()
-    val pairs = ckpt.truncate(
-      DedupQueries.tokenPrefixJoin(documents, threshold, sorted = false)
-        .select(col("id1"), col("id2")))
+    // the shared (persisted) edge relation replaces the former
+    // per-query checkpoint: q96 derives the identical t=0.4 edges, and
+    // persist gives the same one-materialization property the cycle did
+    val pairs = DedupQueries.tokenPrefixJoinShared(documents, threshold)
+      .select(col("id1"), col("id2"))
     val nodes = documents.select(col("doc_id"))
     val comps = ConnectedComponents.components(
       nodes.select(col("doc_id").as("id")),
@@ -632,10 +634,9 @@ object PipelineQueries {
     "q57_dup_components" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // sorted=false: the edge set is an intermediate relation — the
-        // sorted variant funnels every pair through one task first
-        val edges = DedupQueries.tokenPrefixJoin(docs, threshold = 0.5,
-            sorted = false)
+        // shared unsorted edge relation (an intermediate — never the
+        // single-task sorted tail); q81 consumes the identical edges
+        val edges = DedupQueries.tokenPrefixJoinShared(docs, threshold = 0.5)
           .select(col("id1").as("u"), col("id2").as("v"))
         val comps = ConnectedComponents.components(
           docs.select(col("doc_id").as("id")), edges)
