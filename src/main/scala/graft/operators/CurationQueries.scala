@@ -550,6 +550,93 @@ object CurationQueries {
       .limit(k)
   }
 
+  /** BM25 top-k lexical retrieval (q126) — the text-side rung of the
+    * similarity-search battery (the embedding side is q26/q92/q93):
+    * score every corpus document against a derived query set and keep
+    * the k best per query.
+    *
+    * Scoring is INTEGER-SCALED BM25 (the q86/q107/q114 cross-engine
+    * convention — no ln, no float sums, so DuckDB re-derives every bit):
+    * with k1 = 6/5 and b = 3/4 folded into exact rationals,
+    *   tf_part = 22·S·tf / (10·S·tf + 3·S + 9·N·dl)
+    * (S = corpus token count, N = corpus docs, dl = doc length; derived
+    * by multiplying the classic tf saturation through by 10·S), and the
+    * idf is the Robertson–Sparck Jones ratio surrogate
+    *   idf_scaled = (2·(N − df) + 1)·10⁶ div (2·df + 1)
+    * — monotone in the classic ln(1 + (N−df+0.5)/(df+0.5)), exact in
+    * integers. Per-term products run in DECIMAL(20,0)·DECIMAL(20,0)
+    * (≤ 4·10³⁴ even at 10¹¹ docs — sized like q114's sums) with an
+    * integral div back to BIGINT; the per-(query, doc) score is an
+    * exact integer SUM — order-independent, so both engines agree
+    * bit-for-bit with no float epsilon anywhere.
+    *
+    * Query derivation (deterministic from the data — registry queries
+    * take no free text): every `doc_id % queryMod == 0` document
+    * contributes its 4 RAREST distinct tokens (lowest corpus df,
+    * tie-break token) — the terms that carry the most retrieval signal
+    * and probe the smallest posting lists; the query doc itself is
+    * excluded from its result list. A production deployment over an
+    * open vocabulary adds an absolute stopword prune (drop df·10 > N)
+    * so no query term's posting list is corpus-sized; the synthetic
+    * corpus's CLOSED 31-token vocabulary (median df = 0.78·N) would
+    * empty every query under that prune — vocabulary shape decides the
+    * knob, the q56/q80 precondition lesson.
+    *
+    * 100 TB shape: the inverted-index relations (tf with dl riding the
+    * key — ONE explode+groupBy corpus pass, no dl join — and the
+    * token-keyed df aggregate) are the amortized index build; the query
+    * set is dimension-sized → BROADCAST, so scoring is a map-side
+    * posting-list filter whose volume is Σ_q Σ_{t∈q} df(t), bounded by
+    * the stopword prune — the corpus is never shuffled per query. Top-k
+    * is the bounded-buffer [[graft.functions.TopK]] Aggregator (map-side
+    * combinable, no rank window). */
+  def bm25TopK(documents: DataFrame, k: Int = 5,
+               queryMod: Long = 29L): DataFrame = {
+    val base = documents.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("token"))
+    // dl is functionally dependent on doc_id: riding the groupBy key
+    // costs nothing and saves a corpus-scale doc-keyed join later
+    val tf = base.groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val totals = documents.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).cast("long").as("s_tokens"))
+    val qcand = documents.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    // candidate query terms are dimension-sized: broadcast them against
+    // the corpus-scale df relation (map-side) to attach each term's df
+    val qpruned = dfRel.join(broadcast(qcand), Seq("token"))
+    // per-query 4 rarest terms: dimension-sized groups — sorted struct
+    // collect + slice, no window; df rides the struct so scoring needs
+    // no second df join
+    val qterms = qpruned.groupBy(col("query_id"))
+      .agg(slice(sort_array(collect_list(struct(col("df"), col("token")))),
+        1, 4).as("qt"))
+      .select(col("query_id"), explode(col("qt")).as("e"))
+      .select(col("query_id"), col("e.df").as("df"), col("e.token").as("token"))
+    val scored = tf.join(broadcast(qterms), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("query_id", "doc_id",
+        """(cast((2 * (n_docs - df) + 1) * 1000000 div (2 * df + 1)
+          |      as decimal(20,0))
+          |  * cast(22 * s_tokens * tf as decimal(20,0)))
+          |div cast(10 * s_tokens * tf + 3 * s_tokens + 9 * n_docs * dl
+          |         as decimal(20,0))""".stripMargin.replace("\n", " ")
+          + " as sterm")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("sterm")).as("score"))
+    val topk = graft.functions.TopK.longPairUdaf(k)
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col("query_id"), (col("p") + 1).cast("long").as("rank"),
+        col("e._2").as("doc_id"), col("e._1").as("score"))
+      .orderedResult(col("query_id"), col("rank"))
+  }
+
   val registry: Map[String, QueryDef] = Map(
 
     // ── top bigram collocations by association lift: two token
@@ -855,6 +942,43 @@ object CurationQueries {
              |  round(1 - CAST(sum(CASE WHEN f.first_id < e.doc_id THEN 1 ELSE 0 END)
              |    AS DOUBLE) / count(*), 6) AS novelty
              |FROM e JOIN f USING (g)
-             |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── BM25 top-k lexical retrieval: integer-scaled scoring (exact
+    //    rationals, no ln/float), broadcast query set over the inverted
+    //    index, bounded TopK; full construction re-derived in DuckDB
+    //    with HUGEINT intermediates and a row_number top-k twin ──
+    "q126_bm25_topk" -> QueryDef(
+      (s, d) => bm25TopK(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |          FROM documents),
+             |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+             |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS s_tokens FROM dl),
+             |qc AS (SELECT doc_id AS query_id,
+             |         unnest(list_distinct(string_split(text, ' '))) AS token
+             |       FROM documents WHERE doc_id % 29 = 0),
+             |qp AS (SELECT qc.query_id, qc.token, df.df FROM qc
+             |         JOIN df USING (token)),
+             |qt AS (SELECT query_id,
+             |         unnest(list(token ORDER BY df, token)[1:4]) AS token
+             |       FROM qp GROUP BY query_id),
+             |sc AS (SELECT q.query_id, tf.doc_id,
+             |         SUM((CAST((2 * (tot.n_docs - df.df) + 1) * 1000000
+             |                   // (2 * df.df + 1) AS HUGEINT)
+             |              * CAST(22 * tot.s_tokens * tf.tf AS HUGEINT))
+             |             // CAST(10 * tot.s_tokens * tf.tf + 3 * tot.s_tokens
+             |                    + 9 * tot.n_docs * dl.dl AS HUGEINT)) AS score
+             |       FROM qt q JOIN tf USING (token)
+             |         JOIN df USING (token)
+             |         JOIN dl ON dl.doc_id = tf.doc_id, tot
+             |       WHERE tf.doc_id <> q.query_id
+             |       GROUP BY 1, 2),
+             |r AS (SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+             |        ROW_NUMBER() OVER (PARTITION BY query_id
+             |          ORDER BY score DESC, doc_id) AS rk FROM sc)
+             |SELECT query_id, rk AS rank, doc_id, score FROM r WHERE rk <= 5
+             |ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[CurationQueries.bm25TopK]] (q126): planted retrieval semantics the
+  * registry oracle can't see — the synthetic corpus has no ground-truth
+  * relevance, so this spec PLANTS it: a document stacking the query's
+  * rare terms must outrank one mentioning them once, matching on a rare
+  * term must outrank matching on a common one, and the query document
+  * never retrieves itself. */
+class Bm25Spec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, String)], k: Int = 5) = {
+    import spark.implicits._
+    val docs = rows.toDF("doc_id", "text")
+    CurationQueries.bm25TopK(docs, k = k, queryMod = 29L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+  }
+
+  test("stacked rare query terms rank first; self excluded; ranks contiguous") {
+    val filler = "the of and to in"
+    val rows = Seq[(Long, String)](
+      // query doc 0: rare terms zq1 zq2 among common filler
+      (0L, s"zq1 zq2 $filler"),
+      // heavy match: both rare terms, repeated
+      (10L, s"zq1 zq1 zq2 zq2 zq1 $filler"),
+      // light match: one rare term, once
+      (11L, s"zq1 $filler"),
+      // no rare terms — common-token background corpus
+      (12L, s"$filler $filler"),
+      (13L, s"$filler the the"),
+      (14L, s"$filler of of")
+    )
+    val out = run(rows)
+    val q0 = out.filter(_._1 == 0L)
+    assert(q0.nonEmpty, "query 0 must produce results")
+    assert(!q0.exists(_._3 == 0L), "the query doc never retrieves itself")
+    assert(q0.map(_._2).toSeq == (1L to q0.length), "ranks are contiguous")
+    assert(q0.head._3 == 10L, "the stacked rare-term doc ranks first")
+    val score = q0.map(r => r._3 -> r._4).toMap
+    assert(score(10L) > score(11L),
+      "two repeated rare terms outscore one single occurrence")
+    // scores are non-increasing down the ranking
+    assert(q0.map(_._4).toSeq == q0.map(_._4).toSeq.sortBy(-_))
+  }
+
+  test("matching a rare term outranks matching a common one at equal tf") {
+    // every doc shares 'common'; doc 21 matches the query's rare term,
+    // doc 22 only the common one (df: rare=2 docs, common=all)
+    val rows = Seq[(Long, String)](
+      (0L, "rare7 common pad1 pad2"),
+      (21L, "rare7 common x y"),
+      (22L, "common common z w"),
+      (23L, "pad1 q r s"),
+      (24L, "pad2 t u v")
+    )
+    val out = run(rows)
+    val q0 = out.filter(_._1 == 0L)
+    val pos = q0.map(_._3).zipWithIndex.toMap
+    assert(pos(21L) < pos(22L),
+      "rare-term match must rank above common-term-only match")
+  }
+
+  test("deterministic across executions (integer scoring, no float sums)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val rows = (0L until 60L).map { i =>
+      (i, Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val a = run(rows)
+    val b = run(rows)
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+  }
+}
