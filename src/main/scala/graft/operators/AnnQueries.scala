@@ -614,8 +614,100 @@ object AnnQueries {
     // cells, within-cell scaled-integer cosines, keep-first decision
     "q103_semdedup" -> QueryDef(
       (s, d) => semDeDup(Tables.embeddings(s, d)),
-      Some(semDeDupOracleSql(k = 8, iters = 3, tauScaled = 300000L)))
+      Some(semDeDupOracleSql(k = 8, iters = 3, tauScaled = 300000L))),
+    // hybrid retrieval capstone: BM25 (q126) + cosine rank lists fused
+    // by integer-scaled Reciprocal Rank Fusion; both arms and the
+    // fusion re-derived in DuckDB (the q126 CTE chain verbatim + the
+    // kNN cosine fragments + a row_number fusion twin)
+    "q127_hybrid_rrf" -> QueryDef(
+      (s, d) => hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d)),
+      Some(hybridRrfOracleSql(k = 5, depth = 20)))
   )
+
+  /** Hybrid retrieval by Reciprocal Rank Fusion (q127) — the standard
+    * two-arm retrieval stack over ONE query set: the lexical arm is
+    * [[CurationQueries.bm25TopK]]'s ranking at fusion depth, the
+    * semantic arm ranks every embedding against each query vector by
+    * scaled-integer cosine (the q92 treatment), and the fused score is
+    *   rrf(d) = Σ_arm 10⁹ div (60 + rank_arm(d))
+    * (Cormack, Clarke & Buettcher, SIGIR 2009, the k = 60 convention) —
+    * EXACT integers end to end, so ranks, scores and ties are
+    * bit-identical cross-engine with no float anywhere in the fusion.
+    * A document absent from an arm's depth-`depth` list contributes 0
+    * from that arm; a query absent from one MODALITY (the synthetic
+    * corpus has fewer embeddings than documents at some SFs) degrades
+    * to the covered arm's ranking — the deployment semantics of partial
+    * coverage, not an error.
+    *
+    * 100 TB shape: each arm is the already-audited shape (BM25's
+    * broadcast query set over the inverted index; the cosine arm scans
+    * the corpus ONCE against the dimension-sized broadcast query
+    * vectors — brute-force by design, the q26 baseline; swap in
+    * [[knnJoinLsh]]'s bucketed candidates when the query set outgrows a
+    * broadcast). The fusion itself is a union of two depth-bounded rank
+    * lists — dimension-sized per query — grouped and TopK'd, never a
+    * corpus-scale shuffle. */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame, k: Int = 5,
+                depth: Int = 20, queryMod: Long = 29L): DataFrame = {
+    val lex = CurationQueries.bm25TopK(documents, k = depth,
+        queryMod = queryMod)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val n = withNorms(embeddings)
+    val q = n.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+    val scoredSem = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("c", graft.functions.CollapseBarrier(
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qn")) * 1e6)
+          .cast("long")))
+      .select(col("query_id"), col("c"), col("vec_id").as("nb"))
+    val topd = graft.functions.TopK.longPairUdaf(depth)
+    val sem = scoredSem.groupBy(col("query_id"))
+      .agg(topd(col("c"), col("nb")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), col("e._2").as("doc_id"),
+        (col("i") + 1).cast("long").as("rank"))
+    val contrib = lex.unionByName(sem)
+      .selectExpr("query_id", "doc_id",
+        "1000000000 div (60 + rank) as w")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("rrf_scaled"))
+    val topk = graft.functions.TopK.longPairUdaf(k)
+    contrib.groupBy(col("query_id"))
+      .agg(topk(col("rrf_scaled"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
+        col("e._2").as("doc_id"), col("e._1").as("rrf_scaled"))
+      .orderedOutput(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[hybridRrf]]: the q126 lexical CTE chain verbatim
+    * (via [[CurationQueries.bm25RankedCtes]]) + the kNN-family cosine
+    * fragments restricted to the query vectors + the integer RRF union. */
+  private def hybridRrfOracleSql(k: Int, depth: Int): String =
+    s"""WITH ${CurationQueries.bm25RankedCtes},
+       |$knnBaseSql,
+       |qv AS (SELECT vec_id AS query_id, v AS pv, nm AS pn FROM n
+       |       WHERE vec_id % 29 = 0),
+       |sp AS (SELECT qv.query_id, n.vec_id AS doc_id,
+       |         CAST(ROUND(list_inner_product(n.v, qv.pv) / (n.nm * qv.pn)
+       |           * 1000000) AS BIGINT) AS c
+       |       FROM n, qv WHERE n.vec_id <> qv.query_id),
+       |sr AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+       |         PARTITION BY query_id ORDER BY c DESC, doc_id) AS rk
+       |       FROM sp),
+       |u AS (SELECT query_id, doc_id, 1000000000 // (60 + rk) AS w
+       |      FROM lexr WHERE rk <= $depth
+       |      UNION ALL
+       |      SELECT query_id, doc_id, 1000000000 // (60 + rk)
+       |      FROM sr WHERE rk <= $depth),
+       |f AS (SELECT query_id, doc_id, CAST(SUM(w) AS BIGINT) AS rrf_scaled
+       |      FROM u GROUP BY 1, 2),
+       |fr AS (SELECT query_id, doc_id, rrf_scaled, ROW_NUMBER() OVER (
+       |         PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id)
+       |         AS rk FROM f)
+       |SELECT query_id, rk AS rank, doc_id, rrf_scaled FROM fr
+       |WHERE rk <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Shared DuckDB fragments of the kNN-join oracles (q92/q93/q106) —
     * factored so a semantics fix (tie-break, zero-norm filter, scaling)

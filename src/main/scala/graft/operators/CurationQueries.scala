@@ -950,35 +950,42 @@ object CurationQueries {
     //    with HUGEINT intermediates and a row_number top-k twin ──
     "q126_bm25_topk" -> QueryDef(
       (s, d) => bm25TopK(Tables.documents(s, d)),
-      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-             |          FROM documents),
-             |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
-             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
-             |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-             |tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS s_tokens FROM dl),
-             |qc AS (SELECT doc_id AS query_id,
-             |         unnest(list_distinct(string_split(text, ' '))) AS token
-             |       FROM documents WHERE doc_id % 29 = 0),
-             |qp AS (SELECT qc.query_id, qc.token, df.df FROM qc
-             |         JOIN df USING (token)),
-             |qt AS (SELECT query_id,
-             |         unnest(list(token ORDER BY df, token)[1:4]) AS token
-             |       FROM qp GROUP BY query_id),
-             |sc AS (SELECT q.query_id, tf.doc_id,
-             |         SUM((CAST((2 * (tot.n_docs - df.df) + 1) * 1000000
-             |                   // (2 * df.df + 1) AS HUGEINT)
-             |              * CAST(22 * tot.s_tokens * tf.tf AS HUGEINT))
-             |             // CAST(10 * tot.s_tokens * tf.tf + 3 * tot.s_tokens
-             |                    + 9 * tot.n_docs * dl.dl AS HUGEINT)) AS score
-             |       FROM qt q JOIN tf USING (token)
-             |         JOIN df USING (token)
-             |         JOIN dl ON dl.doc_id = tf.doc_id, tot
-             |       WHERE tf.doc_id <> q.query_id
-             |       GROUP BY 1, 2),
-             |r AS (SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
-             |        ROW_NUMBER() OVER (PARTITION BY query_id
-             |          ORDER BY score DESC, doc_id) AS rk FROM sc)
-             |SELECT query_id, rk AS rank, doc_id, score FROM r WHERE rk <= 5
-             |ORDER BY query_id, rank""".stripMargin))
+      Some(s"""WITH $bm25RankedCtes
+             |SELECT query_id, rk AS rank, doc_id, score FROM lexr
+             |WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin))
   )
+
+  /** The q126 BM25 construction as a DuckDB CTE chain ending in `lexr`
+    * (query_id, doc_id, score, rk) — shared verbatim by the q127 hybrid
+    * fusion oracle so a scoring-semantics fix reaches both (the
+    * kNN-family factoring precedent, AnnQueries). */
+  private[operators] def bm25RankedCtes: String =
+    """t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |          FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS s_tokens FROM dl),
+      |qc AS (SELECT doc_id AS query_id,
+      |         unnest(list_distinct(string_split(text, ' '))) AS token
+      |       FROM documents WHERE doc_id % 29 = 0),
+      |qp AS (SELECT qc.query_id, qc.token, df.df FROM qc
+      |         JOIN df USING (token)),
+      |qt AS (SELECT query_id,
+      |         unnest(list(token ORDER BY df, token)[1:4]) AS token
+      |       FROM qp GROUP BY query_id),
+      |sc AS (SELECT q.query_id, tf.doc_id,
+      |         SUM((CAST((2 * (tot.n_docs - df.df) + 1) * 1000000
+      |                   // (2 * df.df + 1) AS HUGEINT)
+      |              * CAST(22 * tot.s_tokens * tf.tf AS HUGEINT))
+      |             // CAST(10 * tot.s_tokens * tf.tf + 3 * tot.s_tokens
+      |                    + 9 * tot.n_docs * dl.dl AS HUGEINT)) AS score
+      |       FROM qt q JOIN tf USING (token)
+      |         JOIN df USING (token)
+      |         JOIN dl ON dl.doc_id = tf.doc_id, tot
+      |       WHERE tf.doc_id <> q.query_id
+      |       GROUP BY 1, 2),
+      |lexr AS (SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY score DESC, doc_id) AS rk FROM sc)""".stripMargin
 }
