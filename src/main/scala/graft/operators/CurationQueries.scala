@@ -592,41 +592,77 @@ object CurationQueries {
     * combinable, no rank window). */
   def bm25TopK(documents: DataFrame, k: Int = 5,
                queryMod: Long = 29L): DataFrame = {
+    val index = buildBm25Index(documents)
+    val qdocs = documents.filter(col("doc_id") % queryMod === 0)
+    bm25ScoreIndexed(index, bm25QueryTerms(index, qdocs), k)
+  }
+
+  /** The persisted inverted-index artifact of BM25 retrieval — the
+    * [[DedupQueries.PrefixIndex]] discipline applied to the retrieval
+    * stack: all three are plain relations a deployment writes ONCE per
+    * corpus snapshot (CorpusStore layout: key `tf` by token so a probe
+    * co-locates; `totals` is one row) and every query batch reads back
+    * instead of re-aggregating the corpus. `tf`: (doc_id, dl, token,
+    * tf); `df`: (token, df); `totals`: (n_docs, s_tokens). */
+  final case class Bm25Index(tf: DataFrame, df: DataFrame, totals: DataFrame)
+
+  /** Build the [[Bm25Index]] in one corpus pass. dl is functionally
+    * dependent on doc_id: riding the groupBy key costs nothing and
+    * saves a corpus-scale doc-keyed join at scoring time. The tf index
+    * is one-shot-truncated for its two in-pass consumers (the df
+    * aggregate and the scoring join — the prefixSimilarityJoin
+    * discipline). Measured NEUTRAL at sf0.1 (3.4 vs 3.5 s medians,
+    * spreads overlap — checkpoint-I/O-bound at bench size); kept
+    * because at corpus scale re-running the tokenize+aggregate per
+    * consumer is the loss, and the persisted deployment replaces the
+    * checkpoint with the parquet artifact anyway. */
+  def buildBm25Index(documents: DataFrame): Bm25Index = {
     val base = documents.select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("token"))
-    // dl is functionally dependent on doc_id: riding the groupBy key
-    // costs nothing and saves a corpus-scale doc-keyed join later.
-    // truncate: the tf index has TWO consumers (the df aggregate and the
-    // scoring join) — materialize the explode+groupBy corpus pass once
-    // (the prefixSimilarityJoin discipline). Measured NEUTRAL at sf0.1
-    // (3.4 vs 3.5 s medians, spreads overlap — the bench corpus is
-    // checkpoint-I/O-bound at this size); kept because at corpus scale
-    // re-running the tokenize+aggregate per consumer is the loss, and a
-    // deployment persists this index across query batches anyway.
     val tf = Checkpoints.truncate(
       base.groupBy(col("doc_id"), col("dl"), col("token"))
         .agg(count(lit(1)).as("tf")))
     val dfRel = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val totals = documents.agg(count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " "))).cast("long").as("s_tokens"))
-    val qcand = documents.filter(col("doc_id") % queryMod === 0)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(split(col("text"), " "))).as("token"))
-    // candidate query terms are dimension-sized: broadcast them against
-    // the corpus-scale df relation (map-side) to attach each term's df
-    val qpruned = dfRel.join(broadcast(qcand), Seq("token"))
-    // per-query 4 rarest terms: dimension-sized groups — sorted struct
-    // collect + slice, no window; df rides the struct so scoring needs
-    // no second df join
-    val qterms = qpruned.groupBy(col("query_id"))
+    Bm25Index(tf, dfRel, totals)
+  }
+
+  /** Derive each query doc's `termsPerQuery` RAREST distinct terms
+    * under the INDEX's df (lowest df, tie-break token) as (query_id,
+    * df, token). Query-doc tokens the index has never seen drop out —
+    * they can't match any posting, so scoring loses nothing (the
+    * prefixProbeJoin unseen-element argument). Dimension-sized
+    * throughout: the candidate terms broadcast against the corpus-scale
+    * df relation (map-side), and the per-query selection is a sorted
+    * struct collect + slice over <= dl rows — no window; df rides the
+    * struct so scoring needs no second df join. */
+  def bm25QueryTerms(index: Bm25Index, queryDocs: DataFrame,
+                     termsPerQuery: Int = 4): DataFrame = {
+    val qcand = queryDocs.select(col("doc_id").as("query_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    index.df.join(broadcast(qcand), Seq("token"))
+      .groupBy(col("query_id"))
       .agg(slice(sort_array(collect_list(struct(col("df"), col("token")))),
-        1, 4).as("qt"))
+        1, termsPerQuery).as("qt"))
       .select(col("query_id"), explode(col("qt")).as("e"))
       .select(col("query_id"), col("e.df").as("df"), col("e.token").as("token"))
-    val scored = tf.join(broadcast(qterms), Seq("token"))
+  }
+
+  /** Score a query-term batch against a (possibly persisted)
+    * [[Bm25Index]] and keep the top `k` docs per query — the PER-BATCH
+    * side of the retrieval stack: one broadcast of the dimension-sized
+    * term set, a map-side posting filter on the tf index, and the
+    * bounded TopK tail. No corpus aggregation happens here — the index
+    * relations carry every corpus-scale statistic (df on the terms, dl
+    * on the postings, totals as one row), so a fresh query batch costs
+    * its own posting volume, never an index rebuild. */
+  def bm25ScoreIndexed(index: Bm25Index, qterms: DataFrame,
+                       k: Int = 5): DataFrame = {
+    val scored = index.tf.join(broadcast(qterms), Seq("token"))
       .filter(col("doc_id") =!= col("query_id"))
-      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(index.totals))
       .selectExpr("query_id", "doc_id",
         """(cast((2 * (n_docs - df) + 1) * 1000000 div (2 * df + 1)
           |      as decimal(20,0))

@@ -62,6 +62,42 @@ class Bm25Spec extends SparkSpec {
       "rare-term match must rank above common-term-only match")
   }
 
+  test("persisted index round-trip: parquet-backed scoring equals in-pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 15).map(i => s"v$i")
+    val corpus = (0L until 80L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    // an out-of-corpus query batch; 'unseen1' has no posting anywhere
+    val queries = Seq((1000L, "v1 v2 unseen1 v3 v4"),
+      (1001L, "v5 unseen2 v6")).toDF("doc_id", "text")
+
+    val live = CurationQueries.buildBm25Index(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    live.tf.write.parquet(s"$dir/tf")
+    live.df.write.parquet(s"$dir/df")
+    live.totals.write.parquet(s"$dir/totals")
+    val persisted = CurationQueries.Bm25Index(
+      spark.read.parquet(s"$dir/tf"),
+      spark.read.parquet(s"$dir/df"),
+      spark.read.parquet(s"$dir/totals"))
+
+    def score(ix: CurationQueries.Bm25Index) =
+      CurationQueries.bm25ScoreIndexed(ix,
+        CurationQueries.bm25QueryTerms(ix, queries), k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val fromLive = score(live)
+    val fromParquet = score(persisted)
+    assert(fromLive.nonEmpty, "out-of-corpus queries must still retrieve")
+    assert(fromParquet == fromLive,
+      "a parquet round-tripped index scores identically — no corpus " +
+        "re-aggregation is hidden in the probe path")
+  }
+
   test("deterministic across executions (integer scoring, no float sums)") {
     val rnd = new scala.util.Random(7)
     val vocab = (0 until 12).map(i => s"w$i")
