@@ -131,6 +131,49 @@ object DocStream {
         explode(col("counters")).as(Seq("token", "lower_bound")))
   }
 
+  /** Streaming BM25 index maintenance — q126's streaming twin: keep the
+    * retrieval index ([[graft.operators.CurationQueries.Bm25Index]])
+    * fresh as documents arrive, without the scheduled full rebuild (the
+    * CurveStream discipline applied to retrieval). Each micro-batch
+    * writes three IDEMPOTENT batch-keyed partitions:
+    *   `tf/batch_id=N` — the batch's postings (doc_id, dl, token, tf);
+    *   `dfd/batch_id=N` — the batch's df DELTA (token, df);
+    *   `tot/batch_id=N` — the batch's (n_docs, s_tokens) row.
+    * Document frequencies and totals are ADDITIVE across batches as
+    * long as a document never spans batches (each doc's postings, dl
+    * and df contribution ride one batch), so [[loadBm25Index]] folds
+    * the deltas at load time. A replayed batch OVERWRITES its own
+    * partition — exactly-once index contents under foreachBatch's
+    * at-least-once replay, with no read-modify-write of shared state in
+    * the hot path (contrast UpsertSink's keyed merge, which pays a read
+    * of the touched partitions per batch; pure partition overwrites are
+    * the cheaper discipline when deltas are additive). */
+  def bm25IndexSink(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val idx = graft.operators.CurationQueries.buildBm25Index(batch)
+      idx.tf.write.mode("overwrite").parquet(s"$path/tf/batch_id=$batchId")
+      idx.df.write.mode("overwrite").parquet(s"$path/dfd/batch_id=$batchId")
+      idx.totals.write.mode("overwrite").parquet(s"$path/tot/batch_id=$batchId")
+    }
+
+  /** Load the streamed index: postings read as-is; df/totals fold their
+    * per-batch deltas (a VOCABULARY-sized aggregate over #batches
+    * deltas — load-time cost, zero hot-path cost; a deployment with
+    * thousands of batches compacts by rewriting the folded result as
+    * one delta). Scoring against the result is
+    * [[graft.operators.CurationQueries.bm25ScoreIndexed]], identical to
+    * an offline-built index (spec-pinned). */
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
+                    path: String): graft.operators.CurationQueries.Bm25Index =
+    graft.operators.CurationQueries.Bm25Index(
+      spark.read.parquet(s"$path/tf")
+        .select(col("doc_id"), col("dl"), col("token"), col("tf")),
+      spark.read.parquet(s"$path/dfd")
+        .groupBy(col("token")).agg(sum(col("df")).as("df")),
+      spark.read.parquet(s"$path/tot")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("s_tokens")).as("s_tokens")))
+
   /** A near-duplicate match surfaced by [[nearDupStream]]: `doc_id` is
     * the arriving document, `matched_id` a previously-seen bucket-mate,
     * `n_equal_sigs` ∈ [4, 16] the matching MinHash components (÷16 ≈
