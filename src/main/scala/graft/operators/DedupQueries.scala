@@ -484,6 +484,23 @@ object DedupQueries {
     * tuple. Exposed for DedupSpec (exact duplicates must collide in every
     * band). */
   def minhashPortable(docs: DataFrame): DataFrame = {
+    val banded = minhashBanded(docs)
+    val a = banded.select(col("band"), col("s0"), col("s1"), col("s2"),
+      col("s3"), col("doc_id").as("id1"))
+    val b = banded.select(col("band"), col("s0"), col("s1"), col("s2"),
+      col("s3"), col("doc_id").as("id2"))
+    a.join(b, Seq("band", "s0", "s1", "s2", "s3"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+      .orderedResult(col("id1"), col("id2"))
+  }
+
+  /** The q66 banded signature relation (doc_id, band, s0..s3) — one row
+    * per document per band, portable-hash so DuckDB reproduces it
+    * bit-for-bit. Shared by [[minhashPortable]] (bucket self-join) and
+    * PipelineQueries' LSH cluster-stats rung (bucket-representative
+    * star edges). */
+  private[operators] def minhashBanded(docs: DataFrame): DataFrame = {
     val grams = docs
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), explode(array_distinct(
@@ -496,23 +513,16 @@ object DedupQueries {
       struct(lit(b).as("band"),
         col(s"sig${4 * b}").as("s0"), col(s"sig${4 * b + 1}").as("s1"),
         col(s"sig${4 * b + 2}").as("s2"), col(s"sig${4 * b + 3}").as("s3")))
-    val banded = sigs
+    sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.s0").as("s0"),
         col("b.s1").as("s1"), col("b.s2").as("s2"), col("b.s3").as("s3"))
-    val a = banded.select(col("band"), col("s0"), col("s1"), col("s2"),
-      col("s3"), col("doc_id").as("id1"))
-    val b = banded.select(col("band"), col("s0"), col("s1"), col("s2"),
-      col("s3"), col("doc_id").as("id2"))
-    a.join(b, Seq("band", "s0", "s1", "s2", "s3"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
-      .orderedResult(col("id1"), col("id2"))
   }
 
-  /** DuckDB twin of [[minhashPortable]], generated from the same
-    * constants. */
-  private def minhashPortableOracleSql: String = {
+  /** The CTE chain reproducing [[minhashBanded]] in DuckDB (g → sigs →
+    * bands), generated from the same constants. Shared by the q66 oracle
+    * and PipelineQueries' q128 LSH cluster-stats oracle. */
+  private[operators] def minhashBandedCtes: String = {
     val gram = (0 until 8).map(gramHashSql).mkString(" + ")
     val sigExprs = (0 until 16).map(k =>
       s"list_min(list_transform(gs, g -> (g * ${minhashA(k)} + ${minhashB(k)}) % $MinhashP)) AS sig$k")
@@ -521,7 +531,7 @@ object DedupQueries {
       s"SELECT doc_id, $b AS band, sig${4 * b} AS s0, sig${4 * b + 1} AS s1, " +
         s"sig${4 * b + 2} AS s2, sig${4 * b + 3} AS s3 FROM sigs")
       .mkString("\n  UNION ALL ")
-    s"""WITH g AS (SELECT doc_id,
+    s"""g AS (SELECT doc_id,
        |    list_distinct(list_transform(generate_series(1, length(text) - 7, 4),
        |      i -> ($gram) % $MinhashP)) AS gs
        |  FROM documents WHERE length(text) >= 8),
@@ -529,7 +539,13 @@ object DedupQueries {
        |    $sigExprs
        |  FROM g),
        |bands AS (
-       |  $bandRows)
+       |  $bandRows)""".stripMargin
+  }
+
+  /** DuckDB twin of [[minhashPortable]], generated from the same
+    * constants. */
+  private def minhashPortableOracleSql: String = {
+    s"""WITH $minhashBandedCtes
        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0
        |  AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3

@@ -491,6 +491,62 @@ object PipelineQueries {
       .orderedResult(col("component"))
   }
 
+  /** LSH-bucketed duplicate-cluster statistics (q128) — q125's linear-
+    * cost scale rung. [[dupClusterStats]] derives its edge set from the
+    * exact corpus-wide prefix join, whose cost tracks true pair density
+    * (this corpus holds one ~2,400-doc cluster at t = 0.8 ⇒ ~2.9 M clique
+    * edges — output-optimal for the exact report, but quadratic per
+    * cluster). The production MinHash-dedup shape replaces the pair
+    * relation with STAR edges: within every q66 LSH bucket (band +
+    * 4-minhash tuple, [[DedupQueries.minhashBanded]]) each document is
+    * verified against the bucket REPRESENTATIVE (min doc_id) only —
+    * candidate volume is LINEAR in bucket size, never C(n,2). Every
+    * candidate edge is still exact-verified at token-Jaccard ≥ t before
+    * use, so each reported cluster provably REFINES an exact q125
+    * cluster (edges ⊆ exact edges ⇒ components ⊆ exact components);
+    * recall is what LSH banding grants (a doc joins its cluster iff some
+    * band collides with the representative — 4 bands of 4 at the q66
+    * operating point). Same rollup as q125. The bucket groupBy and the
+    * rep probe are both linear scans of the banded relation (4 rows/doc);
+    * no self-join exists anywhere in the plan, so a 100 TB corpus with a
+    * million-document duplicate blob costs 10⁶ verifications, not
+    * 5·10¹¹ pairs. */
+  def lshClusterStats(documents: org.apache.spark.sql.DataFrame,
+                      threshold: Double = 0.8): org.apache.spark.sql.DataFrame = {
+    val bandKey = Seq("band", "s0", "s1", "s2", "s3")
+    val banded = DedupQueries.minhashBanded(
+      documents.select(col("doc_id"), col("text")))
+    // one row per ≥2-doc bucket; singleton buckets generate no edges
+    val reps = banded.groupBy(bandKey.map(col): _*)
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .drop("n")
+    val starCand = banded.join(reps, bandKey)
+      .filter(col("doc_id") =!= col("rep"))
+      // rep = bucket min ⇒ id1 < id2 by construction
+      .select(col("rep").as("id1"), col("doc_id").as("id2")).distinct()
+    val toks = documents.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("t"))
+    val verified = starCand
+      .join(toks.select(col("doc_id").as("id1"), col("t").as("t1")), Seq("id1"))
+      .join(toks.select(col("doc_id").as("id2"), col("t").as("t2")), Seq("id2"))
+      .filter(size(array_intersect(col("t1"), col("t2"))).cast("double")
+        / size(array_union(col("t1"), col("t2"))) >= threshold)
+      .select(col("id1").as("u"), col("id2").as("v"))
+    val comps = ConnectedComponents.components(
+      documents.select(col("doc_id").as("id")), verified)
+    comps.join(documents.select(col("doc_id").as("id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), Seq("id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+      .filter(col("n_docs") >= 2)
+      .orderedResult(col("component"))
+  }
+
   /** Adjacent-token bigrams per document as (doc_id, t1, t2), GUARDED
     * for single-token and empty texts: size < 2 contributes no bigram
     * rows — an unguarded `sequence(1, size-1)` yields the DESCENDING
