@@ -32,9 +32,12 @@ import org.apache.spark.sql.DataFrame
   * checkpoint is consumed lazily inside the returned plan and so cannot be
   * deleted eagerly) REGISTER their directory instead: a runner that knows
   * the consuming action has completed calls [[releaseOneShots]] — the
-  * registry runner does after every query, the streaming sinks after every
-  * batch — so directories never accumulate across invocations (r7 ADVICE
-  * task #2).
+  * Bench/Verify registry runners do after every query — so directories
+  * never accumulate across invocations (r7 ADVICE task #2). Streaming
+  * sinks must NOT use the global sweep (their micro-batch may run
+  * concurrently with a query whose one-shots are still live); they wrap
+  * each batch in [[releasingScoped]], which deletes exactly the
+  * checkpoints that batch registered (r8 ADVICE).
   */
 object Checkpoints {
 
@@ -73,6 +76,25 @@ object Checkpoints {
       it.remove()
       try deleteCheckpointDir(e.getValue, e.getKey)
       catch { case _: Throwable => () } // best effort — sweep again later
+    }
+  }
+
+  /** Run `body`, then delete exactly the one-shot checkpoints it
+    * registered — a SCOPED [[releaseOneShots]] for unit-of-work callers
+    * (streaming micro-batches) that must not sweep globally: the global
+    * sweep would delete a CONCURRENT query's still-live checkpoints.
+    * Call only when every action consuming plans built inside `body`
+    * completes inside `body` (the sink's writes do). Caveat: one-shots
+    * registered by OTHER threads while `body` runs are claimed too —
+    * single-writer streaming sinks satisfy this; interleave multi-query
+    * runners through [[releaseOneShots]] at their own boundaries
+    * instead. */
+  private[graft] def releasingScoped[T](body: => T): T = {
+    val before = snapshotOneShots()
+    try body
+    finally claimOneShots(before).foreach { case (c, p) =>
+      try deleteCheckpointDir(c, p)
+      catch { case _: Throwable => () } // best effort, as releaseOneShots
     }
   }
 

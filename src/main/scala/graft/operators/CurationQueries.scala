@@ -564,11 +564,13 @@ object CurationQueries {
     * idf is the Robertson–Sparck Jones ratio surrogate
     *   idf_scaled = (2·(N − df) + 1)·10⁶ div (2·df + 1)
     * — monotone in the classic ln(1 + (N−df+0.5)/(df+0.5)), exact in
-    * integers. Per-term products run in DECIMAL(20,0)·DECIMAL(20,0)
-    * (≤ 4·10³⁴ even at 10¹¹ docs — sized like q114's sums) with an
-    * integral div back to BIGINT; the per-(query, doc) score is an
-    * exact integer SUM — order-independent, so both engines agree
-    * bit-for-bit with no float epsilon anywhere.
+    * integers. Every multi-operand product promotes each operand to
+    * DECIMAL (Spark) / HUGEINT (DuckDB) BEFORE multiplying, so nothing
+    * ever wraps in BIGINT; the largest intermediate,
+    * idf·22·S·tf ≈ 4·10³⁶ at 10¹¹ docs, sits inside DECIMAL(38,0),
+    * and the integral div lands back in BIGINT. The per-(query, doc)
+    * score is an exact integer SUM — order-independent, so both
+    * engines agree bit-for-bit with no float epsilon anywhere.
     *
     * Query derivation (deterministic from the data — registry queries
     * take no free text): every `doc_id % queryMod == 0` document
@@ -663,12 +665,21 @@ object CurationQueries {
     val scored = index.tf.join(broadcast(qterms), Seq("token"))
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(index.totals))
+      // every multi-operand product promotes to DECIMAL *before* the
+      // multiply (r8 ADVICE: `22 * s_tokens * tf` evaluated in BIGINT
+      // first silently wraps under non-ANSI Spark once s_tokens·tf
+      // nears 4·10¹⁷, while DuckDB's HUGEINT twin stays exact). With
+      // per-operand casts the largest intermediate is
+      // idf(≈2·10¹⁷ at 10¹¹ docs) · 22·S·tf(≈2·10¹⁹) ≈ 4·10³⁶ — inside
+      // DECIMAL(38,0), exact on both engines.
       .selectExpr("query_id", "doc_id",
         """(cast((2 * (n_docs - df) + 1) * 1000000 div (2 * df + 1)
           |      as decimal(20,0))
-          |  * cast(22 * s_tokens * tf as decimal(20,0)))
-          |div cast(10 * s_tokens * tf + 3 * s_tokens + 9 * n_docs * dl
-          |         as decimal(20,0))""".stripMargin.replace("\n", " ")
+          |  * (22 * cast(s_tokens as decimal(20,0)) * tf))
+          |div (10 * cast(s_tokens as decimal(20,0)) * tf
+          |     + 3 * cast(s_tokens as decimal(20,0))
+          |     + 9 * cast(n_docs as decimal(20,0)) * dl)""".stripMargin
+          .replace("\n", " ")
           + " as sterm")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("sterm")).as("score"))
@@ -1021,9 +1032,10 @@ object CurationQueries {
       |sc AS (SELECT q.query_id, tf.doc_id,
       |         SUM((CAST((2 * (tot.n_docs - df.df) + 1) * 1000000
       |                   // (2 * df.df + 1) AS HUGEINT)
-      |              * CAST(22 * tot.s_tokens * tf.tf AS HUGEINT))
-      |             // CAST(10 * tot.s_tokens * tf.tf + 3 * tot.s_tokens
-      |                    + 9 * tot.n_docs * dl.dl AS HUGEINT)) AS score
+      |              * (22 * CAST(tot.s_tokens AS HUGEINT) * tf.tf))
+      |             // (10 * CAST(tot.s_tokens AS HUGEINT) * tf.tf
+      |                + 3 * CAST(tot.s_tokens AS HUGEINT)
+      |                + 9 * CAST(tot.n_docs AS HUGEINT) * dl.dl)) AS score
       |       FROM qt q JOIN tf USING (token)
       |         JOIN df USING (token)
       |         JOIN dl ON dl.doc_id = tf.doc_id, tot

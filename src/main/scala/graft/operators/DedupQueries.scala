@@ -938,38 +938,73 @@ object DedupQueries {
   // can't delete a relation the cache still hands out). Bounded to a
   // few entries; clearSharedPairCache() frees them. ──
   private val MaxSharedPairEntries = 8
-  private type CacheEntry =
-    (DataFrame, Seq[(org.apache.hadoop.conf.Configuration, String)])
+  private final case class SharedEntry(
+    plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    df: DataFrame,
+    owned: Seq[(org.apache.hadoop.conf.Configuration, String)])
+  // accessOrder = true: get() moves an entry to the tail, so the
+  // iteration head is the least-recently-used entry — the ONLY one
+  // eviction touches (r8 ADVICE: flushing the whole cache unpersisted
+  // relations other callers still held and deleted checkpoint dirs
+  // their block-loss recompute paths needed)
   private val sharedCache =
-    new java.util.LinkedHashMap[(String, Int, Int, Int), CacheEntry]()
+    new java.util.LinkedHashMap[(String, Int, Int, Int, Int), SharedEntry](
+      16, 0.75f, true)
+
+  private def dropEntry(e: SharedEntry): Unit = {
+    e.df.unpersist()
+    e.owned.foreach { case (c, p) =>
+      try Checkpoints.deleteCheckpointDir(c, p)
+      catch { case _: Throwable => () }
+    }
+  }
 
   private def dropAllShared(): Unit = {
-    sharedCache.values.forEach { case (df, owned) =>
-      df.unpersist()
-      owned.foreach { case (c, p) =>
-        try Checkpoints.deleteCheckpointDir(c, p)
-        catch { case _: Throwable => () }
-      }
-    }
+    sharedCache.values.forEach(dropEntry(_))
     sharedCache.clear()
   }
 
+  /** Registry-level memoization of a shared relation. PRECONDITION: the
+    * input is an immutable snapshot for the cache's lifetime — the key
+    * is the canonicalized logical PLAN, which for a parquet read hashes
+    * the root path, not the file listing, so re-reading a path after an
+    * overwrite COLLIDES with the pre-overwrite entry and returns the
+    * stale cached relation. Registry runs over frozen testdata satisfy
+    * this; a deployment that rewrites its corpus in-session must call
+    * [[clearSharedPairCache]] at the snapshot boundary (r8 verdict
+    * stretch #8). Hits are confirmed, not trusted: semanticHash is
+    * 32-bit, so the cached plan must also `sameResult` the input's and
+    * the cached relation must belong to the SAME SparkSession (a hit
+    * from a stopped session would hand out a dead relation). */
   private def memoShared(kind: String, input: DataFrame, a: Int, b: Int)
                         (build: => DataFrame): DataFrame =
     sharedCache.synchronized {
-      val key = (kind, input.queryExecution.logical.semanticHash(), a, b)
-      Option(sharedCache.get(key)).map(_._1).getOrElse {
-        if (sharedCache.size >= MaxSharedPairEntries) dropAllShared()
-        // the built plan's LINEAGE may hold one-shot checkpoints (the
-        // similarity joins' candidate index); claim them so a runner's
-        // releaseOneShots can't delete storage a cached relation still
-        // needs for block-loss recompute — they die with the entry
-        val before = Checkpoints.snapshotOneShots()
-        val built = build
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        sharedCache.put(key, (built, Checkpoints.claimOneShots(before)))
-        built
-      }
+      val plan = input.queryExecution.analyzed
+      val key = (kind, plan.semanticHash(),
+        System.identityHashCode(input.sparkSession), a, b)
+      Option(sharedCache.get(key))
+        .filter(e => (e.df.sparkSession eq input.sparkSession) &&
+          e.plan.sameResult(plan))
+        .map(_.df)
+        .getOrElse {
+          // a 32-bit hash collision (or dead-session residue) under this
+          // exact key: retire the impostor before rebuilding
+          Option(sharedCache.remove(key)).foreach(dropEntry)
+          if (sharedCache.size >= MaxSharedPairEntries) {
+            val it = sharedCache.entrySet().iterator()
+            if (it.hasNext) { val ev = it.next(); it.remove(); dropEntry(ev.getValue) }
+          }
+          // the built plan's LINEAGE may hold one-shot checkpoints (the
+          // similarity joins' candidate index); claim them so a runner's
+          // releaseOneShots can't delete storage a cached relation still
+          // needs for block-loss recompute — they die with the entry
+          val before = Checkpoints.snapshotOneShots()
+          val built = build
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          sharedCache.put(key,
+            SharedEntry(plan, built, Checkpoints.claimOneShots(before)))
+          built
+        }
     }
 
   private def tfPairStatsShared(documents: DataFrame,

@@ -149,7 +149,12 @@ object DocStream {
     * of the touched partitions per batch; pure partition overwrites are
     * the cheaper discipline when deltas are additive). */
   def bm25IndexSink(path: String): (DataFrame, Long) => Unit =
-    (batch, batchId) => {
+    (batch, batchId) => graft.operators.Checkpoints.releasingScoped {
+      // buildBm25Index one-shot-truncates the tf relation; with a
+      // reliable checkpoint dir configured a long-running stream would
+      // otherwise accumulate one directory per micro-batch (r8 ADVICE).
+      // The scoped release deletes exactly this batch's checkpoints
+      // once the three writes below have consumed them.
       val idx = graft.operators.CurationQueries.buildBm25Index(batch)
       idx.tf.write.mode("overwrite").parquet(s"$path/tf/batch_id=$batchId")
       idx.df.write.mode("overwrite").parquet(s"$path/dfd/batch_id=$batchId")

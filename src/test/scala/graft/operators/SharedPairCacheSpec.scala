@@ -67,6 +67,49 @@ class SharedPairCacheSpec extends SparkSpec {
     } finally DedupQueries.clearSharedPairCache()
   }
 
+  test("eviction retires only the least-recently-used entry") {
+    DedupQueries.clearSharedPairCache()
+    try {
+      val docs = corpus(5)
+      // fill the cache to its bound (8 entries) with distinct knob keys
+      val ts = (1 to 8).map(i => 0.30 + i * 0.05)
+      val entries = ts.map(t =>
+        t -> DedupQueries.tokenPrefixJoinShared(docs, threshold = t)).toMap
+      // touch the FIRST entry: access order moves it to the tail, so the
+      // next insert must evict the second entry, not this one
+      assert(DedupQueries.tokenPrefixJoinShared(docs, threshold = ts.head)
+        eq entries(ts.head))
+      DedupQueries.tokenPrefixJoinShared(docs, threshold = 0.99)
+      assert(DedupQueries.tokenPrefixJoinShared(docs, threshold = ts.head)
+        eq entries(ts.head), "recently-used entry must survive eviction")
+      assert(!(DedupQueries.tokenPrefixJoinShared(docs, threshold = ts(1))
+        eq entries(ts(1))), "the LRU entry is the one evicted")
+      // entries 3..8 were never candidates: still memoized
+      assert(DedupQueries.tokenPrefixJoinShared(docs, threshold = ts(4))
+        eq entries(ts(4)))
+    } finally DedupQueries.clearSharedPairCache()
+  }
+
+  test("a hit never crosses SparkSessions") {
+    DedupQueries.clearSharedPairCache()
+    try {
+      val docs = corpus(6)
+      val shared = DedupQueries.tokenPrefixJoinShared(docs, threshold = 0.5)
+      // same data, same logical shape, DIFFERENT session: must build its
+      // own entry — a cross-session hit would hand session B a relation
+      // whose persisted blocks belong to session A's state
+      val other = spark.newSession()
+      import other.implicits._
+      val docsB = docs.collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toDF("doc_id", "source", "text")
+      val sharedB = DedupQueries.tokenPrefixJoinShared(docsB, threshold = 0.5)
+      assert(!(sharedB eq shared))
+      assert(sharedB.sparkSession eq other)
+      assert(collectPairs(sharedB) === collectPairs(shared))
+    } finally DedupQueries.clearSharedPairCache()
+  }
+
   test("runner release cannot delete a cached relation's claimed checkpoints") {
     withCheckpointDir {
       DedupQueries.clearSharedPairCache()
