@@ -247,7 +247,16 @@ object AnnQueries {
     * Float safety: means/dots differ from Spark only in summation order
     * (last-ulp); assignments sit far from ties on clustered data —
     * verified exact at sf0.001/0.01/0.1. */
-  private def kmeansChainSql(k: Int, iters: Int): String = {
+  private def kmeansChainSql(k: Int, iters: Int): String =
+    kmeansChainSqlK(k.toString, iters)
+
+  /** [[kmeansChainSql]] with the cell count as an arbitrary SQL
+    * expression — `"8"` for the pinned q52 quantizer, a scalar subquery
+    * over a knob CTE for the corpus-count-derived q103 (r8 verdict task
+    * #1). The first-k init is a ROW_NUMBER rank filter (≤ kExpr), which
+    * equals the previous ORDER BY/LIMIT form for literal k and admits
+    * derived counts without relying on subqueries inside LIMIT. */
+  private def kmeansChainSqlK(kExpr: String, iters: Int): String = {
     def assign(cents: String, i: Int) =
       s"""a$i AS (SELECT vec_id, cell FROM (
          |  SELECT d.vec_id, d.cell,
@@ -267,7 +276,7 @@ object AnnQueries {
        |ex AS (SELECT vec_id, pos, v[CAST(pos AS INT)] AS x FROM e, dims),
        |c0 AS (SELECT r.cell, ex.pos, ex.x AS w FROM
        |  (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cell
-       |   FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k)) r JOIN ex USING (vec_id)),
+       |   FROM e) r JOIN ex USING (vec_id) WHERE r.cell <= $kExpr),
        |${steps.mkString(",\n")}""".stripMargin
   }
 
@@ -446,7 +455,23 @@ object AnnQueries {
     * decision in the same scaled-integer arithmetic. */
   private def semDeDupOracleSql(k: Int, iters: Int, tauScaled: Long): String =
     s"""WITH ${kmeansChainSql(k, iters)},
-       |n AS (SELECT vec_id, v, SQRT(list_inner_product(v, v)) AS nm FROM e
+       |${semDeDupBodySql(iters, tauScaled)}""".stripMargin
+
+  /** [[semDeDupOracleSql]] with the cell count DERIVED from the corpus
+    * count by the [[kCellsFor]] rule inside the SQL itself (kcn CTE) —
+    * the registered q103 form: the same oracle text is correct at every
+    * SF because both engines derive kCells from the data (r8 verdict
+    * task #1). */
+  private def semDeDupDerivedOracleSql(iters: Int, tauScaled: Long): String =
+    s"""WITH kcn AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS INT)) AS kc
+       |             FROM embeddings),
+       |${kmeansChainSqlK("(SELECT kc FROM kcn)", iters)},
+       |${semDeDupBodySql(iters, tauScaled)}""".stripMargin
+
+  /** The pair-set + keep-first tail shared by the pinned and derived
+    * semDeDup oracles; expects the Lloyd chain CTEs in scope. */
+  private def semDeDupBodySql(iters: Int, tauScaled: Long): String =
+    s"""n AS (SELECT vec_id, v, SQRT(list_inner_product(v, v)) AS nm FROM e
        |      WHERE list_inner_product(v, v) > 0),
        |m AS (SELECT a.vec_id, a.cell, n.v, n.nm
        |      FROM a${iters + 1} a JOIN n USING (vec_id)),
@@ -488,17 +513,93 @@ object AnnQueries {
       .orderedOutput(col("vec_id"))
   }
 
-  /** DuckDB twin of [[knnRecall]]: the q92 and q93 chains (shared
-    * fragments, prefixed CTE names), then the left-join recall rollup. */
-  private def knnRecallOracleSql(planes: Int, k: Int,
-                                 flips: Int = 1): String =
+  // ── corpus-count-DERIVED sign-LSH oracle fragments (r8 verdict task
+  // #1): the registered q93/q106 entries must not pin one corpus size's
+  // certified literal (planes = 4 was the 2,000-vector frontier point;
+  // at 100× vectors it means ~quadratic bucket occupancy). These CTEs
+  // re-derive the [[planesFor]] rule INSIDE the SQL — exact integer bit
+  // scan, no float log2 — so one oracle text is correct at every SF,
+  // exactly as the Spark side derives planes from embeddings.count(). ──
+
+  /** `cnt` (corpus count), `pl` (planes = max(2, bitlength((n−1) div
+    * target))) and `pj` (plane ids 0..planes−1). */
+  private def planeKnobSql(target: Int): String =
+    s"""cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+       |pl AS (SELECT GREATEST(2, CAST(MAX(j) + 1 AS INT)) AS planes
+       |       FROM cnt, (SELECT unnest(range(0, 63)) AS j) js
+       |       WHERE (GREATEST((cnt.n - 1) // $target, 1) >> j) > 0),
+       |pj AS (SELECT unnest(range(0, (SELECT planes FROM pl))) AS j)""".stripMargin
+
+  /** The portable sign-LSH signature in RELATIONAL form — the plane id
+    * is a row of the `pj` CTE instead of an inlined literal, so the
+    * same SQL serves any derived plane count. Identical integer
+    * arithmetic to [[signSignaturesPortable]] (xi = floor(x·2²⁰),
+    * affine weight over (plane, 1-based pos), bit j set when the
+    * projection is positive). Also emits `mk`, the hamming ≤ 2 probe
+    * masks ([[probeMasks]] as a derived relation: 0, the single bits,
+    * the ordered bit pairs — mutually distinct, so an ordered pair
+    * still meets at exactly one mask). Expects knnBaseSql (e, n) and
+    * [[planeKnobSql]] (pj) in scope; ends in `sg` (vec_id, v, nm, sig)
+    * and `mk` (m). */
+  private def derivedSigSql: String =
+    """sx AS (SELECT vec_id, dims.pos AS i,
+      |         CAST(floor(v[CAST(dims.pos AS INT)] * 1048576) AS BIGINT) AS xi
+      |       FROM n, (SELECT unnest(range(1,
+      |         (SELECT len(v) FROM e LIMIT 1) + 1)) AS pos) dims),
+      |prj AS (SELECT sx.vec_id, pj.j,
+      |         SUM(sx.xi * ((pj.j * 4096 + sx.i) * CAST(2654435761 AS BIGINT)
+      |             % 1000000007 % 2001 - 1000)) AS p
+      |       FROM sx, pj GROUP BY 1, 2),
+      |sg0 AS (SELECT vec_id,
+      |          CAST(SUM(CASE WHEN p > 0
+      |            THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
+      |            AS BIGINT) AS sig
+      |        FROM prj GROUP BY 1),
+      |sg AS (SELECT n.vec_id, n.v, n.nm, sg0.sig FROM n JOIN sg0 USING (vec_id)),
+      |mk AS (SELECT CAST(0 AS BIGINT) AS m
+      |       UNION ALL
+      |       SELECT (CAST(1 AS BIGINT) << CAST(j AS INT)) FROM pj
+      |       UNION ALL
+      |       SELECT (CAST(1 AS BIGINT) << CAST(a.j AS INT))
+      |            + (CAST(1 AS BIGINT) << CAST(b.j AS INT))
+      |       FROM pj a, pj b WHERE a.j < b.j)""".stripMargin
+      // `+` not bitwise-or on the two-bit masks: a.j < b.j makes the
+      // bits distinct so the sum IS the union — and a `|` at line start
+      // would be re-stripped when this fragment embeds in an outer
+      // stripMargin template
+
+  /** Scored LSH candidates through the derived mask relation: an
+    * ordered pair meets iff xor(sig_a, sig_b) is one of the masks —
+    * the relational form of [[lshMeetSql]]'s OR chain. */
+  private def derivedScoredSql: String =
+    """p AS (SELECT a.vec_id AS id, b.vec_id AS nb,
+      |    CAST(ROUND(list_inner_product(a.v, b.v) / (a.nm * b.nm) * 1000000)
+      |      AS BIGINT) AS c
+      |  FROM sg a CROSS JOIN mk JOIN sg b
+      |    ON b.sig = xor(a.sig, mk.m) AND a.vec_id <> b.vec_id)""".stripMargin
+
+  /** DuckDB twin of the registered (derived-planes, flips = 2) LSH kNN
+    * join — q93's oracle at every corpus size. */
+  private def knnLshDerivedOracleSql(k: Int, target: Int = 128): String =
     s"""WITH $knnBaseSql,
+       |${planeKnobSql(target)},
+       |$derivedSigSql,
+       |$derivedScoredSql,
+       |r AS (${rankedSql("p")})
+       |SELECT id AS vec_id, CAST(rk AS INT) AS rk, nb AS nb_id, c AS cos_scaled
+       |FROM r WHERE rk <= $k ORDER BY vec_id, rk""".stripMargin
+
+  /** DuckDB twin of the registered derived-planes recall diagnostic —
+    * q106's oracle at every corpus size. */
+  private def knnRecallDerivedOracleSql(k: Int, target: Int = 128): String =
+    s"""WITH $knnBaseSql,
+       |${planeKnobSql(target)},
        |xp AS (${scoredSql("n")}),
        |xr AS (${rankedSql("xp")}),
        |exact AS (SELECT id, nb FROM xr WHERE rk <= $k),
-       |sg AS (${sigRelSql(planes)}),
-       |ap AS (${scoredSql("sg", lshMeetSql(planes, flips))}),
-       |ar AS (${rankedSql("ap")}),
+       |$derivedSigSql,
+       |$derivedScoredSql,
+       |ar AS (${rankedSql("p")}),
        |approx AS (SELECT id, nb, 1 AS hit FROM ar WHERE rk <= $k)
        |SELECT exact.id AS vec_id, COUNT(*) AS n_exact,
        |  CAST(COUNT(approx.hit) AS BIGINT) AS n_hit,
@@ -589,32 +690,46 @@ object AnnQueries {
     // the LSH-bucketed kNN join over PORTABLE integer signatures: the
     // whole approximate join (signatures, hamming<=2 multiprobe,
     // scaled-cosine ranking) re-derived in DuckDB — q92's scale path,
-    // q71's oracle treatment. Config (planes 4, flips 2) is the
-    // measured recall >= 0.8 frontier point of the r8 q106 sweep
-    // (mean recall@3 = 0.841 at sf0.1; flips 1 at 8 planes scored
-    // 0.19 — the r7 finding). Production sizes planes with log2(n) to
-    // hold bucket occupancy and raises flips to buy recall back
-    // (PERF.md r8 frontier table).
+    // q71's oracle treatment. The plane count is DERIVED from the
+    // corpus count by planesFor (r8 verdict task #1: the previous
+    // literal planes = 4 was the 2,000-vector frontier point and the
+    // wrong granularity at 100x) — at sf0.1 the rule reproduces the
+    // recall-certified (planes 4, flips 2, recall@3 = 0.841) config;
+    // the oracle derives the SAME rule inside SQL, so one oracle text
+    // holds at every SF. embeddings.count() is parquet-metadata cheap
+    // and the deployment analogue is a known corpus-snapshot count.
     "q93_knn_join_lsh" -> QueryDef(
-      (s, d) => knnJoinLsh(Tables.embeddings(s, d), planes = 4,
-        signatures = signSignaturesPortable, probeFlips = 2),
-      Some(knnLshOracleSql(planes = 4, k = 3, flips = 2))),
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        knnJoinLsh(e, planes = planesFor(e.count()),
+          signatures = signSignaturesPortable, probeFlips = 2)
+      },
+      Some(knnLshDerivedOracleSql(k = 3))),
     // ANN recall diagnostic: per-vector recall of the LSH kNN join vs
     // the exact kNN join — the tuning report an ANN deployment watches;
     // oracle composes the q92 + q93 chains and the semi-join rollup.
-    // Registered at q93's configuration, so this IS the report that
-    // certifies the registered recall.
+    // Registered at q93's DERIVED configuration, so this IS the report
+    // that certifies the registered recall at whatever corpus size it
+    // runs over.
     "q106_knn_recall" -> QueryDef(
-      (s, d) => knnRecall(Tables.embeddings(s, d), planes = 4,
-        probeFlips = 2),
-      Some(knnRecallOracleSql(planes = 4, k = 3, flips = 2))),
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        knnRecall(e, planes = planesFor(e.count()), probeFlips = 2)
+      },
+      Some(knnRecallDerivedOracleSql(k = 3))),
     // SemDeDup: semantic dedup confined to learned k-means cells (the
     // named curation algorithm — q35/q67 block by label, this by the
-    // Lloyd quantizer's cells); oracle re-runs the whole construction —
-    // cells, within-cell scaled-integer cosines, keep-first decision
+    // Lloyd quantizer's cells); kCells follows the kCellsFor sqrt(n)
+    // rule on both engines (r8 verdict task #1 — cell size then grows
+    // as sqrt(n), keeping total pair work ~n^1.5); oracle re-runs the
+    // whole construction — derived cells, within-cell scaled-integer
+    // cosines, keep-first decision
     "q103_semdedup" -> QueryDef(
-      (s, d) => semDeDup(Tables.embeddings(s, d)),
-      Some(semDeDupOracleSql(k = 8, iters = 3, tauScaled = 300000L))),
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        semDeDup(e, kCells = kCellsFor(e.count()))
+      },
+      Some(semDeDupDerivedOracleSql(iters = 3, tauScaled = 300000L))),
     // hybrid retrieval capstone: BM25 (q126) + cosine rank lists fused
     // by integer-scaled Reciprocal Rank Fusion; both arms and the
     // fusion re-derived in DuckDB (the q126 CTE chain verbatim + the
@@ -730,9 +845,6 @@ object AnnQueries {
     s"""SELECT id, nb, c, ROW_NUMBER() OVER (
        |    PARTITION BY id ORDER BY c DESC, nb) AS rk FROM $p""".stripMargin
 
-  private def sigRelSql(planes: Int): String =
-    s"SELECT vec_id, v, nm, ${portableSigSql(planes)} AS sig FROM n"
-
   /** The production auto-scale rule for [[knnJoinLsh]]'s `planes`
     * (scaladoc bucket-occupancy rule, r7 verdict task #4): hold the
     * EXPECTED bucket occupancy n / 2^planes at `targetOccupancy` as the
@@ -765,12 +877,6 @@ object AnnQueries {
     Seq(0L) ++ (if (flips >= 1) one else Nil) ++ (if (flips >= 2) two else Nil)
   }
 
-  private def lshMeetSql(planes: Int, flips: Int = 1): String =
-    probeMasks(planes, flips).map {
-      case 0L => "b.sig = a.sig"
-      case m => s"b.sig = xor(a.sig, $m)"
-    }.mkString(" AND (", " OR ", ")")
-
   /** DuckDB twin of the exact kNN join (q92). */
   private def knnJoinOracleSql(k: Int): String =
     s"""WITH $knnBaseSql,
@@ -778,15 +884,6 @@ object AnnQueries {
        |r AS (${rankedSql("p")})
        |SELECT id AS vec_id, CAST(rk AS INT) AS rk, nb AS nb_id,
        |  c AS cos_scaled
-       |FROM r WHERE rk <= $k ORDER BY vec_id, rk""".stripMargin
-
-  /** DuckDB twin of the portable LSH kNN join (q93). */
-  private def knnLshOracleSql(planes: Int, k: Int, flips: Int = 1): String =
-    s"""WITH $knnBaseSql,
-       |sg AS (${sigRelSql(planes)}),
-       |p AS (${scoredSql("sg", lshMeetSql(planes, flips))}),
-       |r AS (${rankedSql("p")})
-       |SELECT id AS vec_id, CAST(rk AS INT) AS rk, nb AS nb_id, c AS cos_scaled
        |FROM r WHERE rk <= $k ORDER BY vec_id, rk""".stripMargin
 
   /** DuckDB twin of the portable sign-LSH search: signature bits from the

@@ -616,6 +616,45 @@ object PipelineQueries {
              |GROUP BY c.component HAVING COUNT(*) >= 2
              |ORDER BY c.component""".stripMargin)),
 
+    // ── LSH-bucketed duplicate-cluster statistics: q125's linear-cost
+    //    scale rung — star edges to each q66 LSH bucket's representative,
+    //    exact token-Jaccard verification, same components + rollup; the
+    //    whole construction (portable MinHash bands → star candidates →
+    //    verify → recursive components) re-derived in DuckDB ──
+    "q128_lsh_cluster_stats" -> QueryDef(
+      (s, d) => lshClusterStats(Tables.documents(s, d)),
+      Some(s"""WITH RECURSIVE ${DedupQueries.minhashBandedCtes},
+             |reps AS (SELECT band, s0, s1, s2, s3, MIN(doc_id) AS rep
+             |         FROM bands GROUP BY 1, 2, 3, 4, 5
+             |         HAVING COUNT(*) >= 2),
+             |cand AS (SELECT DISTINCT r.rep AS id1, b.doc_id AS id2
+             |         FROM bands b JOIN reps r
+             |           USING (band, s0, s1, s2, s3)
+             |         WHERE b.doc_id <> r.rep),
+             |toks AS (SELECT doc_id,
+             |    list_distinct(string_split(text, ' ')) AS t FROM documents),
+             |ver AS (SELECT c.id1 AS u, c.id2 AS v FROM cand c
+             |        JOIN toks a ON a.doc_id = c.id1
+             |        JOIN toks b ON b.doc_id = c.id2
+             |        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |            / len(list_distinct(a.t || b.t)) >= 0.8),
+             |edges AS (SELECT u, v FROM ver UNION ALL SELECT v, u FROM ver),
+             |reach AS (
+             |  SELECT doc_id AS id, doc_id AS comp FROM documents
+             |  UNION
+             |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id
+             |  WHERE r.comp < e.v),
+             |comps AS (SELECT id, MIN(comp) AS component
+             |          FROM reach GROUP BY id)
+             |SELECT c.component, COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT d.source) AS n_sources,
+             |  MIN(CAST(len(string_split(d.text, ' ')) AS BIGINT)) AS min_tokens,
+             |  MAX(CAST(len(string_split(d.text, ' ')) AS BIGINT)) AS max_tokens,
+             |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens
+             |FROM comps c JOIN documents d ON d.doc_id = c.id
+             |GROUP BY c.component HAVING COUNT(*) >= 2
+             |ORDER BY c.component""".stripMargin)),
+
     // ── per-source triangle census of the duplicate graph: degree-
     //    ordered wedge join (π-orientation bounds per-key fan-out by
     //    O(√m)); graph wedges Σ C(deg,2) AND closing-join work

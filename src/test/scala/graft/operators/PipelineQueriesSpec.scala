@@ -469,6 +469,64 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got.exists(_._3 > 1L), "no cross-source cluster found")
   }
 
+  test("q128 LSH cluster stats: star-edge derivation matches union-find and refines q125") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    // driver-side re-derivation: banded signatures -> per-bucket star
+    // candidates against the representative -> exact token-Jaccard
+    // verification -> union-find -> rollup
+    val banded = DedupQueries.minhashBanded(
+        docs.select(col("doc_id"), col("text")))
+      .collect()
+      .map(r => ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)), r.getLong(0)))
+    val toks = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    val starCands = banded.groupBy(_._1).values.flatMap { rows =>
+      val ids = rows.map(_._2).distinct
+      if (ids.size < 2) Nil
+      else { val rep = ids.min; ids.filter(_ != rep).map(i => (rep, i)) }
+    }.toSeq.distinct
+    val verified = starCands.filter { case (a, b) =>
+      val (ta, tb) = (toks(a), toks(b))
+      ta.intersect(tb).size.toDouble / ta.union(tb).size >= 0.8
+    }
+    val meta = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nodes = meta.map(_._1).sorted
+    val idx = nodes.zipWithIndex.toMap
+    val uf = unionFind(nodes.size, verified.map { case (a, b) =>
+      (idx(a).toLong, idx(b).toLong)
+    })
+    val comp = nodes.map(n => n -> nodes(uf(idx(n).toLong).toInt)).toMap
+    val want = meta.groupBy(m => comp(m._1)).collect {
+      case (c, ms) if ms.length >= 2 =>
+        (c, ms.length.toLong, ms.map(_._2).distinct.length.toLong,
+          ms.map(_._3).min, ms.map(_._3).max, ms.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val got = PipelineQueries.lshClusterStats(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "the testdata's near-dup clusters must collide in LSH")
+    // refinement contract: every verified star edge is an exact-Jaccard
+    // edge, so each q128 cluster must sit INSIDE one exact q125 cluster
+    val exactPairs = DedupQueries.tokenPrefixJoin(
+        docs.select(col("doc_id"), lit("all").as("source"), col("text")),
+        threshold = 0.8, heavyListThreshold = 512, sorted = false)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ufE = unionFind(nodes.size, exactPairs.map { case (a, b) =>
+      (idx(a).toLong, idx(b).toLong)
+    })
+    val compE = nodes.map(n => n -> nodes(ufE(idx(n).toLong).toInt)).toMap
+    nodes.groupBy(comp).values.foreach { members =>
+      assert(members.map(compE).distinct.size == 1,
+        "an LSH cluster crossed two exact clusters")
+    }
+  }
+
   test("canonicalByRank picks each cluster's top-PageRank member on the real table") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, d)
