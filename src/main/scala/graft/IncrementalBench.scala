@@ -92,8 +92,10 @@ object IncrementalBench {
     }
 
     import graft.operators.{CurationQueries, DedupQueries}
+    // SPARK_GRAFT_MULTS="" skips the batch-shape comparisons (e.g. a
+    // stream-maintenance-only run)
     val mults = sys.env.getOrElse("SPARK_GRAFT_MULTS", "1,10")
-      .split(",").map(_.trim.toLong).toSeq
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
     for (mult <- mults) {
       val ne = e0 * mult
       val existing = existingOf(ne).cache()
@@ -129,6 +131,43 @@ object IncrementalBench {
         DedupQueries.prefixProbeJoin(loaded, inArrs, 0.8, 4096).count()
       }
       existing.unpersist()
+      }
+    }
+
+    // ── streaming-maintenance probe (r8 verdict task #4): feed
+    // SPARK_GRAFT_STREAM_BATCHES micro-batches through
+    // DocStream.prefixIndexSink over a persisted base index and time
+    // each — the claim under test is that per-batch cost stays FLAT as
+    // accepted deltas accumulate (each batch pays its own probe +
+    // delta writes, never an index rebuild). Batch k mixes near-dups
+    // of the base (rejected) with fresh per-batch content (accepted,
+    // so the maintained index genuinely grows across batches). ──
+    val streamBatches =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "0").toInt
+    if (streamBatches > 0) {
+      val ne = e0
+      val existing = existingOf(ne)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-prefix-stream-bench")
+        .resolve("ix").toString
+      val t0 = System.nanoTime()
+      graft.streaming.DocStream.initPrefixIndexStore(existing, dir, 0.8)
+      println(f"[inc-bench] stream init: base E=$ne built+written in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val sink = graft.streaming.DocStream.prefixIndexSink(dir, 0.8)
+      (0 until streamBatches).foreach { k =>
+        val batch = spark.range(nIn)
+          .select((col("id") + 60000000L + k * 1000000L).as("doc_id"),
+            when(col("id") % 5 === 4, // base near-dup: rejected
+              textFor(col("id") % 1000, col("id") % 1000 + 2000000L))
+              .otherwise( // fresh per-batch namespace: accepted
+                textFor(col("id") + 8000000L + k * 1000000L,
+                  lit(null).cast("long")))
+              .as("text"))
+        val tb = System.nanoTime()
+        sink(batch, k.toLong)
+        println(f"[inc-bench] stream batch $k%2d: " +
+          f"${(System.nanoTime() - tb) / 1e9}%.1f s")
       }
     }
     spark.stop()

@@ -578,11 +578,15 @@ object CurationQueries {
     * tie-break token) — the terms that carry the most retrieval signal
     * and probe the smallest posting lists; the query doc itself is
     * excluded from its result list. A production deployment over an
-    * open vocabulary adds an absolute stopword prune (drop df·10 > N)
-    * so no query term's posting list is corpus-sized; the synthetic
-    * corpus's CLOSED 31-token vocabulary (median df = 0.78·N) would
-    * empty every query under that prune — vocabulary shape decides the
-    * knob, the q56/q80 precondition lesson.
+    * open vocabulary ALSO sets `dfPruneFactor` (drop terms with
+    * df·factor > N — factor 10 is the classic absolute stopword rule)
+    * so no query term's posting list is corpus-sized; the knob is the
+    * bound on scored-posting volume at scale (Bm25Spec pins the cut on
+    * an open-vocabulary fixture; RetrievalBench measures it). The
+    * registered q126 leaves it OFF because the synthetic corpus's
+    * CLOSED 31-token vocabulary (median df = 0.78·N) would empty every
+    * query under it — vocabulary shape decides the knob, the q56/q80
+    * precondition lesson.
     *
     * 100 TB shape: the inverted-index relations (tf with dl riding the
     * key — ONE explode+groupBy corpus pass, no dl join — and the
@@ -593,10 +597,11 @@ object CurationQueries {
     * is the bounded-buffer [[graft.functions.TopK]] Aggregator (map-side
     * combinable, no rank window). */
   def bm25TopK(documents: DataFrame, k: Int = 5,
-               queryMod: Long = 29L): DataFrame = {
+               queryMod: Long = 29L, dfPruneFactor: Long = 0L): DataFrame = {
     val index = buildBm25Index(documents)
     val qdocs = documents.filter(col("doc_id") % queryMod === 0)
-    bm25ScoreIndexed(index, bm25QueryTerms(index, qdocs), k)
+    bm25ScoreIndexed(index,
+      bm25QueryTerms(index, qdocs, dfPruneFactor = dfPruneFactor), k)
   }
 
   /** The persisted inverted-index artifact of BM25 retrieval — the
@@ -639,12 +644,28 @@ object CurationQueries {
     * throughout: the candidate terms broadcast against the corpus-scale
     * df relation (map-side), and the per-query selection is a sorted
     * struct collect + slice over <= dl rows — no window; df rides the
-    * struct so scoring needs no second df join. */
+    * struct so scoring needs no second df join.
+    *
+    * `dfPruneFactor` > 0 enables the absolute stopword prune: a term
+    * with df·factor > N (the index's corpus doc count) is dropped
+    * BEFORE the rarest-k selection — the knob that bounds every query
+    * term's posting list to N/factor at open vocabularies. The filter
+    * runs map-side on the df relation (one broadcast row of totals);
+    * a query doc made entirely of stopwords degrades to an empty term
+    * set (no results — the defined partial-signal semantics, mirroring
+    * hybridRrf's missing-modality rule). */
   def bm25QueryTerms(index: Bm25Index, queryDocs: DataFrame,
-                     termsPerQuery: Int = 4): DataFrame = {
+                     termsPerQuery: Int = 4,
+                     dfPruneFactor: Long = 0L): DataFrame = {
     val qcand = queryDocs.select(col("doc_id").as("query_id"),
       explode(array_distinct(split(col("text"), " "))).as("token"))
-    index.df.join(broadcast(qcand), Seq("token"))
+    val dfRel =
+      if (dfPruneFactor <= 0) index.df
+      else index.df
+        .crossJoin(broadcast(index.totals.select(col("n_docs"))))
+        .filter(col("df") * dfPruneFactor <= col("n_docs"))
+        .select(col("token"), col("df"))
+    dfRel.join(broadcast(qcand), Seq("token"))
       .groupBy(col("query_id"))
       .agg(slice(sort_array(collect_list(struct(col("df"), col("token")))),
         1, termsPerQuery).as("qt"))
@@ -659,10 +680,20 @@ object CurationQueries {
     * bounded TopK tail. No corpus aggregation happens here — the index
     * relations carry every corpus-scale statistic (df on the terms, dl
     * on the postings, totals as one row), so a fresh query batch costs
-    * its own posting volume, never an index rebuild. */
+    * its own posting volume, never an index rebuild. `dfPruneFactor`
+    * applies the same stopword prune as [[bm25QueryTerms]] to an
+    * EXTERNALLY-supplied term batch (qterms carries df, so the guard
+    * is one broadcast-totals compare) — the belt for callers that
+    * derive terms outside this module. */
   def bm25ScoreIndexed(index: Bm25Index, qterms: DataFrame,
-                       k: Int = 5): DataFrame = {
-    val scored = index.tf.join(broadcast(qterms), Seq("token"))
+                       k: Int = 5, dfPruneFactor: Long = 0L): DataFrame = {
+    val qt =
+      if (dfPruneFactor <= 0) qterms
+      else qterms
+        .crossJoin(broadcast(index.totals.select(col("n_docs"))))
+        .filter(col("df") * dfPruneFactor <= col("n_docs"))
+        .drop("n_docs")
+    val scored = index.tf.join(broadcast(qt), Seq("token"))
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(index.totals))
       // every multi-operand product promotes to DECIMAL *before* the
@@ -1014,8 +1045,17 @@ object CurationQueries {
     * (query_id, doc_id, score, rk) — shared verbatim by the q127 hybrid
     * fusion oracle so a scoring-semantics fix reaches both (the
     * kNN-family factoring precedent, AnnQueries). */
-  private[operators] def bm25RankedCtes: String =
-    """t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  private[operators] def bm25RankedCtes: String = bm25RankedCtes(0L)
+
+  /** [[bm25RankedCtes]] with the [[bm25QueryTerms]] stopword prune
+    * mirrored in SQL (factor ≤ 0 = off, yielding the registered q126
+    * text verbatim) — so a pruned configuration is oracle-checkable
+    * against an open-vocabulary fixture (Bm25Spec). */
+  private[operators] def bm25RankedCtes(dfPruneFactor: Long): String = {
+    val prune =
+      if (dfPruneFactor <= 0) ""
+      else s", tot WHERE df.df * $dfPruneFactor <= tot.n_docs"
+    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |          FROM documents),
       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
@@ -1025,7 +1065,7 @@ object CurationQueries {
       |         unnest(list_distinct(string_split(text, ' '))) AS token
       |       FROM documents WHERE doc_id % 29 = 0),
       |qp AS (SELECT qc.query_id, qc.token, df.df FROM qc
-      |         JOIN df USING (token)),
+      |         JOIN df USING (token)$prune),
       |qt AS (SELECT query_id,
       |         unnest(list(token ORDER BY df, token)[1:4]) AS token
       |       FROM qp GROUP BY query_id),
@@ -1044,4 +1084,5 @@ object CurationQueries {
       |lexr AS (SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
       |        ROW_NUMBER() OVER (PARTITION BY query_id
       |          ORDER BY score DESC, doc_id) AS rk FROM sc)""".stripMargin
+  }
 }

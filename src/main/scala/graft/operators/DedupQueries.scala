@@ -1407,10 +1407,16 @@ object DedupQueries {
   def tokenProbeJoin(indexDocs: DataFrame, probeDocs: DataFrame,
                      threshold: Double,
                      heavyListThreshold: Int = 4096,
-                     salt: Int = 16): DataFrame = {
-    def arrs(df: DataFrame) = df.select(col("doc_id"),
-      lit("all").as("source"), array_distinct(tokens(col("text"))).as("sh"))
-    prefixProbeJoin(buildPrefixIndex(arrs(indexDocs), threshold),
-      arrs(probeDocs), threshold, heavyListThreshold, salt)
-  }
+                     salt: Int = 16): DataFrame =
+    prefixProbeJoin(buildPrefixIndex(tokenArrays(indexDocs), threshold),
+      tokenArrays(probeDocs), threshold, heavyListThreshold, salt)
+
+  /** (doc_id, text) → the CROSS-SOURCE distinct-token array relation
+    * (doc_id, source = "all", sh) the corpus-block screens key on —
+    * q80's single-block shape. Shared by [[tokenProbeJoin]] and the
+    * streaming index-maintenance sink
+    * ([[graft.streaming.DocStream.prefixIndexSink]]). */
+  private[graft] def tokenArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lit("all").as("source"),
+      array_distinct(tokens(col("text"))).as("sh"))
 }

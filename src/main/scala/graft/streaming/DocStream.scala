@@ -150,34 +150,256 @@ object DocStream {
     * the cheaper discipline when deltas are additive). */
   def bm25IndexSink(path: String): (DataFrame, Long) => Unit =
     (batch, batchId) => graft.operators.Checkpoints.releasingScoped {
-      // buildBm25Index one-shot-truncates the tf relation; with a
-      // reliable checkpoint dir configured a long-running stream would
-      // otherwise accumulate one directory per micro-batch (r8 ADVICE).
-      // The scoped release deletes exactly this batch's checkpoints
-      // once the three writes below have consumed them.
-      val idx = graft.operators.CurationQueries.buildBm25Index(batch)
-      idx.tf.write.mode("overwrite").parquet(s"$path/tf/batch_id=$batchId")
-      idx.df.write.mode("overwrite").parquet(s"$path/dfd/batch_id=$batchId")
-      idx.totals.write.mode("overwrite").parquet(s"$path/tot/batch_id=$batchId")
+      // a replay at or below the compaction watermark is a no-op: the
+      // watermark only ever covers fully-committed sinks (foreachBatch
+      // runs batches sequentially, so a folded dfd implies the whole
+      // batch committed), and re-writing dfd would double-count against
+      // the snapshot
+      if (!compactedThrough(batch.sparkSession, path).exists(batchId <= _)) {
+        // buildBm25Index one-shot-truncates the tf relation; with a
+        // reliable checkpoint dir configured a long-running stream would
+        // otherwise accumulate one directory per micro-batch (r8 ADVICE).
+        // The scoped release deletes exactly this batch's checkpoints
+        // once the three writes below have consumed them.
+        val idx = graft.operators.CurationQueries.buildBm25Index(batch)
+        idx.tf.write.mode("overwrite").parquet(s"$path/tf/batch_id=$batchId")
+        idx.df.write.mode("overwrite").parquet(s"$path/dfd/batch_id=$batchId")
+        idx.totals.write.mode("overwrite").parquet(s"$path/tot/batch_id=$batchId")
+      }
     }
 
-  /** Load the streamed index: postings read as-is; df/totals fold their
-    * per-batch deltas (a VOCABULARY-sized aggregate over #batches
-    * deltas — load-time cost, zero hot-path cost; a deployment with
-    * thousands of batches compacts by rewriting the folded result as
-    * one delta). Scoring against the result is
+  // ── streamed-index store plumbing (shared by the BM25 and
+  // prefix-dedup maintenance sinks): batch-keyed delta directories,
+  // a compaction watermark marker, Hadoop-FS portable ──
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (id, dir) for every `<prefix>=N` child of `dir` (absent dir = none). */
+  private def keyedDirs(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, prefix: String)
+  : Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val fs = fsOf(spark, dir)
+    val d = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.filter(_.isDirectory).flatMap { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith(prefix + "="))
+        scala.util.Try(nm.stripPrefix(prefix + "=").toLong).toOption
+          .map(_ -> st.getPath)
+      else None
+    }
+  }
+
+  private def batchDirs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    keyedDirs(spark, dir, "batch_id")
+
+  /** The compaction watermark: every batch id ≤ it is folded into the
+    * `through=<w>` snapshot directories and its delta partitions are
+    * retired. Written AFTER the snapshot commits, so a crash between
+    * the two leaves the old, still-consistent state. */
+  def compactedThrough(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Option[Long] = {
+    val fs = fsOf(spark, path)
+    val m = new org.apache.hadoop.fs.Path(s"$path/_compacted_through")
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeMarker(spark: org.apache.spark.sql.SparkSession,
+                          path: String, w: Long): Unit = {
+    val out = fsOf(spark, path).create(
+      new org.apache.hadoop.fs.Path(s"$path/_compacted_through"), true)
+    try out.write(w.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Union of the `batch_id > floor` delta partitions under `dir`,
+    * optionally excluding one batch (a REPLAYING batch must not see its
+    * own half-written prior attempt). None when no such partition. */
+  private def deltasAfter(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, floor: Long,
+                          exclude: Option[Long] = None): Option[DataFrame] = {
+    val ids = batchDirs(spark, dir)
+      .filter(_._1 > floor).filterNot(p => exclude.contains(p._1))
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(ids.map(_._2.toString): _*))
+  }
+
+  /** Load the streamed index: postings read as-is; df/totals fold the
+    * compaction snapshot (if any) with the per-batch deltas past the
+    * watermark — a VOCABULARY-sized aggregate over #uncompacted deltas
+    * (load-time cost, zero hot-path cost; [[compactBm25Index]] resets
+    * it). Scoring against the result is
     * [[graft.operators.CurationQueries.bm25ScoreIndexed]], identical to
     * an offline-built index (spec-pinned). */
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
-                    path: String): graft.operators.CurationQueries.Bm25Index =
+                    path: String): graft.operators.CurationQueries.Bm25Index = {
+    val floor = compactedThrough(spark, path).getOrElse(-1L)
+    def folded(deltaSub: String, snapSub: String): DataFrame = {
+      val snap = compactedThrough(spark, path)
+        .map(w => spark.read.parquet(s"$path/$snapSub/through=$w"))
+      val parts = snap.toSeq ++ deltasAfter(spark, s"$path/$deltaSub", floor)
+        .map(_.drop("batch_id")).toSeq
+      require(parts.nonEmpty, s"no $deltaSub deltas or snapshot under $path")
+      parts.reduce(_.unionByName(_))
+    }
     graft.operators.CurationQueries.Bm25Index(
       spark.read.parquet(s"$path/tf")
         .select(col("doc_id"), col("dl"), col("token"), col("tf")),
-      spark.read.parquet(s"$path/dfd")
+      folded("dfd", "dfsnap")
         .groupBy(col("token")).agg(sum(col("df")).as("df")),
-      spark.read.parquet(s"$path/tot")
+      folded("tot", "totsnap")
         .agg(sum(col("n_docs")).as("n_docs"),
           sum(col("s_tokens")).as("s_tokens")))
+  }
+
+  /** Compact the streamed BM25 index (r8 verdict task #3): fold the
+    * df/totals deltas accumulated since the last watermark into fresh
+    * `through=<w>` snapshots, commit the watermark, retire the folded
+    * delta partitions (and the superseded snapshot) — so
+    * [[loadBm25Index]]'s fold cost resets to one snapshot + the deltas
+    * that arrived after, instead of growing with total batch count.
+    * Posting (`tf`) partitions are never folded — they are the index
+    * body, read as-is. Crash-ordered: snapshot writes commit BEFORE the
+    * marker, retirement happens after, and the load path filters deltas
+    * by `batch_id > watermark`, so every interleaving reads a
+    * consistent index. A replayed batch at or below the watermark is
+    * skipped by [[bm25IndexSink]] (its contribution already sits in the
+    * snapshot; foreachBatch replays only the last uncommitted batch, so
+    * the watermark can only cover fully-committed sinks). No-op when
+    * nothing new arrived since the last compaction. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    val floor = compactedThrough(spark, path).getOrElse(-1L)
+    val newIds = batchDirs(spark, s"$path/dfd").map(_._1).filter(_ > floor)
+    if (newIds.isEmpty) return
+    val w = newIds.max
+    val idx = loadBm25Index(spark, path) // snapshot(floor) + deltas > floor
+    idx.df.write.mode("overwrite").parquet(s"$path/dfsnap/through=$w")
+    idx.totals.write.mode("overwrite").parquet(s"$path/totsnap/through=$w")
+    writeMarker(spark, path, w)
+    val fs = fsOf(spark, path)
+    (batchDirs(spark, s"$path/dfd") ++ batchDirs(spark, s"$path/tot"))
+      .filter(_._1 <= w).foreach { case (_, p) => fs.delete(p, true) }
+    (keyedDirs(spark, s"$path/dfsnap", "through") ++
+      keyedDirs(spark, s"$path/totsnap", "through"))
+      .filter(_._1 < w).foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  // ── streaming PREFIX-INDEX maintenance (r8 verdict task #4): the
+  // bm25IndexSink discipline applied to the incremental-dedup index,
+  // completing the q80 deployment loop that previously ended at a
+  // write-once [[graft.operators.DedupQueries.PrefixIndex]] ──
+
+  /** Write the base [[graft.operators.DedupQueries.PrefixIndex]] for a
+    * corpus snapshot — the ONE-TIME build the stream then maintains.
+    * The base `freq.f` is the FROZEN element order every later prefix
+    * ranks under (see [[prefixIndexSink]]). */
+  def initPrefixIndexStore(docs: DataFrame, path: String,
+                           threshold: Double): Unit = {
+    import graft.operators.{Checkpoints, DedupQueries}
+    Checkpoints.releasingScoped {
+      val idx = DedupQueries.buildPrefixIndex(
+        DedupQueries.tokenArrays(docs), threshold)
+      idx.freq.write.mode("overwrite").parquet(s"$path/base/freq")
+      idx.entries.write.mode("overwrite").parquet(s"$path/base/entries")
+      idx.arrays.write.mode("overwrite").parquet(s"$path/base/arrays")
+    }
+  }
+
+  /** Load the stream-maintained dedup index: base relations unioned
+    * with every batch delta (minus `excludeBatch` — a REPLAYING batch
+    * must not probe against its own prior half-committed attempt, or
+    * every replayed doc would match itself and be rejected). `freq`
+    * folds (f stays the base's frozen value — deltas carry f = 0 —
+    * while nf accumulates, keeping the heavy-key guard honest as
+    * posting lists grow). */
+  def loadStreamedPrefixIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              excludeBatch: Option[Long] = None)
+  : graft.operators.DedupQueries.PrefixIndex = {
+    def withDeltas(base: DataFrame, sub: String): DataFrame =
+      deltasAfter(spark, s"$path/$sub", Long.MinValue, excludeBatch)
+        .map(d => base.unionByName(d.drop("batch_id")))
+        .getOrElse(base)
+    graft.operators.DedupQueries.PrefixIndex(
+      withDeltas(spark.read.parquet(s"$path/base/freq"), "freqd")
+        .groupBy(col("source"), col("s"))
+        .agg(sum(col("f")).as("f"), sum(col("nf")).as("nf")),
+      withDeltas(spark.read.parquet(s"$path/base/entries"), "entries"),
+      withDeltas(spark.read.parquet(s"$path/base/arrays"), "arrays"))
+  }
+
+  /** Per-micro-batch dedup-index maintenance: probe the batch against
+    * the maintained index
+    * ([[graft.operators.DedupQueries.prefixProbeJoin]] — the q80
+    * probe-only shape, never an index×index candidate), then fold the
+    * ACCEPTED (non-matching) documents in as three idempotent
+    * batch-keyed delta partitions:
+    *   `entries/batch_id=N` — the accepted docs' prefix entries;
+    *   `freqd/batch_id=N`  — their nf deltas (f = 0: the element
+    *                          ORDER stays frozen at the base build);
+    *   `arrays/batch_id=N` — their verification arrays.
+    *
+    * Soundness under maintenance: the prefix-filter theorem needs ONE
+    * total order common to a pair's two prefixes. Probe prefixes and
+    * every delta's entries rank under the SAME frozen (base f, s)
+    * order — elements unseen at base-build time get f = 0 (rarest;
+    * they cannot match base entries, and two post-base docs sharing
+    * such an element still agree on its rank) — so candidates remain a
+    * superset of true pairs forever and exact verification does the
+    * rest. Frequencies drifting from the frozen order cost extra
+    * CANDIDATES over time (re-init the base at snapshot cadence to
+    * re-tighten), never missed pairs; PrefixStreamSpec pins
+    * (maintained index) == (fresh union build) on the q80 attribution.
+    *
+    * Within-batch duplicates are NOT collapsed here (both get accepted,
+    * exactly as a fresh build over the accepted set would hold both) —
+    * feed the stream through [[curate]]/[[nearDupStream]] first when
+    * in-batch dedup is wanted. `threshold` must equal the base build's
+    * (a probe threshold above it only admits extra candidates). */
+  def prefixIndexSink(path: String, threshold: Double,
+                      heavyListThreshold: Int = 4096, salt: Int = 16)
+  : (DataFrame, Long) => Unit = (batch, batchId) =>
+    graft.operators.Checkpoints.releasingScoped {
+      import graft.operators.DedupQueries
+      val spark = batch.sparkSession
+      val idx = loadStreamedPrefixIndex(spark, path, Some(batchId))
+      val arrs = DedupQueries.tokenArrays(batch)
+      val dups = DedupQueries.prefixProbeJoin(idx, arrs, threshold,
+          heavyListThreshold, salt)
+        .select(col("id_probe").as("doc_id")).distinct()
+      val accepted = arrs.join(dups, Seq("doc_id"), "left_anti")
+      val prefixLen =
+        (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast("int")
+      val entriesDelta = accepted
+        .select(col("source"), col("doc_id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("s"))
+        .join(idx.freq.select(col("source"), col("s"), col("f")),
+          Seq("source", "s"), "left")
+        .withColumn("f", coalesce(col("f"), lit(0L)))
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("f"), col("s"))))
+        .filter(col("rk") <= prefixLen)
+        .select(col("source"), col("s"), col("doc_id").as("id_index"),
+          col("n").as("n_i"), col("rk").as("p_i"))
+      // materialized once: the parquet write and the nf aggregate both
+      // consume it; the scoped release retires the checkpoint after
+      val ed = graft.operators.Checkpoints.truncate(entriesDelta)
+      ed.write.mode("overwrite").parquet(s"$path/entries/batch_id=$batchId")
+      ed.groupBy(col("source"), col("s"))
+        .agg(count(lit(1)).as("nf")).withColumn("f", lit(0L))
+        .select(col("source"), col("s"), col("f"), col("nf"))
+        .write.mode("overwrite").parquet(s"$path/freqd/batch_id=$batchId")
+      accepted.select(col("doc_id"), col("sh"))
+        .write.mode("overwrite").parquet(s"$path/arrays/batch_id=$batchId")
+    }
 
   /** A near-duplicate match surfaced by [[nearDupStream]]: `doc_id` is
     * the arriving document, `matched_id` a previously-seen bucket-mate,

@@ -98,6 +98,59 @@ class Bm25Spec extends SparkSpec {
         "re-aggregation is hidden in the probe path")
   }
 
+  test("dfPruneFactor: stopwords pruned, posting volume cut, surviving signal unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // OPEN-vocabulary fixture: 'the'/'of' appear in every doc (df = N,
+    // the absolute-stopword regime the closed registry corpus can't
+    // reach); 40 rare signal terms carry the retrieval signal.
+    val rnd = new scala.util.Random(5)
+    // 200 signal terms over 60 docs x 4 draws: expected df ~= 1.2, far
+    // below the prune cutoff N/10 = 6, so signal always survives
+    val rare = (0 until 200).map(i => s"sig$i")
+    def sig(k: Int) = Seq.fill(k)(rare(rnd.nextInt(rare.size)))
+    val rows = (0L until 60L).map {
+      // query doc 0: only TWO signal tokens, so the rarest-4 selection
+      // must otherwise reach into the stopwords
+      case 0L => (0L, (Seq("the", "of") ++ sig(2)).mkString(" "))
+      // query doc 58: ALL stopwords — prune degrades it to no terms
+      case 58L => (58L, "the of the of")
+      // query doc 29 and the corpus: 4+ signal tokens each
+      case i => (i, (Seq("the", "of") ++ sig(4)).mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val ix = CurationQueries.buildBm25Index(docs)
+    val queries = docs.filter(col("doc_id") % 29 === 0)
+    val unpruned = CurationQueries.bm25QueryTerms(ix, queries)
+    val pruned = CurationQueries.bm25QueryTerms(ix, queries,
+      dfPruneFactor = 10)
+    assert(unpruned.filter(col("token").isin("the", "of")).count() > 0,
+      "fixture must force stopwords into the unpruned term set")
+    assert(pruned.filter(col("token").isin("the", "of")).count() == 0,
+      "df*10 > N terms never survive the prune")
+    // the knob's point: scored-posting volume (tf rows joined by the
+    // term set) drops — each pruned stopword term saved N postings
+    def volume(q: org.apache.spark.sql.DataFrame) =
+      ix.tf.join(q.select("token").distinct(), Seq("token")).count()
+    assert(volume(pruned) < volume(unpruned), "posting volume must shrink")
+    // where the signal survives the prune (query 29: four rare terms,
+    // selection never touched a stopword) the ranking is UNCHANGED
+    def top(df: org.apache.spark.sql.DataFrame, q: Long) =
+      df.filter(col("query_id") === q).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val tNo = CurationQueries.bm25ScoreIndexed(ix, unpruned)
+    val tPr = CurationQueries.bm25ScoreIndexed(ix, pruned)
+    assert(top(tPr, 29L) == top(tNo, 29L) && top(tNo, 29L).nonEmpty,
+      "prune must not disturb a query whose terms all survive")
+    // the all-stopword query degrades to NO results (defined partial-
+    // signal semantics), not an error
+    assert(top(tPr, 58L).isEmpty && top(tNo, 58L).nonEmpty)
+    // and the scoring-side belt prunes an externally-supplied term set
+    // to the same result
+    assert(CurationQueries.bm25ScoreIndexed(ix, unpruned, dfPruneFactor = 10)
+      .collect().map(_.toSeq).toSeq == tPr.collect().map(_.toSeq).toSeq)
+  }
+
   test("deterministic across executions (integer scoring, no float sums)") {
     val rnd = new scala.util.Random(7)
     val vocab = (0 until 12).map(i => s"w$i")

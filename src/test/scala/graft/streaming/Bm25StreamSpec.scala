@@ -59,4 +59,51 @@ class Bm25StreamSpec extends SparkSpec {
     assert(relRows(replayed.totals) == relRows(offline.totals))
     assert(score(replayed) == s, "replay leaves scoring unchanged")
   }
+
+  test("compaction folds deltas; loads, replays and later batches stay correct") {
+    import spark.implicits._
+    val vocab = (0 until 10).map(i => s"w$i")
+    val rnd = new scala.util.Random(9)
+    def doc(i: Long) =
+      (i, Seq.fill(5 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val batches = Seq((0L until 20L).map(doc), (20L until 40L).map(doc),
+      (40L until 55L).map(doc), (55L until 70L).map(doc))
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-compact")
+      .resolve("ix").toString
+    val sink = DocStream.bm25IndexSink(path)
+    def offline(n: Int) = CurationQueries.buildBm25Index(
+      batches.take(n).flatten.toDF("doc_id", "text"))
+    def check(n: Int, msg: String): Unit = {
+      val got = DocStream.loadBm25Index(spark, path)
+      val want = offline(n)
+      assert(relRows(got.df) == relRows(want.df), s"$msg: df")
+      assert(relRows(got.totals) == relRows(want.totals), s"$msg: totals")
+      assert(relRows(got.tf) == relRows(want.tf), s"$msg: tf")
+    }
+
+    (0 until 3).foreach(i => sink(batches(i).toDF("doc_id", "text"), i.toLong))
+    DocStream.compactBm25Index(spark, path)
+    assert(DocStream.compactedThrough(spark, path).contains(2L))
+    check(3, "after compaction")
+    // the folded delta partitions are retired: load cost no longer
+    // grows with batch count
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/dfd/batch_id=0")),
+      "folded dfd deltas must be deleted")
+    // a replayed batch AT the watermark is skipped, not double-counted
+    sink(batches(1).toDF("doc_id", "text"), 1L)
+    check(3, "replay below watermark is a no-op")
+    // a fresh batch after compaction folds on top of the snapshot
+    sink(batches(3).toDF("doc_id", "text"), 3L)
+    check(4, "post-compaction batch")
+    // second compaction folds snapshot + the one new delta
+    DocStream.compactBm25Index(spark, path)
+    assert(DocStream.compactedThrough(spark, path).contains(3L))
+    check(4, "after second compaction")
+    // compaction with nothing new is a no-op
+    DocStream.compactBm25Index(spark, path)
+    check(4, "idle compaction")
+  }
 }

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.DedupQueries
+import org.apache.spark.sql.functions._
+
+/** [[DocStream.prefixIndexSink]] / [[DocStream.loadStreamedPrefixIndex]]
+  * — streaming maintenance of the incremental-dedup
+  * [[DedupQueries.PrefixIndex]] (r8 verdict task #4): each micro-batch
+  * probes the maintained index, folds only its ACCEPTED documents in,
+  * and the result must be indistinguishable — on the q80 attribution —
+  * from a fresh offline build over base ∪ accepted. Also pinned:
+  * duplicates of STREAM-accepted docs (not just base docs) are caught
+  * in later batches, a replayed batch leaves the store unchanged, and
+  * the on-disk accepted set equals a driver-side recompute. */
+class PrefixStreamSpec extends SparkSpec {
+
+  private val T = 0.5
+
+  private def toksOf(text: String) = text.split(" ").toSet
+  private def jac(a: Set[String], b: Set[String]): Double =
+    a.intersect(b).size.toDouble / a.union(b).size
+
+  /** Driver-side truth: sequentially accept each batch doc with no
+    * Jaccard >= T match in (base ∪ previously accepted). */
+  private def acceptedTruth(base: Seq[(Long, String)],
+                            batches: Seq[Seq[(Long, String)]])
+  : Set[Long] = {
+    var corpus = base.map(d => toksOf(d._2))
+    val out = Set.newBuilder[Long]
+    batches.foreach { b =>
+      val keep = b.filterNot(d => corpus.exists(x => jac(toksOf(d._2), x) >= T))
+      out ++= keep.map(_._1)
+      corpus = corpus ++ keep.map(d => toksOf(d._2))
+    }
+    out.result()
+  }
+
+  private def probePairs(idx: DedupQueries.PrefixIndex,
+                         probe: org.apache.spark.sql.DataFrame) =
+    DedupQueries.prefixProbeJoin(idx, DedupQueries.tokenArrays(probe), T)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).sorted.toSeq
+
+  test("maintained index == fresh union build on the q80 attribution; replay idempotent") {
+    import spark.implicits._
+    def doc(id: Long, tokens: Seq[String]) = (id, tokens.mkString(" "))
+    def cluster(tag: String) = (0 until 8).map(j => s"$tag$j")
+    // base: 10 three-doc clusters with per-doc noise
+    val base = (0L until 30L).map(i =>
+      doc(i, cluster(s"b${i / 3}_") :+ s"n$i"))
+    // batch 0: near-dups of base clusters (reject) + fresh vocabulary
+    // (accept)
+    val b0 = (0 until 5).map(i =>
+      doc(100L + i, cluster(s"b${i}_") :+ s"m$i")) ++
+      (5 until 10).map(i => doc(100L + i, cluster(s"f${i}_") :+ s"m$i"))
+    // batch 1: near-dups of batch 0's FRESH docs (reject — proves the
+    // deltas participate, with their unseen-at-base elements) + a base
+    // near-dup (reject) + fresh (accept)
+    val b1 = Seq(
+      doc(200L, cluster("f5_") :+ "p0"),
+      doc(201L, cluster("f6_") :+ "p1"),
+      doc(202L, cluster("b7_") :+ "p2"),
+      doc(203L, cluster("g0_") :+ "p3"),
+      doc(204L, cluster("g1_") :+ "p4"))
+    val batches = Seq(b0, b1)
+    val want = acceptedTruth(base, batches)
+    assert(want == Set(105L, 106L, 107L, 108L, 109L, 203L, 204L),
+      "fixture sanity: fresh docs accepted, near-dups rejected")
+
+    val path = java.nio.file.Files.createTempDirectory("graft-prefix-stream")
+      .resolve("ix").toString
+    DocStream.initPrefixIndexStore(base.toDF("doc_id", "text"), path, T)
+    val sink = DocStream.prefixIndexSink(path, T)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      sink(b.toDF("doc_id", "text"), i.toLong)
+    }
+
+    // the on-disk accepted set equals the sequential driver truth
+    val maintained = DocStream.loadStreamedPrefixIndex(spark, path)
+    val storedIds = maintained.arrays.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(storedIds == base.map(_._1).toSet ++ want)
+
+    // q80 attribution parity: probing the maintained index equals
+    // probing a FRESH offline build over base ∪ accepted — both exact,
+    // despite the maintained entries ranking under the frozen base
+    // element order
+    val unionDocs = (base ++ batches.flatten.filter(d => want(d._1)))
+      .toDF("doc_id", "text")
+    val fresh = DedupQueries.buildPrefixIndex(
+      DedupQueries.tokenArrays(unionDocs), T)
+    val probe = (Seq(
+      doc(900L, cluster("f5_") :+ "q0"),   // matches a batch-0 accept
+      doc(901L, cluster("g1_") :+ "q1"),   // matches a batch-1 accept
+      doc(902L, cluster("b2_") :+ "q2"),   // matches base
+      doc(903L, cluster("z0_") :+ "q3")))  // matches nothing
+      .toDF("doc_id", "text")
+    val got = probePairs(maintained, probe)
+    assert(got == probePairs(fresh, probe), "maintained == fresh union build")
+    assert(got.map(_._2).toSet == Set(900L, 901L, 902L),
+      "probe must hit base, batch-0 and batch-1 content")
+
+    // at-least-once replay: re-running batch 1 with its batch_id must
+    // leave the store unchanged (the replaying batch's own deltas are
+    // excluded from its probe, so its docs don't reject themselves)
+    sink(b1.toDF("doc_id", "text"), 1L)
+    val replayed = DocStream.loadStreamedPrefixIndex(spark, path)
+    assert(replayed.arrays.select("doc_id").collect()
+      .map(_.getLong(0)).toSet == storedIds)
+    assert(probePairs(replayed, probe) == got, "replay changes nothing")
+  }
+}
