@@ -92,13 +92,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","action":"toRdd","reps":$reps,"count_action_total":$countTotal,"queries":$qs$spread,"sf":"$sfDir"}"""
+    // full_map_file leads the object: the driver's BENCH_rN.json tail
+    // truncates long lines, so the pointer to the COMPLETE committed
+    // map must sit in the part that survives truncation
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","full_map_file":"$outPath","action":"toRdd","reps":$reps,"count_action_total":$countTotal,"queries":$qs$spread,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_rN.json tail truncates long registries (the r7
     // verdict lost half the per-query medians); persist the COMPLETE
     // line so round-over-round comparison keeps every query. Committed
     // per round as bench_full_rN.json.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }

@@ -36,7 +36,7 @@ object FaultBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark: SparkSession = SparkSession.builder()
       .master("local-cluster[2,1,1536]")
       .appName("graft-fault")
       .config("spark.executor.memory", "1g")
@@ -88,6 +88,68 @@ object FaultBench {
       s"killed=${killed.getOrElse("NONE (job finished before the kill)")} " +
       s"executors_after=${after.mkString(", ")}")
     require(ok, "connected components wrong after executor loss")
+
+    // ── phase 2 (r8 verdict task #6): STREAMING state-store recovery
+    // under executor loss — the one fault path the batch probe above
+    // does not exercise. A stateful dedup stream (DocStream.curate's
+    // dropDuplicates state) processes batch A, loses an executor by
+    // SIGKILL, then must dedup batch B against batch A's state: the
+    // state store's version survives in the checkpoint location, so a
+    // relaunched executor reloads it instead of re-admitting A's
+    // documents. ──
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val sq = graft.streaming.DocStream
+      .curate(input.toDS().toDF("doc_id", "text"),
+        chunkTokens = 32, stride = 24)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.select("doc_id", "chunk_id").collect()
+          .foreach(r => seen.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-fault-stream").toString)
+      .start()
+    // batch A: 2000 quality docs — 30 tokens, mean token length 4.83,
+    // 10 % stopwords, so every doc passes the q65 rule filter and the
+    // stream's state is exactly one hash per doc
+    def tok(v: Long) = "x" + ("000" + java.lang.Long.toString(v, 36)).takeRight(4)
+    def doc(i: Long) = (i, (Seq("the", "data", "row") ++
+      (0 until 27).map(j => tok(i * 28 + j))).mkString(" "))
+    val a = (0L until 2000L).map(doc)
+    input.addData(a: _*)
+    sq.processAllAvailable()
+    val afterA = seen.size
+    val pid2 = executorPids().headOption
+    pid2.foreach { p =>
+      Runtime.getRuntime.exec(Array("kill", "-9", p.toString)).waitFor()
+      println(s"[fault-bench] SIGKILLed executor $p between micro-batches")
+    }
+    // batch B: half EXACT DUPLICATES of batch A (must be dropped by the
+    // recovered state), half fresh
+    val b = (0L until 1000L).map(doc) ++ (5000L until 6000L).map(doc)
+    input.addData(b: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    // a duplicate leak re-emits batch A's chunks in batch B — doubled
+    // (doc_id, chunk_id) pairs; fresh docs must all land exactly once
+    var dupLeak = 0
+    var freshIds = Set.empty[Long]
+    val pairs = new java.util.HashSet[(Long, Long)]()
+    seen.forEach { p =>
+      if (!pairs.add(p)) dupLeak += 1
+      if (p._1 >= 5000L) freshIds += p._1
+    }
+    val okStream = dupLeak == 0 && freshIds.size == 1000
+    println(s"[fault-bench] streaming dedup across executor loss: " +
+      s"correct=$okStream batchA_chunks=$afterA dup_leaks=$dupLeak " +
+      s"fresh_docs=${freshIds.size} " +
+      s"executors_after=${executorPids().mkString(", ")}")
+    require(okStream, "streaming state lost across executor kill")
     spark.stop()
   }
 }

@@ -702,7 +702,9 @@ object CurationQueries {
       // nears 4·10¹⁷, while DuckDB's HUGEINT twin stays exact). With
       // per-operand casts the largest intermediate is
       // idf(≈2·10¹⁷ at 10¹¹ docs) · 22·S·tf(≈2·10¹⁹) ≈ 4·10³⁶ — inside
-      // DECIMAL(38,0), exact on both engines.
+      // DECIMAL(38,0), exact on both engines. Measured cost: +~1.2 s
+      // on q126/q127 at sf0.1 (wide decimals take the BigDecimal path
+      // per scored row) — accepted, a wrapped score is corrupt.
       .selectExpr("query_id", "doc_id",
         """(cast((2 * (n_docs - df) + 1) * 1000000 div (2 * df + 1)
           |      as decimal(20,0))

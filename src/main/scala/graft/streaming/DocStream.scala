@@ -220,12 +220,23 @@ object DocStream {
 
   /** Union of the `batch_id > floor` delta partitions under `dir`,
     * optionally excluding one batch (a REPLAYING batch must not see its
-    * own half-written prior attempt). None when no such partition. */
+    * own half-written prior attempt). None when no such partition.
+    * Directories holding no data file are skipped: a batch whose delta
+    * was EMPTY (e.g. every document rejected by the dedup probe) may
+    * commit only a _SUCCESS marker, and handing parquet a file-less
+    * directory fails schema inference. */
   private def deltasAfter(spark: org.apache.spark.sql.SparkSession,
                           dir: String, floor: Long,
                           exclude: Option[Long] = None): Option[DataFrame] = {
+    val fs = fsOf(spark, dir)
     val ids = batchDirs(spark, dir)
       .filter(_._1 > floor).filterNot(p => exclude.contains(p._1))
+      .filter { case (_, p) =>
+        fs.listStatus(p).exists(st => st.isFile && {
+          val nm = st.getPath.getName
+          !nm.startsWith("_") && !nm.startsWith(".")
+        })
+      }
     if (ids.isEmpty) None
     else Some(spark.read.parquet(ids.map(_._2.toString): _*))
   }

@@ -109,5 +109,16 @@ class PrefixStreamSpec extends SparkSpec {
     assert(replayed.arrays.select("doc_id").collect()
       .map(_.getLong(0)).toSet == storedIds)
     assert(probePairs(replayed, probe) == got, "replay changes nothing")
+
+    // a batch where EVERYTHING is a duplicate folds an empty delta —
+    // the store must stay loadable and unchanged (empty partitions may
+    // commit with no data file; the loader skips them)
+    sink(Seq(doc(300L, cluster("b1_") :+ "q9"),
+      doc(301L, cluster("g0_") :+ "q8")).toDF("doc_id", "text"), 2L)
+    val afterEmpty = DocStream.loadStreamedPrefixIndex(spark, path)
+    assert(afterEmpty.arrays.select("doc_id").collect()
+      .map(_.getLong(0)).toSet == storedIds,
+      "an all-duplicates batch adds nothing")
+    assert(probePairs(afterEmpty, probe) == got)
   }
 }
