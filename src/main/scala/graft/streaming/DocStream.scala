@@ -195,14 +195,10 @@ object DocStream {
   private def batchDirs(spark: org.apache.spark.sql.SparkSession, dir: String) =
     keyedDirs(spark, dir, "batch_id")
 
-  /** The compaction watermark: every batch id ≤ it is folded into the
-    * `through=<w>` snapshot directories and its delta partitions are
-    * retired. Written AFTER the snapshot commits, so a crash between
-    * the two leaves the old, still-consistent state. */
-  def compactedThrough(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Option[Long] = {
+  private def readLongMarker(spark: org.apache.spark.sql.SparkSession,
+                             path: String, name: String): Option[Long] = {
     val fs = fsOf(spark, path)
-    val m = new org.apache.hadoop.fs.Path(s"$path/_compacted_through")
+    val m = new org.apache.hadoop.fs.Path(s"$path/$name")
     if (!fs.exists(m)) None
     else {
       val in = fs.open(m)
@@ -211,12 +207,20 @@ object DocStream {
     }
   }
 
-  private def writeMarker(spark: org.apache.spark.sql.SparkSession,
-                          path: String, w: Long): Unit = {
+  private def writeLongMarker(spark: org.apache.spark.sql.SparkSession,
+                              path: String, name: String, v: Long): Unit = {
     val out = fsOf(spark, path).create(
-      new org.apache.hadoop.fs.Path(s"$path/_compacted_through"), true)
-    try out.write(w.toString.getBytes("UTF-8")) finally out.close()
+      new org.apache.hadoop.fs.Path(s"$path/$name"), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
   }
+
+  /** The compaction watermark: every batch id ≤ it is folded into the
+    * `through=<w>` snapshot directories and its delta partitions are
+    * retired. Written AFTER the snapshot commits, so a crash between
+    * the two leaves the old, still-consistent state. */
+  def compactedThrough(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Option[Long] =
+    readLongMarker(spark, path, "_compacted_through")
 
   /** Union of the `batch_id > floor` delta partitions under `dir`,
     * optionally excluding one batch (a REPLAYING batch must not see its
@@ -293,7 +297,7 @@ object DocStream {
     val idx = loadBm25Index(spark, path) // snapshot(floor) + deltas > floor
     idx.df.write.mode("overwrite").parquet(s"$path/dfsnap/through=$w")
     idx.totals.write.mode("overwrite").parquet(s"$path/totsnap/through=$w")
-    writeMarker(spark, path, w)
+    writeLongMarker(spark, path, "_compacted_through", w)
     val fs = fsOf(spark, path)
     (batchDirs(spark, s"$path/dfd") ++ batchDirs(spark, s"$path/tot"))
       .filter(_._1 <= w).foreach { case (_, p) => fs.delete(p, true) }
@@ -310,17 +314,67 @@ object DocStream {
   /** Write the base [[graft.operators.DedupQueries.PrefixIndex]] for a
     * corpus snapshot — the ONE-TIME build the stream then maintains.
     * The base `freq.f` is the FROZEN element order every later prefix
-    * ranks under (see [[prefixIndexSink]]). */
+    * ranks under (see [[prefixIndexSink]]). Bases are VERSIONED
+    * (`basev=<v>` + a `_base_version` marker committed after the
+    * relations) so [[compactPrefixIndexStore]] can swap in a rebuilt
+    * base without a delete-then-rename window. */
   def initPrefixIndexStore(docs: DataFrame, path: String,
                            threshold: Double): Unit = {
     import graft.operators.{Checkpoints, DedupQueries}
     Checkpoints.releasingScoped {
-      val idx = DedupQueries.buildPrefixIndex(
-        DedupQueries.tokenArrays(docs), threshold)
-      idx.freq.write.mode("overwrite").parquet(s"$path/base/freq")
-      idx.entries.write.mode("overwrite").parquet(s"$path/base/entries")
-      idx.arrays.write.mode("overwrite").parquet(s"$path/base/arrays")
+      writeBase(DedupQueries.buildPrefixIndex(
+        DedupQueries.tokenArrays(docs), threshold), path, 0L)
+      writeLongMarker(docs.sparkSession, path, "_base_version", 0L)
     }
+  }
+
+  private def writeBase(idx: graft.operators.DedupQueries.PrefixIndex,
+                        path: String, v: Long): Unit = {
+    idx.freq.write.mode("overwrite").parquet(s"$path/basev=$v/freq")
+    idx.entries.write.mode("overwrite").parquet(s"$path/basev=$v/entries")
+    idx.arrays.write.mode("overwrite").parquet(s"$path/basev=$v/arrays")
+  }
+
+  /** Compact the stream-maintained dedup index — the
+    * [[compactBm25Index]] discipline applied to the prefix store, with
+    * one improvement the dedup semantics buy for free: instead of
+    * folding deltas under the frozen order, the base is REBUILT from
+    * every stored verification array (base ∪ deltas), re-freezing the
+    * element order at today's frequencies — exactly the "re-init the
+    * base at snapshot cadence" the [[prefixIndexSink]] scaladoc
+    * prescribes for prefix-selectivity drift. Load cost then resets to
+    * one base (no delta fold), and NO replay watermark is needed: a
+    * batch replayed after compaction probes a base that already
+    * contains its documents, so each one matches itself (jac = 1 ≥ t)
+    * and the replay folds an empty delta — content dedup is
+    * self-protecting where BM25's additive counters were not.
+    * Crash-ordered: the new `basev=<v+1>` commits before the marker,
+    * retirement (folded deltas + the old base) happens after; the
+    * loader reads marker-consistent state at every interleaving. Run
+    * at a quiet boundary of the single-writer stream (same contract as
+    * [[compactBm25Index]]). `threshold` must equal the store's build
+    * threshold. */
+  def compactPrefixIndexStore(spark: org.apache.spark.sql.SparkSession,
+                              path: String, threshold: Double): Unit = {
+    import graft.operators.{Checkpoints, DedupQueries}
+    val folded = Seq("entries", "freqd", "arrays")
+      .flatMap(s => batchDirs(spark, s"$path/$s"))
+    if (folded.isEmpty) return
+    val v = readLongMarker(spark, path, "_base_version").getOrElse(0L)
+    Checkpoints.releasingScoped {
+      val arrays = loadStreamedPrefixIndex(spark, path).arrays
+      // the streamed store is single-block by construction (the sink
+      // probes through tokenArrays' source = "all" convention), so the
+      // rebuild re-attaches that block key
+      writeBase(DedupQueries.buildPrefixIndex(
+        arrays.select(col("doc_id"), lit("all").as("source"), col("sh")),
+        threshold), path, v + 1)
+    }
+    writeLongMarker(spark, path, "_base_version", v + 1)
+    val fs = fsOf(spark, path)
+    folded.foreach { case (_, p) => fs.delete(p, true) }
+    keyedDirs(spark, path, "basev").filter(_._1 <= v)
+      .foreach { case (_, p) => fs.delete(p, true) }
   }
 
   /** Load the stream-maintained dedup index: base relations unioned
@@ -334,16 +388,18 @@ object DocStream {
                               path: String,
                               excludeBatch: Option[Long] = None)
   : graft.operators.DedupQueries.PrefixIndex = {
-    def withDeltas(base: DataFrame, sub: String): DataFrame =
+    val v = readLongMarker(spark, path, "_base_version").getOrElse(0L)
+    val base = s"$path/basev=$v"
+    def withDeltas(rel: DataFrame, sub: String): DataFrame =
       deltasAfter(spark, s"$path/$sub", Long.MinValue, excludeBatch)
-        .map(d => base.unionByName(d.drop("batch_id")))
-        .getOrElse(base)
+        .map(d => rel.unionByName(d.drop("batch_id")))
+        .getOrElse(rel)
     graft.operators.DedupQueries.PrefixIndex(
-      withDeltas(spark.read.parquet(s"$path/base/freq"), "freqd")
+      withDeltas(spark.read.parquet(s"$base/freq"), "freqd")
         .groupBy(col("source"), col("s"))
         .agg(sum(col("f")).as("f"), sum(col("nf")).as("nf")),
-      withDeltas(spark.read.parquet(s"$path/base/entries"), "entries"),
-      withDeltas(spark.read.parquet(s"$path/base/arrays"), "arrays"))
+      withDeltas(spark.read.parquet(s"$base/entries"), "entries"),
+      withDeltas(spark.read.parquet(s"$base/arrays"), "arrays"))
   }
 
   /** Per-micro-batch dedup-index maintenance: probe the batch against
@@ -365,9 +421,10 @@ object DocStream {
     * such an element still agree on its rank) — so candidates remain a
     * superset of true pairs forever and exact verification does the
     * rest. Frequencies drifting from the frozen order cost extra
-    * CANDIDATES over time (re-init the base at snapshot cadence to
-    * re-tighten), never missed pairs; PrefixStreamSpec pins
-    * (maintained index) == (fresh union build) on the q80 attribution.
+    * CANDIDATES over time ([[compactPrefixIndexStore]] re-freezes the
+    * order at snapshot cadence), never missed pairs; PrefixStreamSpec
+    * pins (maintained index) == (fresh union build) on the q80
+    * attribution.
     *
     * Within-batch duplicates are NOT collapsed here (both get accepted,
     * exactly as a fresh build over the accepted set would hold both) —

@@ -120,5 +120,36 @@ class PrefixStreamSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == storedIds,
       "an all-duplicates batch adds nothing")
     assert(probePairs(afterEmpty, probe) == got)
+
+    // ── compaction: rebuild the base from base ∪ deltas (re-frozen
+    // element order), retire the delta partitions ──
+    DocStream.compactPrefixIndexStore(spark, path, T)
+    val compacted = DocStream.loadStreamedPrefixIndex(spark, path)
+    assert(compacted.arrays.select("doc_id").collect()
+      .map(_.getLong(0)).toSet == storedIds, "compaction loses nothing")
+    assert(probePairs(compacted, probe) == got,
+      "attribution unchanged across the re-frozen order")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/entries/batch_id=0")),
+      "folded delta partitions are retired")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/basev=0")),
+      "the superseded base is retired")
+    // replay AFTER compaction: the base already contains the batch's
+    // accepted docs, so every doc self-rejects — no watermark needed
+    sink(b1.toDF("doc_id", "text"), 1L)
+    val replayedPost = DocStream.loadStreamedPrefixIndex(spark, path)
+    assert(replayedPost.arrays.select("doc_id").collect()
+      .map(_.getLong(0)).toSet == storedIds,
+      "post-compaction replay folds an empty delta")
+    assert(probePairs(replayedPost, probe) == got)
+    // and a genuinely new batch keeps folding on top of the new base
+    sink(Seq(doc(400L, cluster("h0_") :+ "r0")).toDF("doc_id", "text"), 3L)
+    val after3 = DocStream.loadStreamedPrefixIndex(spark, path)
+    assert(after3.arrays.select("doc_id").collect()
+      .map(_.getLong(0)).toSet == storedIds + 400L)
+    val probe2 = Seq(doc(910L, cluster("h0_") :+ "r1")).toDF("doc_id", "text")
+    assert(probePairs(after3, probe2).map(_._1) == Seq(400L),
+      "post-compaction accepts keep participating in the probe")
   }
 }
