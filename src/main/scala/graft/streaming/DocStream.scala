@@ -222,25 +222,34 @@ object DocStream {
                        path: String): Option[Long] =
     readLongMarker(spark, path, "_compacted_through")
 
-  /** Union of the `batch_id > floor` delta partitions under `dir`,
-    * optionally excluding one batch (a REPLAYING batch must not see its
-    * own half-written prior attempt). None when no such partition.
-    * Directories holding no data file are skipped: a batch whose delta
-    * was EMPTY (e.g. every document rejected by the dedup probe) may
-    * commit only a _SUCCESS marker, and handing parquet a file-less
-    * directory fails schema inference. */
+  private def hasDataFile(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path): Boolean =
+    fs.listStatus(p).exists(st => st.isFile && {
+      val nm = st.getPath.getName
+      !nm.startsWith("_") && !nm.startsWith(".")
+    })
+
+  /** `batch_id > floor` delta partitions under `dir` that actually
+    * hold data (an EMPTY batch's delta may commit only a _SUCCESS
+    * marker, and parquet fails schema inference on a file-less dir). */
+  private def dataBatchDirs(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, floor: Long,
+                            exclude: Option[Long] = None)
+  : Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val fs = fsOf(spark, dir)
+    batchDirs(spark, dir)
+      .filter(_._1 > floor).filterNot(p => exclude.contains(p._1))
+      .filter { case (_, p) => hasDataFile(fs, p) }
+  }
+
+  /** Union of the data-bearing `batch_id > floor` delta partitions
+    * under `dir`, optionally excluding one batch (a REPLAYING batch
+    * must not see its own half-written prior attempt). None when no
+    * such partition. */
   private def deltasAfter(spark: org.apache.spark.sql.SparkSession,
                           dir: String, floor: Long,
                           exclude: Option[Long] = None): Option[DataFrame] = {
-    val fs = fsOf(spark, dir)
-    val ids = batchDirs(spark, dir)
-      .filter(_._1 > floor).filterNot(p => exclude.contains(p._1))
-      .filter { case (_, p) =>
-        fs.listStatus(p).exists(st => st.isFile && {
-          val nm = st.getPath.getName
-          !nm.startsWith("_") && !nm.startsWith(".")
-        })
-      }
+    val ids = dataBatchDirs(spark, dir, floor, exclude)
     if (ids.isEmpty) None
     else Some(spark.read.parquet(ids.map(_._2.toString): _*))
   }
@@ -291,7 +300,9 @@ object DocStream {
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
     val floor = compactedThrough(spark, path).getOrElse(-1L)
-    val newIds = batchDirs(spark, s"$path/dfd").map(_._1).filter(_ > floor)
+    // only data-bearing deltas count (an empty batch's partition is a
+    // _SUCCESS-only dir) — compaction against nothing new is a no-op
+    val newIds = dataBatchDirs(spark, s"$path/dfd", floor).map(_._1)
     if (newIds.isEmpty) return
     val w = newIds.max
     val idx = loadBm25Index(spark, path) // snapshot(floor) + deltas > floor
@@ -359,7 +370,12 @@ object DocStream {
     import graft.operators.{Checkpoints, DedupQueries}
     val folded = Seq("entries", "freqd", "arrays")
       .flatMap(s => batchDirs(spark, s"$path/$s"))
-    if (folded.isEmpty) return
+    val fs0 = fsOf(spark, path)
+    if (!folded.exists { case (_, p) => hasDataFile(fs0, p) }) {
+      // nothing to fold — just clear any empty-batch leftovers
+      folded.foreach { case (_, p) => fs0.delete(p, true) }
+      return
+    }
     val v = readLongMarker(spark, path, "_base_version").getOrElse(0L)
     Checkpoints.releasingScoped {
       val arrays = loadStreamedPrefixIndex(spark, path).arrays
