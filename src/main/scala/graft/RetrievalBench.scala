@@ -62,11 +62,7 @@ object RetrievalBench {
 
     def run(label: String, qterms: org.apache.spark.sql.DataFrame,
             factor: Long): (Long, Map[Long, Seq[(Long, Long)]]) = {
-      val pruned =
-        if (factor <= 0) qterms
-        else qterms
-          .crossJoin(broadcast(index.totals.select(col("n_docs"))))
-          .filter(col("df") * factor <= col("n_docs")).drop("n_docs")
+      val pruned = CurationQueries.dfPruned(qterms, factor, index.totals)
       // the prune's target quantity: postings the scoring join touches
       val volume = index.tf
         .join(pruned.select(col("query_id"), col("token")), Seq("token"))

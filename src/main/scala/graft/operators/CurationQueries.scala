@@ -659,13 +659,8 @@ object CurationQueries {
                      dfPruneFactor: Long = 0L): DataFrame = {
     val qcand = queryDocs.select(col("doc_id").as("query_id"),
       explode(array_distinct(split(col("text"), " "))).as("token"))
-    val dfRel =
-      if (dfPruneFactor <= 0) index.df
-      else index.df
-        .crossJoin(broadcast(index.totals.select(col("n_docs"))))
-        .filter(col("df") * dfPruneFactor <= col("n_docs"))
-        .select(col("token"), col("df"))
-    dfRel.join(broadcast(qcand), Seq("token"))
+    dfPruned(index.df, dfPruneFactor, index.totals)
+      .join(broadcast(qcand), Seq("token"))
       .groupBy(col("query_id"))
       .agg(slice(sort_array(collect_list(struct(col("df"), col("token")))),
         1, termsPerQuery).as("qt"))
@@ -685,14 +680,22 @@ object CurationQueries {
     * EXTERNALLY-supplied term batch (qterms carries df, so the guard
     * is one broadcast-totals compare) — the belt for callers that
     * derive terms outside this module. */
+  /** The absolute stopword prune, in ONE place for its three callers
+    * ([[bm25QueryTerms]], [[bm25ScoreIndexed]], RetrievalBench's
+    * volume probe): keep `rel` rows (which must carry `df`) whose
+    * df·factor ≤ the index's corpus doc count — one broadcast row of
+    * totals, map-side. `factor` ≤ 0 disables. */
+  private[graft] def dfPruned(rel: DataFrame, factor: Long,
+                              totals: DataFrame): DataFrame =
+    if (factor <= 0) rel
+    else rel
+      .crossJoin(broadcast(totals.select(col("n_docs"))))
+      .filter(col("df") * factor <= col("n_docs"))
+      .drop("n_docs")
+
   def bm25ScoreIndexed(index: Bm25Index, qterms: DataFrame,
                        k: Int = 5, dfPruneFactor: Long = 0L): DataFrame = {
-    val qt =
-      if (dfPruneFactor <= 0) qterms
-      else qterms
-        .crossJoin(broadcast(index.totals.select(col("n_docs"))))
-        .filter(col("df") * dfPruneFactor <= col("n_docs"))
-        .drop("n_docs")
+    val qt = dfPruned(qterms, dfPruneFactor, index.totals)
     val scored = index.tf.join(broadcast(qt), Seq("token"))
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(index.totals))

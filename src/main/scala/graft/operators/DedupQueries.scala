@@ -952,7 +952,11 @@ object DedupQueries {
       16, 0.75f, true)
 
   private def dropEntry(e: SharedEntry): Unit = {
-    e.df.unpersist()
+    // best-effort: the entry may belong to a STOPPED session (keys are
+    // session-scoped, so such entries linger until evicted here) and
+    // unpersist on a dead context throws — that must not abort the
+    // unrelated query whose miss triggered the eviction
+    try e.df.unpersist() catch { case _: Throwable => () }
     e.owned.foreach { case (c, p) =>
       try Checkpoints.deleteCheckpointDir(c, p)
       catch { case _: Throwable => () }

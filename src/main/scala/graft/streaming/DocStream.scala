@@ -162,9 +162,16 @@ object DocStream {
         // The scoped release deletes exactly this batch's checkpoints
         // once the three writes below have consumed them.
         val idx = graft.operators.CurationQueries.buildBm25Index(batch)
+        // dfd MUST commit LAST: compaction keys its watermark off the
+        // dfd partitions, so "dfd present" has to imply the batch's tf
+        // and tot also committed — otherwise a crash between the writes
+        // followed by a restart-time compaction would advance the
+        // watermark past a batch whose totals never landed, and the
+        // skip guard above would then suppress the replay that could
+        // repair it (undercounting n_docs/s_tokens forever).
         idx.tf.write.mode("overwrite").parquet(s"$path/tf/batch_id=$batchId")
-        idx.df.write.mode("overwrite").parquet(s"$path/dfd/batch_id=$batchId")
         idx.totals.write.mode("overwrite").parquet(s"$path/tot/batch_id=$batchId")
+        idx.df.write.mode("overwrite").parquet(s"$path/dfd/batch_id=$batchId")
       }
     }
 
@@ -207,11 +214,22 @@ object DocStream {
     }
   }
 
+  /** Crash-atomic marker write: the value lands in a dot-prefixed temp
+    * file and is renamed over the destination (FileContext OVERWRITE —
+    * atomic on local and HDFS). An in-place truncating create would
+    * leave an empty/partial marker if the writer died mid-write,
+    * bricking every reader ([[compactedThrough]] runs per micro-batch)
+    * until hand-repair. */
   private def writeLongMarker(spark: org.apache.spark.sql.SparkSession,
                               path: String, name: String, v: Long): Unit = {
-    val out = fsOf(spark, path).create(
-      new org.apache.hadoop.fs.Path(s"$path/$name"), true)
+    val fs = fsOf(spark, path)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.$name.tmp")
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The compaction watermark: every batch id ≤ it is folded into the
@@ -263,10 +281,14 @@ object DocStream {
     * an offline-built index (spec-pinned). */
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
                     path: String): graft.operators.CurationQueries.Bm25Index = {
+    // ONE marker read per load: snapshot choice and delta floor must
+    // come from the same observation, or a compaction advancing the
+    // marker mid-load would double-count deltas into the new snapshot
     val floor = compactedThrough(spark, path).getOrElse(-1L)
     def folded(deltaSub: String, snapSub: String): DataFrame = {
-      val snap = compactedThrough(spark, path)
-        .map(w => spark.read.parquet(s"$path/$snapSub/through=$w"))
+      val snap =
+        if (floor < 0) None
+        else Some(spark.read.parquet(s"$path/$snapSub/through=$floor"))
       val parts = snap.toSeq ++ deltasAfter(spark, s"$path/$deltaSub", floor)
         .map(_.drop("batch_id")).toSeq
       require(parts.nonEmpty, s"no $deltaSub deltas or snapshot under $path")
@@ -289,14 +311,17 @@ object DocStream {
     * [[loadBm25Index]]'s fold cost resets to one snapshot + the deltas
     * that arrived after, instead of growing with total batch count.
     * Posting (`tf`) partitions are never folded — they are the index
-    * body, read as-is. Crash-ordered: snapshot writes commit BEFORE the
-    * marker, retirement happens after, and the load path filters deltas
-    * by `batch_id > watermark`, so every interleaving reads a
-    * consistent index. A replayed batch at or below the watermark is
-    * skipped by [[bm25IndexSink]] (its contribution already sits in the
-    * snapshot; foreachBatch replays only the last uncommitted batch, so
-    * the watermark can only cover fully-committed sinks). No-op when
-    * nothing new arrived since the last compaction. */
+    * body, read as-is. Crash-ordered: the watermark keys off the `dfd`
+    * partitions, which the sink commits LAST — so a batch visible to
+    * the watermark is a fully-committed batch, and a sink that died
+    * mid-batch leaves deltas ABOVE the new watermark which the bounded
+    * fold here ignores (its replay repairs them). Snapshot writes
+    * commit BEFORE the marker, retirement happens after, and the load
+    * path filters deltas by `batch_id > watermark`, so every
+    * interleaving reads a consistent index. A replayed batch at or
+    * below the watermark is skipped by [[bm25IndexSink]] (its
+    * contribution already sits in the snapshot). No-op when nothing new
+    * arrived since the last compaction. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
     val floor = compactedThrough(spark, path).getOrElse(-1L)
@@ -305,9 +330,27 @@ object DocStream {
     val newIds = dataBatchDirs(spark, s"$path/dfd", floor).map(_._1)
     if (newIds.isEmpty) return
     val w = newIds.max
-    val idx = loadBm25Index(spark, path) // snapshot(floor) + deltas > floor
-    idx.df.write.mode("overwrite").parquet(s"$path/dfsnap/through=$w")
-    idx.totals.write.mode("overwrite").parquet(s"$path/totsnap/through=$w")
+    // fold snapshot(floor) + deltas in (floor, w] ONLY — never the
+    // loader's "everything past the floor" view: a crashed sink can
+    // leave a tot delta ABOVE w (tot commits before dfd, and w keys off
+    // dfd), and folding it while retirement below keeps it on disk
+    // would double-count that batch's totals on every later load
+    def foldSnap(deltaSub: String, snapSub: String,
+                 aggd: DataFrame => DataFrame): Unit = {
+      val snap =
+        if (floor < 0) None
+        else Some(spark.read.parquet(s"$path/$snapSub/through=$floor"))
+      val ds = dataBatchDirs(spark, s"$path/$deltaSub", floor)
+        .filter(_._1 <= w)
+        .map { case (_, p) => spark.read.parquet(p.toString) }
+      aggd((snap.toSeq ++ ds).reduce(_.unionByName(_)))
+        .write.mode("overwrite").parquet(s"$path/$snapSub/through=$w")
+    }
+    foldSnap("dfd", "dfsnap",
+      _.groupBy(col("token")).agg(sum(col("df")).as("df")))
+    foldSnap("tot", "totsnap",
+      _.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("s_tokens")).as("s_tokens")))
     writeLongMarker(spark, path, "_compacted_through", w)
     val fs = fsOf(spark, path)
     (batchDirs(spark, s"$path/dfd") ++ batchDirs(spark, s"$path/tot"))
@@ -359,10 +402,17 @@ object DocStream {
     * contains its documents, so each one matches itself (jac = 1 ≥ t)
     * and the replay folds an empty delta — content dedup is
     * self-protecting where BM25's additive counters were not.
-    * Crash-ordered: the new `basev=<v+1>` commits before the marker,
-    * retirement (folded deltas + the old base) happens after; the
-    * loader reads marker-consistent state at every interleaving. Run
-    * at a quiet boundary of the single-writer stream (same contract as
+    * Crash-ordered: the new `basev=<v+1>` commits WITH an embedded
+    * `_folded_through` watermark (the max delta batch id it absorbed)
+    * before the `_base_version` marker flips, and retirement (folded
+    * deltas + the old base) happens after; the loader filters deltas
+    * by the current base's watermark, so a crash between the flip and
+    * retirement leaves stale-but-ignored deltas, never double-counted
+    * documents (a doc folded into the base AND still visible as a
+    * delta would appear twice in the verification arrays, and the next
+    * rebuild would bake the duplicate in — halving effective prefix
+    * coverage via the one-row-per-doc rank window). Run at a quiet
+    * boundary of the single-writer stream (same contract as
     * [[compactBm25Index]]). `threshold` must equal the store's build
     * threshold. */
   def compactPrefixIndexStore(spark: org.apache.spark.sql.SparkSession,
@@ -370,13 +420,20 @@ object DocStream {
     import graft.operators.{Checkpoints, DedupQueries}
     val folded = Seq("entries", "freqd", "arrays")
       .flatMap(s => batchDirs(spark, s"$path/$s"))
+    if (folded.isEmpty) return
+    val v = readLongMarker(spark, path, "_base_version").getOrElse(0L)
+    val floor = readLongMarker(spark, s"$path/basev=$v", "_folded_through")
+      .getOrElse(Long.MinValue)
     val fs0 = fsOf(spark, path)
-    if (!folded.exists { case (_, p) => hasDataFile(fs0, p) }) {
-      // nothing to fold — just clear any empty-batch leftovers
+    if (!folded.exists { case (id, p) => id > floor && hasDataFile(fs0, p) }) {
+      // nothing NEW to fold (empty-batch leftovers, or deltas the base
+      // already absorbed before a crashed retirement) — just finish the
+      // cleanup and keep the current base
       folded.foreach { case (_, p) => fs0.delete(p, true) }
+      keyedDirs(spark, path, "basev").filter(_._1 < v)
+        .foreach { case (_, p) => fs0.delete(p, true) }
       return
     }
-    val v = readLongMarker(spark, path, "_base_version").getOrElse(0L)
     Checkpoints.releasingScoped {
       val arrays = loadStreamedPrefixIndex(spark, path).arrays
       // the streamed store is single-block by construction (the sink
@@ -386,6 +443,10 @@ object DocStream {
         arrays.select(col("doc_id"), lit("all").as("source"), col("sh")),
         threshold), path, v + 1)
     }
+    // the new base's delta watermark commits inside its own directory,
+    // BEFORE _base_version flips readers over — see the scaladoc
+    writeLongMarker(spark, s"$path/basev=${v + 1}", "_folded_through",
+      folded.map(_._1).max)
     writeLongMarker(spark, path, "_base_version", v + 1)
     val fs = fsOf(spark, path)
     folded.foreach { case (_, p) => fs.delete(p, true) }
@@ -394,9 +455,12 @@ object DocStream {
   }
 
   /** Load the stream-maintained dedup index: base relations unioned
-    * with every batch delta (minus `excludeBatch` — a REPLAYING batch
+    * with every batch delta past the base's `_folded_through`
+    * watermark (deltas the base already absorbed may linger if a
+    * compaction crashed before retirement — counting them again would
+    * duplicate documents), minus `excludeBatch` — a REPLAYING batch
     * must not probe against its own prior half-committed attempt, or
-    * every replayed doc would match itself and be rejected). `freq`
+    * every replayed doc would match itself and be rejected. `freq`
     * folds (f stays the base's frozen value — deltas carry f = 0 —
     * while nf accumulates, keeping the heavy-key guard honest as
     * posting lists grow). */
@@ -406,8 +470,10 @@ object DocStream {
   : graft.operators.DedupQueries.PrefixIndex = {
     val v = readLongMarker(spark, path, "_base_version").getOrElse(0L)
     val base = s"$path/basev=$v"
+    val floor = readLongMarker(spark, base, "_folded_through")
+      .getOrElse(Long.MinValue)
     def withDeltas(rel: DataFrame, sub: String): DataFrame =
-      deltasAfter(spark, s"$path/$sub", Long.MinValue, excludeBatch)
+      deltasAfter(spark, s"$path/$sub", floor, excludeBatch)
         .map(d => rel.unionByName(d.drop("batch_id")))
         .getOrElse(rel)
     graft.operators.DedupQueries.PrefixIndex(
@@ -458,7 +524,12 @@ object DocStream {
       val dups = DedupQueries.prefixProbeJoin(idx, arrs, threshold,
           heavyListThreshold, salt)
         .select(col("id_probe").as("doc_id")).distinct()
-      val accepted = arrs.join(dups, Seq("doc_id"), "left_anti")
+      // materialized once: the probe-verification join (the batch's
+      // dominant cost) feeds two independent actions below — the
+      // entries/freqd writes via entriesDelta AND the arrays write —
+      // and would re-execute for the second without this truncate
+      val accepted = graft.operators.Checkpoints.truncate(
+        arrs.join(dups, Seq("doc_id"), "left_anti"))
       val prefixLen =
         (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast("int")
       val entriesDelta = accepted

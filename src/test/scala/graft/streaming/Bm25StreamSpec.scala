@@ -106,4 +106,47 @@ class Bm25StreamSpec extends SparkSpec {
     DocStream.compactBm25Index(spark, path)
     check(4, "idle compaction")
   }
+
+  test("a sink crash before the dfd commit cannot be compacted past") {
+    import spark.implicits._
+    val vocab = (0 until 10).map(i => s"w$i")
+    val rnd = new scala.util.Random(17)
+    def doc(i: Long) =
+      (i, Seq.fill(5 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val batches = Seq((0L until 15L).map(doc), (15L until 30L).map(doc),
+      (30L until 42L).map(doc))
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-crash")
+      .resolve("ix").toString
+    val sink = DocStream.bm25IndexSink(path)
+    sink(batches(0).toDF("doc_id", "text"), 0L)
+    sink(batches(1).toDF("doc_id", "text"), 1L)
+    // simulate batch 2 dying between the tot and dfd writes — exactly
+    // the prefix the sink's write order can leave (dfd is the commit
+    // point, written last)
+    val idx2 = CurationQueries.buildBm25Index(batches(2).toDF("doc_id", "text"))
+    idx2.tf.write.mode("overwrite").parquet(s"$path/tf/batch_id=2")
+    idx2.totals.write.mode("overwrite").parquet(s"$path/tot/batch_id=2")
+    // restart-time compaction: the watermark must stop at the last
+    // fully-committed batch, and the orphaned tot delta must be neither
+    // folded nor retired (else the replay below double-counts it)
+    DocStream.compactBm25Index(spark, path)
+    assert(DocStream.compactedThrough(spark, path).contains(1L),
+      "watermark must not cover the half-committed batch")
+    // foreachBatch re-delivers batch 2 (2 > watermark, not skipped);
+    // the overwrite repairs the crash and the index ends exact
+    sink(batches(2).toDF("doc_id", "text"), 2L)
+    val got = DocStream.loadBm25Index(spark, path)
+    val want = CurationQueries.buildBm25Index(
+      batches.flatten.toDF("doc_id", "text"))
+    assert(relRows(got.df) == relRows(want.df), "df after repair")
+    assert(relRows(got.totals) == relRows(want.totals), "totals after repair")
+    assert(relRows(got.tf) == relRows(want.tf), "tf after repair")
+    // and the next compaction folds the repaired batch cleanly
+    DocStream.compactBm25Index(spark, path)
+    assert(DocStream.compactedThrough(spark, path).contains(2L))
+    val after = DocStream.loadBm25Index(spark, path)
+    assert(relRows(after.df) == relRows(want.df))
+    assert(relRows(after.totals) == relRows(want.totals))
+  }
 }

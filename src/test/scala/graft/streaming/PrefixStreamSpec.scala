@@ -152,4 +152,66 @@ class PrefixStreamSpec extends SparkSpec {
     assert(probePairs(after3, probe2).map(_._1) == Seq(400L),
       "post-compaction accepts keep participating in the probe")
   }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    Files.walk(src).forEach { p: Path =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("a compaction crash before delta retirement never double-counts documents") {
+    import spark.implicits._
+    def doc(id: Long, tokens: Seq[String]) = (id, tokens.mkString(" "))
+    def cluster(tag: String) = (0 until 8).map(j => s"$tag$j")
+    val base = (0L until 12L).map(i => doc(i, cluster(s"b${i / 3}_") :+ s"n$i"))
+    val b0 = (0 until 4).map(i => doc(100L + i, cluster(s"f${i}_") :+ s"m$i"))
+    val root = java.nio.file.Files.createTempDirectory("graft-prefix-crash")
+    val path = root.resolve("ix").toString
+    DocStream.initPrefixIndexStore(base.toDF("doc_id", "text"), path, T)
+    val sink = DocStream.prefixIndexSink(path, T)
+    sink(b0.toDF("doc_id", "text"), 0L)
+    val want = DocStream.loadStreamedPrefixIndex(spark, path)
+      .arrays.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want == base.map(_._1).toSet ++ b0.map(_._1))
+    // stash the delta partitions, compact, then restore them — the
+    // exact on-disk state a crash between the _base_version flip and
+    // delta retirement leaves (new base AND already-folded deltas)
+    val stash = root.resolve("stash")
+    Seq("entries", "freqd", "arrays").foreach { s =>
+      copyTree(java.nio.file.Paths.get(path, s), stash.resolve(s))
+    }
+    DocStream.compactPrefixIndexStore(spark, path, T)
+    Seq("entries", "freqd", "arrays").foreach { s =>
+      copyTree(stash.resolve(s), java.nio.file.Paths.get(path, s))
+    }
+    // the loader must IGNORE deltas the base already absorbed — a
+    // double-counted doc would appear twice in arrays (and corrupt the
+    // one-row-per-doc prefix ranks on the next rebuild)
+    val loaded = DocStream.loadStreamedPrefixIndex(spark, path)
+    val ids = loaded.arrays.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == want.toSeq.sorted,
+      "stale deltas below the base watermark are invisible")
+    // the probe against a batch-0 accept still attributes exactly once
+    val probe = Seq(doc(900L, cluster("f1_") :+ "q0")).toDF("doc_id", "text")
+    assert(probePairs(loaded, probe).map(_._2) == Seq(900L))
+    // re-running compaction finishes the crashed retirement without a
+    // rebuild (nothing NEW above the watermark) and keeps the base
+    DocStream.compactPrefixIndexStore(spark, path, T)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/entries/batch_id=0")),
+      "the stale deltas are retired on the next compaction")
+    val after = DocStream.loadStreamedPrefixIndex(spark, path)
+    assert(after.arrays.select("doc_id").collect()
+      .map(_.getLong(0)).toSet == want)
+    // and a new batch folds on top as usual
+    sink(Seq(doc(200L, cluster("g0_") :+ "p0")).toDF("doc_id", "text"), 1L)
+    assert(DocStream.loadStreamedPrefixIndex(spark, path)
+      .arrays.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      want + 200L)
+  }
 }
