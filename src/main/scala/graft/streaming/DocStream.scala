@@ -272,13 +272,21 @@ object DocStream {
     else Some(spark.read.parquet(ids.map(_._2.toString): _*))
   }
 
-  /** Load the streamed index: postings read as-is; df/totals fold the
-    * compaction snapshot (if any) with the per-batch deltas past the
-    * watermark — a VOCABULARY-sized aggregate over #uncompacted deltas
-    * (load-time cost, zero hot-path cost; [[compactBm25Index]] resets
-    * it). Scoring against the result is
+  /** Load the streamed index: postings come from the consolidated
+    * `tfsnap` snapshot (token-clustered — see [[compactBm25Index]])
+    * plus the per-batch `tf` partitions past the watermark; df/totals
+    * fold their compaction snapshot (if any) with the per-batch deltas
+    * past the watermark — a VOCABULARY-sized aggregate over
+    * #uncompacted deltas (load-time cost, zero hot-path cost;
+    * [[compactBm25Index]] resets it). Scoring against the result is
     * [[graft.operators.CurationQueries.bm25ScoreIndexed]], identical to
-    * an offline-built index (spec-pinned). */
+    * an offline-built index (spec-pinned).
+    *
+    * Consistency window: the sink commits tf before dfd, so a load
+    * racing the writer may see a batch's postings whose df/totals have
+    * not landed yet (idf lags by that one in-flight batch; the next
+    * load heals it). Bounded by a single batch — inherent to a
+    * multi-relation store with no cross-file transaction. */
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
                     path: String): graft.operators.CurationQueries.Bm25Index = {
     // ONE marker read per load: snapshot choice and delta floor must
@@ -294,8 +302,14 @@ object DocStream {
       require(parts.nonEmpty, s"no $deltaSub deltas or snapshot under $path")
       parts.reduce(_.unionByName(_))
     }
+    val tfSnap = tfSnapAt(spark, path, floor)
+    val tfParts = tfSnap.toSeq ++
+      dataBatchDirs(spark, s"$path/tf",
+        if (tfSnap.isDefined) floor else Long.MinValue)
+        .map(_._2.toString)
+    require(tfParts.nonEmpty, s"no tf postings under $path")
     graft.operators.CurationQueries.Bm25Index(
-      spark.read.parquet(s"$path/tf")
+      spark.read.parquet(tfParts: _*)
         .select(col("doc_id"), col("dl"), col("token"), col("tf")),
       folded("dfd", "dfsnap")
         .groupBy(col("token")).agg(sum(col("df")).as("df")),
@@ -304,14 +318,39 @@ object DocStream {
           sum(col("s_tokens")).as("s_tokens")))
   }
 
+  /** The consolidated-postings snapshot path at watermark `floor`, if
+    * present. Absent on a never-compacted store AND on one compacted
+    * by a pre-consolidation build (whose tf batch dirs are all still on
+    * disk — callers fall back to reading every batch dir). */
+  private def tfSnapAt(spark: org.apache.spark.sql.SparkSession,
+                       path: String, floor: Long): Option[String] = {
+    val p = s"$path/tfsnap/through=$floor"
+    if (floor >= 0 &&
+        fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(p))) Some(p)
+    else None
+  }
+
   /** Compact the streamed BM25 index (r8 verdict task #3): fold the
     * df/totals deltas accumulated since the last watermark into fresh
-    * `through=<w>` snapshots, commit the watermark, retire the folded
-    * delta partitions (and the superseded snapshot) — so
+    * `through=<w>` snapshots, CONSOLIDATE the posting (`tf`) partitions
+    * into a token-clustered `tfsnap` snapshot, commit the watermark,
+    * retire the folded partitions (and the superseded snapshots) — so
     * [[loadBm25Index]]'s fold cost resets to one snapshot + the deltas
     * that arrived after, instead of growing with total batch count.
-    * Posting (`tf`) partitions are never folded — they are the index
-    * body, read as-is. Crash-ordered: the watermark keys off the `dfd`
+    *
+    * The tf consolidation is the small-files half of the story: a
+    * micro-batch stream otherwise accumulates one postings directory
+    * per batch FOREVER — after months that is tens of thousands of
+    * directories to list and tiny files to open per load, the classic
+    * streaming-ingest death at scale. The rewrite also repartitions by
+    * token and sorts within partitions, so a query's posting probe
+    * prunes parquet row groups by token min/max instead of scanning
+    * every batch's files (the CorpusStore co-location discipline
+    * applied to the streamed store). It costs one pass over the index
+    * body per compaction — run at posting-volume cadence, not per
+    * batch.
+    *
+    * Crash-ordered: the watermark keys off the `dfd`
     * partitions, which the sink commits LAST — so a batch visible to
     * the watermark is a fully-committed batch, and a sink that died
     * mid-batch leaves deltas ABOVE the new watermark which the bounded
@@ -326,9 +365,27 @@ object DocStream {
                        path: String): Unit = {
     val floor = compactedThrough(spark, path).getOrElse(-1L)
     // only data-bearing deltas count (an empty batch's partition is a
-    // _SUCCESS-only dir) — compaction against nothing new is a no-op
+    // _SUCCESS-only dir) — compaction against nothing new just
+    // finishes any crashed retirement (partitions the snapshots
+    // already absorbed, empty-batch leftovers, superseded snapshots)
     val newIds = dataBatchDirs(spark, s"$path/dfd", floor).map(_._1)
-    if (newIds.isEmpty) return
+    if (newIds.isEmpty) {
+      val fs = fsOf(spark, path)
+      // tf dirs <= floor are retirable ONLY when a consolidated
+      // snapshot holds their postings — on a store last compacted by a
+      // pre-consolidation build they are the only copy
+      val swept = Seq("dfd", "tot") ++
+        (if (tfSnapAt(spark, path, floor).isDefined) Seq("tf") else Nil)
+      swept.foreach { s =>
+        batchDirs(spark, s"$path/$s").filter(_._1 <= floor)
+          .foreach { case (_, p) => fs.delete(p, true) }
+      }
+      Seq("dfsnap", "totsnap", "tfsnap").foreach { s =>
+        keyedDirs(spark, s"$path/$s", "through").filter(_._1 < floor)
+          .foreach { case (_, p) => fs.delete(p, true) }
+      }
+      return
+    }
     val w = newIds.max
     // fold snapshot(floor) + deltas in (floor, w] ONLY — never the
     // loader's "everything past the floor" view: a crashed sink can
@@ -351,12 +408,26 @@ object DocStream {
     foldSnap("tot", "totsnap",
       _.agg(sum(col("n_docs")).as("n_docs"),
         sum(col("s_tokens")).as("s_tokens")))
+    // consolidate postings: old tfsnap (if any; a pre-consolidation
+    // store has none and all its tf batch dirs are still on disk) plus
+    // the batch dirs in scope, rewritten token-clustered
+    val tfSnap = tfSnapAt(spark, path, floor)
+    val tfParts = tfSnap.toSeq ++
+      dataBatchDirs(spark, s"$path/tf",
+        if (tfSnap.isDefined) floor else Long.MinValue)
+        .filter(_._1 <= w).map(_._2.toString)
+    spark.read.parquet(tfParts: _*)
+      .select(col("doc_id"), col("dl"), col("token"), col("tf"))
+      .repartition(col("token")).sortWithinPartitions(col("token"))
+      .write.mode("overwrite").parquet(s"$path/tfsnap/through=$w")
     writeLongMarker(spark, path, "_compacted_through", w)
     val fs = fsOf(spark, path)
-    (batchDirs(spark, s"$path/dfd") ++ batchDirs(spark, s"$path/tot"))
+    (batchDirs(spark, s"$path/dfd") ++ batchDirs(spark, s"$path/tot") ++
+      batchDirs(spark, s"$path/tf"))
       .filter(_._1 <= w).foreach { case (_, p) => fs.delete(p, true) }
     (keyedDirs(spark, s"$path/dfsnap", "through") ++
-      keyedDirs(spark, s"$path/totsnap", "through"))
+      keyedDirs(spark, s"$path/totsnap", "through") ++
+      keyedDirs(spark, s"$path/tfsnap", "through"))
       .filter(_._1 < w).foreach { case (_, p) => fs.delete(p, true) }
   }
 

@@ -92,6 +92,13 @@ class Bm25StreamSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/dfd/batch_id=0")),
       "folded dfd deltas must be deleted")
+    // postings are consolidated too — the per-batch tf dirs (the
+    // small-files accumulation) are rewritten into one token-clustered
+    // snapshot and retired
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/tfsnap/through=2")),
+      "consolidated postings snapshot exists")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tf/batch_id=0")),
+      "consolidated tf batch dirs must be deleted")
     // a replayed batch AT the watermark is skipped, not double-counted
     sink(batches(1).toDF("doc_id", "text"), 1L)
     check(3, "replay below watermark is a no-op")
