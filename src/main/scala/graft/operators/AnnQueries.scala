@@ -410,6 +410,39 @@ object AnnQueries {
         col("idb").as("nb")), k)
   }
 
+  /** Probe-only sign-LSH kNN: score QUERY vectors against a PREBUILT
+    * `(sig, vecs)` index under the index's frozen `planes` — the q80
+    * probe-only discipline applied to ANN. The index side is read
+    * as-is (bucket = its stored signature, never multiprobe-exploded:
+    * index×index candidates cannot form); the query side carries the
+    * hamming ≤ `probeFlips` masks, and each (query, index) pair meets
+    * at exactly one probed bucket ([[probeMasks]] distinctness), so no
+    * dedup is needed before the exact-cosine re-rank and bounded TopK.
+    * Per query batch the cost is the batch's own candidate volume —
+    * the corpus is neither re-signed nor reshuffled. Query signatures
+    * MUST use the same `signatures` family the index was built with.
+    * Output: (vec_id = query id, rk, nb_id, cos_scaled). */
+  def knnProbeLsh(sig: DataFrame, vecs: DataFrame, planes: Int,
+                  queries: DataFrame, k: Int = 3, probeFlips: Int = 1,
+                  signatures: (DataFrame, Int) => DataFrame = signSignatures)
+  : DataFrame = {
+    val build = withNorms(vecs).join(sig, Seq("vec_id"))
+      .select(col("vec_id").as("idb"), col("v").as("vb"),
+        col("norm").as("nb"), col("signature").as("bucket"))
+    val probe = withNorms(queries)
+      .join(signatures(queries, planes), Seq("vec_id"))
+      .select(col("vec_id").as("ida"), col("v").as("va"),
+        col("norm").as("na"), explode(array(
+          probeMasks(planes, probeFlips).map(m =>
+            col("signature").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    rankedNeighbours(probe.join(build, Seq("bucket"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida").as("vec_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
+          .cast("long").as("c"),
+        col("idb").as("nb")), k)
+  }
+
   /** SemDeDup (Abbas et al. 2023) — semantic deduplication by k-means
     * cell: cluster the embedding space with the deterministic Lloyd
     * quantizer ([[kmeansCells]]), then compare vectors ONLY within their

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnQueries, Checkpoints}
+
+/** Streaming maintenance of the sign-LSH ANN index — the third
+  * retrieval modality brought under the [[DocStream]] maintenance
+  * discipline (lexical BM25: `bm25IndexSink`; prefix dedup:
+  * `prefixIndexSink`; vectors: here). A base index freezes the bucket
+  * geometry, micro-batches append batch-keyed idempotent deltas, and
+  * compaction re-derives the geometry for the grown corpus.
+  *
+  * Why incremental maintenance is EXACTLY sound here: a sign-LSH
+  * signature depends only on (vector, planes) — no corpus statistic —
+  * so a delta signed under the base's frozen `planes` is bit-identical
+  * to what an offline rebuild at those planes would assign
+  * (AnnStreamSpec pins streamed == offline on the probe results). What
+  * DOES drift is the occupancy knob itself: `planesFor(n)` grows with
+  * the corpus, and frozen planes at 100× vectors mean 100×-occupancy
+  * buckets (the r8 q93 finding). [[compactAnnIndexStore]] re-derives
+  * planes from the CURRENT count and re-signs — the
+  * `compactPrefixIndexStore` re-freeze discipline applied to bucket
+  * geometry instead of element frequencies.
+  *
+  * Store layout (the [[DocStream]] versioned-base + delta scheme):
+  * {{{
+  *   basev=<v>/vecs, basev=<v>/sig     base relations
+  *   basev=<v>/_planes                  frozen plane count
+  *   basev=<v>/_folded_through          delta watermark (crash guard)
+  *   _base_version                      current base pointer
+  *   vecd/batch_id=N, sigd/batch_id=N   per-batch deltas
+  * }}} */
+object AnnStream {
+  import DocStream.{batchDirs, dataBatchDirs, deltasAfter, fsOf,
+    hasDataFile, keyedDirs, readLongMarker, writeLongMarker}
+
+  /** The loaded maintained index: `sig` (vec_id, signature) and `vecs`
+    * (vec_id, embedding) — base ∪ post-watermark deltas — plus the
+    * frozen `planes` every signature (and every probe) ranks under. */
+  final case class StreamedAnnIndex(sig: DataFrame, vecs: DataFrame,
+                                    planes: Int)
+
+  /** One-time base build over a corpus snapshot: planes derive from
+    * the snapshot's count via [[AnnQueries.planesFor]] (the registered
+    * q93/q106 auto-scale rule), then freeze until compaction. */
+  def initAnnIndexStore(embeddings: DataFrame, path: String,
+                        targetOccupancy: Int = 128): Unit = {
+    val spark = embeddings.sparkSession
+    val planes =
+      AnnQueries.planesFor(embeddings.count(), targetOccupancy)
+    writeBase(embeddings, path, 0L, planes)
+    writeLongMarker(spark, path, "_base_version", 0L)
+  }
+
+  private def writeBase(embeddings: DataFrame, path: String, v: Long,
+                        planes: Int): Unit = {
+    val spark = embeddings.sparkSession
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    vecs.write.mode("overwrite").parquet(s"$path/basev=$v/vecs")
+    AnnQueries.signSignatures(vecs, planes)
+      .write.mode("overwrite").parquet(s"$path/basev=$v/sig")
+    writeLongMarker(spark, s"$path/basev=$v", "_planes", planes.toLong)
+  }
+
+  /** Per-micro-batch index maintenance: sign the batch under the
+    * base's FROZEN planes, write two idempotent batch-keyed deltas
+    * (`vecd` then `sigd`). No probe, no counters, no skip guard — an
+    * ANN index indexes everything, signatures are per-row (nothing
+    * additive to double-count), and a replay overwrites its own
+    * partitions. `sigd` commits last, so signatures never reference
+    * vectors that have not landed (a reader racing the writer may see
+    * a batch's vectors without signatures — those rows simply cannot
+    * be candidates until the next load; bounded by one batch). */
+  def annIndexSink(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => Checkpoints.releasingScoped {
+      val spark = batch.sparkSession
+      val v = readLongMarker(spark, path, "_base_version").getOrElse(0L)
+      val planes = readLongMarker(spark, s"$path/basev=$v", "_planes")
+        .getOrElse(sys.error(s"no _planes marker under $path/basev=$v " +
+          "— initAnnIndexStore must run before the sink")).toInt
+      val vecs = batch.select(col("vec_id"), col("embedding"))
+      vecs.write.mode("overwrite").parquet(s"$path/vecd/batch_id=$batchId")
+      AnnQueries.signSignatures(vecs, planes)
+        .write.mode("overwrite").parquet(s"$path/sigd/batch_id=$batchId")
+    }
+
+  /** Load the maintained index: base relations unioned with every
+    * batch delta past the base's `_folded_through` watermark (stale
+    * deltas a crashed compaction failed to retire are already in the
+    * base — counting them again would duplicate candidate rows and
+    * TopK entries). */
+  def loadStreamedAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String): StreamedAnnIndex = {
+    val v = readLongMarker(spark, path, "_base_version").getOrElse(0L)
+    val base = s"$path/basev=$v"
+    val planes = readLongMarker(spark, base, "_planes")
+      .getOrElse(sys.error(s"no _planes marker under $base")).toInt
+    val floor = readLongMarker(spark, base, "_folded_through")
+      .getOrElse(Long.MinValue)
+    def withDeltas(rel: DataFrame, sub: String): DataFrame =
+      deltasAfter(spark, s"$path/$sub", floor)
+        .map(d => rel.unionByName(d.drop("batch_id")))
+        .getOrElse(rel)
+    StreamedAnnIndex(
+      withDeltas(spark.read.parquet(s"$base/sig"), "sigd"),
+      withDeltas(spark.read.parquet(s"$base/vecs"), "vecd"),
+      planes)
+  }
+
+  /** Probe-only kNN against the maintained index —
+    * [[AnnQueries.knnProbeLsh]] with the index's frozen planes. */
+  def knnProbe(index: StreamedAnnIndex, queries: DataFrame, k: Int = 3,
+               probeFlips: Int = 1): DataFrame =
+    AnnQueries.knnProbeLsh(index.sig, index.vecs, index.planes,
+      queries, k, probeFlips)
+
+  /** Compact the maintained ANN index: rebuild the base over
+    * base ∪ deltas with planes RE-DERIVED from the current corpus
+    * count — the occupancy re-freeze (a frozen plane count at a grown
+    * corpus means overgrown buckets; `planesFor` restores the
+    * ~targetOccupancy bucket size, keeping probe candidate volume
+    * linear in n). Same crash ordering as the sibling stores: the new
+    * `basev=<v+1>` commits with its `_planes` and `_folded_through`
+    * markers BEFORE `_base_version` flips readers over; retirement
+    * (folded deltas + the old base) happens after; the loader's
+    * watermark filter makes a crash between flip and retirement
+    * harmless. Run at a quiet boundary of the single-writer stream. */
+  def compactAnnIndexStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           targetOccupancy: Int = 128): Unit = {
+    val folded = Seq("sigd", "vecd").flatMap(s => batchDirs(spark, s"$path/$s"))
+    if (folded.isEmpty) return
+    val v = readLongMarker(spark, path, "_base_version").getOrElse(0L)
+    val floor = readLongMarker(spark, s"$path/basev=$v", "_folded_through")
+      .getOrElse(Long.MinValue)
+    val fs0 = fsOf(spark, path)
+    if (!folded.exists { case (id, p) => id > floor && hasDataFile(fs0, p) }) {
+      // nothing NEW — finish any crashed retirement and keep the base
+      folded.foreach { case (_, p) => fs0.delete(p, true) }
+      keyedDirs(spark, path, "basev").filter(_._1 < v)
+        .foreach { case (_, p) => fs0.delete(p, true) }
+      return
+    }
+    Checkpoints.releasingScoped {
+      // one materialization feeds the count, the vecs write and the
+      // re-sign — without it the union re-reads per consumer
+      val vecs = Checkpoints.truncate(loadStreamedAnnIndex(spark, path).vecs)
+      writeBase(vecs, path, v + 1,
+        AnnQueries.planesFor(vecs.count(), targetOccupancy))
+      writeLongMarker(spark, s"$path/basev=${v + 1}", "_folded_through",
+        folded.map(_._1).max)
+    }
+    writeLongMarker(spark, path, "_base_version", v + 1)
+    val fs = fsOf(spark, path)
+    folded.foreach { case (_, p) => fs.delete(p, true) }
+    keyedDirs(spark, path, "basev").filter(_._1 <= v)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+}

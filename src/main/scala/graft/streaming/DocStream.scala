@@ -179,12 +179,12 @@ object DocStream {
   // prefix-dedup maintenance sinks): batch-keyed delta directories,
   // a compaction watermark marker, Hadoop-FS portable ──
 
-  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+  private[streaming] def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** (id, dir) for every `<prefix>=N` child of `dir` (absent dir = none). */
-  private def keyedDirs(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def keyedDirs(spark: org.apache.spark.sql.SparkSession,
                         dir: String, prefix: String)
   : Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val fs = fsOf(spark, dir)
@@ -199,10 +199,10 @@ object DocStream {
     }
   }
 
-  private def batchDirs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+  private[streaming] def batchDirs(spark: org.apache.spark.sql.SparkSession, dir: String) =
     keyedDirs(spark, dir, "batch_id")
 
-  private def readLongMarker(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def readLongMarker(spark: org.apache.spark.sql.SparkSession,
                              path: String, name: String): Option[Long] = {
     val fs = fsOf(spark, path)
     val m = new org.apache.hadoop.fs.Path(s"$path/$name")
@@ -220,7 +220,7 @@ object DocStream {
     * leave an empty/partial marker if the writer died mid-write,
     * bricking every reader ([[compactedThrough]] runs per micro-batch)
     * until hand-repair. */
-  private def writeLongMarker(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def writeLongMarker(spark: org.apache.spark.sql.SparkSession,
                               path: String, name: String, v: Long): Unit = {
     val fs = fsOf(spark, path)
     val dst = new org.apache.hadoop.fs.Path(s"$path/$name")
@@ -240,7 +240,7 @@ object DocStream {
                        path: String): Option[Long] =
     readLongMarker(spark, path, "_compacted_through")
 
-  private def hasDataFile(fs: org.apache.hadoop.fs.FileSystem,
+  private[streaming] def hasDataFile(fs: org.apache.hadoop.fs.FileSystem,
                           p: org.apache.hadoop.fs.Path): Boolean =
     fs.listStatus(p).exists(st => st.isFile && {
       val nm = st.getPath.getName
@@ -250,7 +250,7 @@ object DocStream {
   /** `batch_id > floor` delta partitions under `dir` that actually
     * hold data (an EMPTY batch's delta may commit only a _SUCCESS
     * marker, and parquet fails schema inference on a file-less dir). */
-  private def dataBatchDirs(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def dataBatchDirs(spark: org.apache.spark.sql.SparkSession,
                             dir: String, floor: Long,
                             exclude: Option[Long] = None)
   : Seq[(Long, org.apache.hadoop.fs.Path)] = {
@@ -264,7 +264,7 @@ object DocStream {
     * under `dir`, optionally excluding one batch (a REPLAYING batch
     * must not see its own half-written prior attempt). None when no
     * such partition. */
-  private def deltasAfter(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def deltasAfter(spark: org.apache.spark.sql.SparkSession,
                           dir: String, floor: Long,
                           exclude: Option[Long] = None): Option[DataFrame] = {
     val ids = dataBatchDirs(spark, dir, floor, exclude)

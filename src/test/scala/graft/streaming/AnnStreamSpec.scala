@@ -1,0 +1,158 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.AnnQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[AnnStream]]: streaming maintenance of the sign-LSH ANN index.
+  * Soundness hinge: signatures depend only on (vector, planes), so the
+  * maintained index must be INDISTINGUISHABLE — on probe results —
+  * from an offline build over the same vectors at the same frozen
+  * planes; compaction re-derives planes from the grown count and the
+  * rebuilt index must again equal the offline build at the NEW
+  * planes. */
+class AnnStreamSpec extends SparkSpec {
+
+  private val Occ = 8 // small target occupancy so planesFor moves at test sizes
+
+  private def vecsDF(rows: Seq[(Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  /** Deterministic 8-dim vectors: cluster c's members share a
+    * direction, with a small per-member perturbation. */
+  private def member(c: Int, j: Int): Seq[Float] =
+    (0 until 8).map { d =>
+      val axis = if (d == c % 8) 10f else 0f
+      axis + ((c * 31 + j * 7 + d * 3) % 5) * 0.1f
+    }
+
+  private def probeRows(ix: AnnStream.StreamedAnnIndex,
+                        queries: DataFrame, k: Int = 3): Seq[Seq[Any]] =
+    AnnStream.knnProbe(ix, queries, k)
+      .collect().map(_.toSeq.toList: Seq[Any]).toSeq
+
+  private def offlineRows(all: Seq[(Long, Seq[Float])], planes: Int,
+                          queries: DataFrame, k: Int = 3): Seq[Seq[Any]] =
+    AnnQueries.knnProbeLsh(
+      AnnQueries.signSignatures(vecsDF(all), planes), vecsDF(all), planes,
+      queries, k)
+      .collect().map(_.toSeq.toList: Seq[Any]).toSeq
+
+  test("maintained == offline at frozen planes; replay idempotent; compaction re-derives planes") {
+    val base = (0L until 60L).map(i => (i, member((i % 6).toInt, (i / 6).toInt)))
+    val b0 = (100L until 120L).map(i => (i, member((i % 10).toInt, (i / 10).toInt)))
+    // 250 is the only all-ones-direction vector anywhere — the
+    // deterministic witness that batch-1 deltas become candidates
+    val b1 = (200L until 220L).map(i =>
+      (i, member((i % 12).toInt, (i / 12).toInt))) :+
+      (250L, Seq.fill(8)(5f))
+    val path = java.nio.file.Files.createTempDirectory("graft-ann-stream")
+      .resolve("ix").toString
+
+    AnnStream.initAnnIndexStore(vecsDF(base), path, Occ)
+    val planes0 = AnnQueries.planesFor(base.size.toLong, Occ)
+    assert(AnnStream.loadStreamedAnnIndex(spark, path).planes == planes0)
+
+    val sink = AnnStream.annIndexSink(path)
+    sink(vecsDF(b0), 0L)
+    sink(vecsDF(b1), 1L)
+
+    val queries = vecsDF(Seq((900L, member(3, 9)),
+      (901L, Seq.fill(8)(7f))))
+    val ix = AnnStream.loadStreamedAnnIndex(spark, path)
+    assert(ix.planes == planes0, "planes stay frozen across batches")
+    val got = probeRows(ix, queries)
+    // the hinge: streamed maintenance == offline rebuild, bit for bit
+    assert(got == offlineRows(base ++ b0 ++ b1, planes0, queries),
+      "maintained index == offline build at the frozen planes")
+    // batch-1 vectors participate: 901 is parallel to b1's 250 (same
+    // signature, cosine exactly 1) and to nothing else
+    assert(got.exists(r => r.head == 901L && r(1) == 1 && r(2) == 250L),
+      "delta vectors are candidates")
+
+    // a planted scaled copy (identical direction => identical
+    // signature) is the exact top-1 of its query at flips 0
+    val twin = vecsDF(Seq((902L, member(2, 4).map(_ * 2f))))
+    val top = AnnStream.knnProbe(ix, twin, k = 1, probeFlips = 0).collect()
+    assert(top.length == 1 && top.head.getLong(3) == 1000000L,
+      "scaled twin found at cos 1.0 in its home bucket")
+
+    // at-least-once replay: overwriting batch 1's partitions changes
+    // nothing
+    sink(vecsDF(b1), 1L)
+    assert(probeRows(AnnStream.loadStreamedAnnIndex(spark, path), queries)
+      == got, "replay idempotent")
+
+    // ── compaction: planes RE-DERIVED from the grown count ──
+    AnnStream.compactAnnIndexStore(spark, path, Occ)
+    val planes1 = AnnQueries.planesFor((base ++ b0 ++ b1).size.toLong, Occ)
+    assert(planes1 > planes0, "fixture sanity: the corpus grew enough")
+    val compacted = AnnStream.loadStreamedAnnIndex(spark, path)
+    assert(compacted.planes == planes1, "compaction re-freezes planes")
+    assert(probeRows(compacted, queries) ==
+      offlineRows(base ++ b0 ++ b1, planes1, queries),
+      "compacted index == offline build at the re-derived planes")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/sigd/batch_id=0")),
+      "folded deltas are retired")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/basev=0")),
+      "the superseded base is retired")
+
+    // post-compaction batches keep folding under the NEW frozen planes
+    val b2 = (300L until 310L).map(i => (i, member(13, (i % 10).toInt)))
+    sink(vecsDF(b2), 2L)
+    val after = AnnStream.loadStreamedAnnIndex(spark, path)
+    assert(probeRows(after, queries, k = 3) ==
+      offlineRows(base ++ b0 ++ b1 ++ b2, planes1, queries),
+      "post-compaction deltas sign under the new planes")
+  }
+
+  test("a compaction crash before delta retirement never duplicates candidates") {
+    val base = (0L until 40L).map(i => (i, member((i % 5).toInt, (i / 5).toInt)))
+    val b0 = (100L until 110L).map(i => (i, member((i % 7).toInt, (i / 7).toInt)))
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-crash")
+    val path = root.resolve("ix").toString
+    AnnStream.initAnnIndexStore(vecsDF(base), path, Occ)
+    AnnStream.annIndexSink(path)(vecsDF(b0), 0L)
+    val wantIds = (base ++ b0).map(_._1).toSet
+    // stash deltas, compact, restore — the crash-window disk state
+    val stash = root.resolve("stash")
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      import java.nio.file.{Files, Path}
+      Files.walk(src).forEach { p: Path =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    Seq("sigd", "vecd").foreach { s =>
+      copyTree(java.nio.file.Paths.get(path, s), stash.resolve(s))
+    }
+    AnnStream.compactAnnIndexStore(spark, path, Occ)
+    Seq("sigd", "vecd").foreach { s =>
+      copyTree(stash.resolve(s), java.nio.file.Paths.get(path, s))
+    }
+    val ix = AnnStream.loadStreamedAnnIndex(spark, path)
+    val ids = ix.vecs.select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == wantIds.toSeq.sorted,
+      "stale deltas below the base watermark are invisible (no duplicates)")
+    // a probe still sees each index vector exactly once: its TopK list
+    // has no repeated neighbour
+    val q = vecsDF(Seq((900L, member(2, 3))))
+    val nbs = AnnStream.knnProbe(ix, q, k = 5)
+      .collect().map(_.getLong(2)).toSeq
+    assert(nbs.distinct == nbs, "no duplicated candidates in TopK")
+    // the next compaction finishes the crashed retirement, no rebuild
+    AnnStream.compactAnnIndexStore(spark, path, Occ)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/sigd/batch_id=0")))
+    assert(AnnStream.loadStreamedAnnIndex(spark, path)
+      .vecs.select("vec_id").collect().map(_.getLong(0)).toSet == wantIds)
+  }
+}
