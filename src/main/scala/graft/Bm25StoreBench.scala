@@ -32,14 +32,8 @@ object Bm25StoreBench {
     import graft.operators.CurationQueries
     import graft.streaming.DocStream
 
-    val text = concat_ws(" ", transform(sequence(lit(0), lit(59)),
-      i => {
-        val h = pmod(xxhash64(col("id") * 100 + i), lit(1048576L))
-        concat(lit("w"),
-          floor(pow(h.cast("double") / 1048576.0, 3.0) * 20000).cast("long"))
-      }))
     val docs = spark.range(nDocs)
-      .select(col("id").as("doc_id"), text.as("text"))
+      .select(col("id").as("doc_id"), BenchCorpus.zipfText(col("id")).as("text"))
     val path = java.nio.file.Files.createTempDirectory("graft-bm25-store")
       .resolve("ix").toString
     val sink = DocStream.bm25IndexSink(path)

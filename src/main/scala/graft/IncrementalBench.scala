@@ -30,22 +30,10 @@ import org.apache.spark.sql.functions._
   * Dev tooling (PERF.md evidence), not part of the registry. */
 object IncrementalBench {
 
-  /** Deterministic 60-token text for a cluster; `variant` (nullable)
-    * swaps token 7, making a near-dup of the cluster head. Token ids
-    * are CUBED-uniform over a 20k vocabulary (small ids common, tail
-    * rare) — a Zipf-ish frequency profile, so prefix filtering operates
-    * in its design regime (a uniform vocabulary makes every token
-    * equally "rare" and defeats any prefix selection — worth knowing,
-    * but not the production regime). */
+  /** [[BenchCorpus.zipfText]] — the shared cubed-uniform profile;
+    * `variant` swaps token 7, making a near-dup of the cluster head. */
   private def textFor(cluster: Column, variant: Column): Column =
-    concat_ws(" ", transform(sequence(lit(0), lit(59)),
-      i => {
-        val h = pmod(xxhash64(
-          when(i === 7 && variant.isNotNull, variant)
-            .otherwise(cluster * 100 + i)), lit(1048576L))
-        concat(lit("w"),
-          floor(pow(h.cast("double") / 1048576.0, 3.0) * 20000).cast("long"))
-      }))
+    BenchCorpus.zipfText(cluster, variant)
 
   def main(args: Array[String]): Unit = {
     val e0 = sys.env.getOrElse("SPARK_GRAFT_EXISTING", "50000").toLong

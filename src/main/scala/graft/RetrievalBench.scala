@@ -33,14 +33,8 @@ object RetrievalBench {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.CurationQueries
 
-    val text = concat_ws(" ", transform(sequence(lit(0), lit(59)),
-      i => {
-        val h = pmod(xxhash64(col("id") * 100 + i), lit(1048576L))
-        concat(lit("w"),
-          floor(pow(h.cast("double") / 1048576.0, 3.0) * 20000).cast("long"))
-      }))
     val docs = spark.range(nDocs)
-      .select(col("id").as("doc_id"), text.as("text"))
+      .select(col("id").as("doc_id"), BenchCorpus.zipfText(col("id")).as("text"))
     val index = CurationQueries.buildBm25Index(docs)
     val qdocs = docs.filter(col("doc_id") % 997 === 0)
     println(s"[retrieval-bench] $nDocs docs, ${qdocs.count()} queries")

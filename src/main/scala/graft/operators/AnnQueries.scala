@@ -396,19 +396,31 @@ object AnnQueries {
   : DataFrame = {
     val e = withNorms(embeddings)
       .join(signatures(embeddings, planes), Seq("vec_id"))
-    val probe = e.select(col("vec_id").as("ida"), col("v").as("va"),
+    probeRank(probeSide(e, planes, probeFlips),
+      e.select(col("vec_id").as("idb"), col("v").as("vb"),
+        col("norm").as("nb"), col("signature").as("bucket")), k)
+  }
+
+  /** Multiprobe-explode a signed+normed relation into the probe side of
+    * a bucket join: one row per (vector, hamming ≤ `flips` mask). */
+  private def probeSide(e: DataFrame, planes: Int, flips: Int): DataFrame =
+    e.select(col("vec_id").as("ida"), col("v").as("va"),
       col("norm").as("na"), explode(array(
-        probeMasks(planes, probeFlips).map(m =>
+        probeMasks(planes, flips).map(m =>
           col("signature").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val build = e.select(col("vec_id").as("idb"), col("v").as("vb"),
-      col("norm").as("nb"), col("signature").as("bucket"))
+
+  /** The shared LSH-kNN tail ([[knnJoinLsh]] / [[knnProbeLsh]]): bucket
+    * equi-join, id-equal exclusion, exact scaled-cosine re-rank, bounded
+    * TopK — one definition so a scoring fix (e.g. the r8 silent-wrap
+    * class) reaches every caller. */
+  private def probeRank(probe: DataFrame, build: DataFrame, k: Int)
+  : DataFrame =
     rankedNeighbours(probe.join(build, Seq("bucket"))
       .filter(col("ida") =!= col("idb"))
       .select(col("ida").as("vec_id"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
           .cast("long").as("c"),
         col("idb").as("nb")), k)
-  }
 
   /** Probe-only sign-LSH kNN: score QUERY vectors against a PREBUILT
     * `(sig, vecs)` index under the index's frozen `planes` — the q80
@@ -421,6 +433,14 @@ object AnnQueries {
     * Per query batch the cost is the batch's own candidate volume —
     * the corpus is neither re-signed nor reshuffled. Query signatures
     * MUST use the same `signatures` family the index was built with.
+    *
+    * ID CONTRACT: query ids share the index's `vec_id` namespace. An
+    * id-equal (query, index) pair is excluded — so a stored vector
+    * probing as its own query returns its true neighbours, not itself
+    * (the natural re-query semantics over a maintained
+    * [[graft.streaming.AnnStream]] store). Callers whose queries are
+    * numbered independently of the index MUST keep the ranges disjoint,
+    * or a colliding id would silently drop a genuine neighbour.
     * Output: (vec_id = query id, rk, nb_id, cos_scaled). */
   def knnProbeLsh(sig: DataFrame, vecs: DataFrame, planes: Int,
                   queries: DataFrame, k: Int = 3, probeFlips: Int = 1,
@@ -429,18 +449,9 @@ object AnnQueries {
     val build = withNorms(vecs).join(sig, Seq("vec_id"))
       .select(col("vec_id").as("idb"), col("v").as("vb"),
         col("norm").as("nb"), col("signature").as("bucket"))
-    val probe = withNorms(queries)
-      .join(signatures(queries, planes), Seq("vec_id"))
-      .select(col("vec_id").as("ida"), col("v").as("va"),
-        col("norm").as("na"), explode(array(
-          probeMasks(planes, probeFlips).map(m =>
-            col("signature").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    rankedNeighbours(probe.join(build, Seq("bucket"))
-      .filter(col("ida") =!= col("idb"))
-      .select(col("ida").as("vec_id"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
-          .cast("long").as("c"),
-        col("idb").as("nb")), k)
+    probeRank(probeSide(withNorms(queries)
+      .join(signatures(queries, planes), Seq("vec_id")),
+      planes, probeFlips), build, k)
   }
 
   /** SemDeDup (Abbas et al. 2023) — semantic deduplication by k-means

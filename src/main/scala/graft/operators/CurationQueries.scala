@@ -668,18 +668,6 @@ object CurationQueries {
       .select(col("query_id"), col("e.df").as("df"), col("e.token").as("token"))
   }
 
-  /** Score a query-term batch against a (possibly persisted)
-    * [[Bm25Index]] and keep the top `k` docs per query — the PER-BATCH
-    * side of the retrieval stack: one broadcast of the dimension-sized
-    * term set, a map-side posting filter on the tf index, and the
-    * bounded TopK tail. No corpus aggregation happens here — the index
-    * relations carry every corpus-scale statistic (df on the terms, dl
-    * on the postings, totals as one row), so a fresh query batch costs
-    * its own posting volume, never an index rebuild. `dfPruneFactor`
-    * applies the same stopword prune as [[bm25QueryTerms]] to an
-    * EXTERNALLY-supplied term batch (qterms carries df, so the guard
-    * is one broadcast-totals compare) — the belt for callers that
-    * derive terms outside this module. */
   /** The absolute stopword prune, in ONE place for its three callers
     * ([[bm25QueryTerms]], [[bm25ScoreIndexed]], RetrievalBench's
     * volume probe): keep `rel` rows (which must carry `df`) whose
@@ -693,6 +681,18 @@ object CurationQueries {
       .filter(col("df") * factor <= col("n_docs"))
       .drop("n_docs")
 
+  /** Score a query-term batch against a (possibly persisted)
+    * [[Bm25Index]] and keep the top `k` docs per query — the PER-BATCH
+    * side of the retrieval stack: one broadcast of the dimension-sized
+    * term set, a map-side posting filter on the tf index, and the
+    * bounded TopK tail. No corpus aggregation happens here — the index
+    * relations carry every corpus-scale statistic (df on the terms, dl
+    * on the postings, totals as one row), so a fresh query batch costs
+    * its own posting volume, never an index rebuild. `dfPruneFactor`
+    * applies the same stopword prune as [[bm25QueryTerms]] to an
+    * EXTERNALLY-supplied term batch (qterms carries df, so the guard
+    * is one broadcast-totals compare) — the belt for callers that
+    * derive terms outside this module. */
   def bm25ScoreIndexed(index: Bm25Index, qterms: DataFrame,
                        k: Int = 5, dfPruneFactor: Long = 0L): DataFrame = {
     val qt = dfPruned(qterms, dfPruneFactor, index.totals)
@@ -1043,6 +1043,19 @@ object CurationQueries {
       (s, d) => bm25TopK(Tables.documents(s, d)),
       Some(s"""WITH $bm25RankedCtes
              |SELECT query_id, rk AS rank, doc_id, score FROM lexr
+             |WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // ── q126 with the absolute stopword prune ON (df·10 > N dropped) —
+    //    the production open-vocabulary configuration, oracle-checked
+    //    through the same CTE chain with the prune clause spliced in.
+    //    On this corpus's closed 31-token vocabulary exactly one rare
+    //    token survives factor 10, so the result is small but fully
+    //    deterministic: queries whose docs lack a surviving term drop
+    //    out (the defined partial-signal semantics) ──
+    "q129_bm25_pruned" -> QueryDef(
+      (s, d) => bm25TopK(Tables.documents(s, d), dfPruneFactor = 10L),
+      Some(s"""WITH ${bm25RankedCtes(10L)}
+             |SELECT query_id, rk AS rank, doc_id, score FROM lexr
              |WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 
@@ -1054,8 +1067,10 @@ object CurationQueries {
 
   /** [[bm25RankedCtes]] with the [[bm25QueryTerms]] stopword prune
     * mirrored in SQL (factor ≤ 0 = off, yielding the registered q126
-    * text verbatim) — so a pruned configuration is oracle-checkable
-    * against an open-vocabulary fixture (Bm25Spec). */
+    * text verbatim). The pruned branch is REGISTERED as q129 (factor
+    * 10, the classic absolute stopword rule), so the DuckDB gate
+    * exercises the prune clause end to end; Bm25Spec additionally pins
+    * the Spark-side cut on an open-vocabulary fixture. */
   private[operators] def bm25RankedCtes(dfPruneFactor: Long): String = {
     val prune =
       if (dfPruneFactor <= 0) ""

@@ -33,7 +33,7 @@ import graft.operators.{AnnQueries, Checkpoints}
   * }}} */
 object AnnStream {
   import DocStream.{batchDirs, dataBatchDirs, deltasAfter, fsOf,
-    hasDataFile, keyedDirs, readLongMarker, writeLongMarker}
+    keyedDirs, readLongMarker, writeLongMarker}
 
   /** The loaded maintained index: `sig` (vec_id, signature) and `vecs`
     * (vec_id, embedding) — base ∪ post-watermark deltas — plus the
@@ -109,7 +109,11 @@ object AnnStream {
   }
 
   /** Probe-only kNN against the maintained index —
-    * [[AnnQueries.knnProbeLsh]] with the index's frozen planes. */
+    * [[AnnQueries.knnProbeLsh]] with the index's frozen planes. Query
+    * ids share the index namespace (see the ID CONTRACT there): a
+    * stored vector re-queried under its own id excludes itself;
+    * independently-numbered queries must not collide with stored
+    * ids. */
   def knnProbe(index: StreamedAnnIndex, queries: DataFrame, k: Int = 3,
                probeFlips: Int = 1): DataFrame =
     AnnQueries.knnProbeLsh(index.sig, index.vecs, index.planes,
@@ -135,25 +139,50 @@ object AnnStream {
     val floor = readLongMarker(spark, s"$path/basev=$v", "_folded_through")
       .getOrElse(Long.MinValue)
     val fs0 = fsOf(spark, path)
-    if (!folded.exists { case (id, p) => id > floor && hasDataFile(fs0, p) }) {
-      // nothing NEW — finish any crashed retirement and keep the base
+    // the watermark keys off data-bearing SIGD partitions — the sink's
+    // LAST write, so a batch visible here is fully committed. Keying
+    // off max(all dirs) would advance past a batch whose sink crashed
+    // between the vecd and sigd writes: its replay's deltas would land
+    // at-or-below the watermark, invisible to every load — the batch's
+    // vectors silently lost from the index (the compactBm25Index dfd
+    // discipline, spec-pinned in AnnStreamSpec)
+    val committed = dataBatchDirs(spark, s"$path/sigd", floor).map(_._1)
+    if (committed.isEmpty) {
+      // nothing NEW committed — finish any crashed retirement and keep
+      // the base. A crashed batch's partial vecd is safe to delete:
+      // its streaming commit never landed, so the replay rewrites both
+      // partitions from scratch.
       folded.foreach { case (_, p) => fs0.delete(p, true) }
       keyedDirs(spark, path, "basev").filter(_._1 < v)
         .foreach { case (_, p) => fs0.delete(p, true) }
       return
     }
+    val w = committed.max
     Checkpoints.releasingScoped {
-      // one materialization feeds the count, the vecs write and the
-      // re-sign — without it the union re-reads per consumer
-      val vecs = Checkpoints.truncate(loadStreamedAnnIndex(spark, path).vecs)
+      // fold base ∪ vecd deltas in (floor, w] ONLY — never the loader's
+      // "everything past the floor" view: a crashed sink can leave a
+      // vecd delta ABOVE w (vecd commits before sigd, and w keys off
+      // sigd); folding it while the watermark stays at w would bake the
+      // batch in AND let its replay's deltas fold again — duplicated
+      // vectors in every later probe's TopK. One materialization feeds
+      // the count, the vecs write and the re-sign.
+      val base = spark.read.parquet(s"$path/basev=$v/vecs")
+      val vecs = Checkpoints.truncate(
+        dataBatchDirs(spark, s"$path/vecd", floor)
+          .filter(_._1 <= w)
+          .map { case (_, p) =>
+            spark.read.parquet(p.toString).select(col("vec_id"),
+              col("embedding")) }
+          .foldLeft(base)(_.unionByName(_)))
       writeBase(vecs, path, v + 1,
         AnnQueries.planesFor(vecs.count(), targetOccupancy))
-      writeLongMarker(spark, s"$path/basev=${v + 1}", "_folded_through",
-        folded.map(_._1).max)
+      writeLongMarker(spark, s"$path/basev=${v + 1}", "_folded_through", w)
     }
     writeLongMarker(spark, path, "_base_version", v + 1)
     val fs = fsOf(spark, path)
-    folded.foreach { case (_, p) => fs.delete(p, true) }
+    // retire only what the new base absorbed (id ≤ w); a crashed
+    // batch's above-w partials stay for its replay to overwrite
+    folded.filter(_._1 <= w).foreach { case (_, p) => fs.delete(p, true) }
     keyedDirs(spark, path, "basev").filter(_._1 <= v)
       .foreach { case (_, p) => fs.delete(p, true) }
   }

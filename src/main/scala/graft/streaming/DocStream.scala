@@ -496,15 +496,28 @@ object DocStream {
     val floor = readLongMarker(spark, s"$path/basev=$v", "_folded_through")
       .getOrElse(Long.MinValue)
     val fs0 = fsOf(spark, path)
-    if (!folded.exists { case (id, p) => id > floor && hasDataFile(fs0, p) }) {
-      // nothing NEW to fold (empty-batch leftovers, or deltas the base
-      // already absorbed before a crashed retirement) — just finish the
-      // cleanup and keep the current base
+    // the watermark keys off data-bearing ARRAYS partitions — the
+    // sink's LAST write, so a batch visible here is fully committed.
+    // Keying off max(all dirs) would advance past a batch whose sink
+    // crashed after entries/freqd but before arrays: its replay's
+    // deltas would land at-or-below the watermark, invisible to every
+    // load and retired by the next compaction — the batch's accepted
+    // docs silently lost from the index (the compactBm25Index dfd
+    // discipline, spec-pinned in PrefixStreamSpec)
+    val committed = dataBatchDirs(spark, s"$path/arrays", floor).map(_._1)
+    if (committed.isEmpty) {
+      // nothing NEW committed (empty-batch leftovers, deltas the base
+      // already absorbed before a crashed retirement, or a half-written
+      // batch the stream will replay) — just finish the cleanup and
+      // keep the current base. Deleting a crashed batch's partial
+      // deltas is safe: its streaming commit never landed, so the
+      // replay rewrites all three partitions from scratch.
       folded.foreach { case (_, p) => fs0.delete(p, true) }
       keyedDirs(spark, path, "basev").filter(_._1 < v)
         .foreach { case (_, p) => fs0.delete(p, true) }
       return
     }
+    val w = committed.max
     Checkpoints.releasingScoped {
       val arrays = loadStreamedPrefixIndex(spark, path).arrays
       // the streamed store is single-block by construction (the sink
@@ -515,12 +528,15 @@ object DocStream {
         threshold), path, v + 1)
     }
     // the new base's delta watermark commits inside its own directory,
-    // BEFORE _base_version flips readers over — see the scaladoc
-    writeLongMarker(spark, s"$path/basev=${v + 1}", "_folded_through",
-      folded.map(_._1).max)
+    // BEFORE _base_version flips readers over — see the scaladoc.
+    // (The rebuild's arrays fold and w agree by construction: both are
+    // bounded by the data-bearing arrays partitions.)
+    writeLongMarker(spark, s"$path/basev=${v + 1}", "_folded_through", w)
     writeLongMarker(spark, path, "_base_version", v + 1)
     val fs = fsOf(spark, path)
-    folded.foreach { case (_, p) => fs.delete(p, true) }
+    // retire only what the new base absorbed (id ≤ w); a crashed
+    // batch's above-w partials stay for its replay to overwrite
+    folded.filter(_._1 <= w).foreach { case (_, p) => fs.delete(p, true) }
     keyedDirs(spark, path, "basev").filter(_._1 <= v)
       .foreach { case (_, p) => fs.delete(p, true) }
   }

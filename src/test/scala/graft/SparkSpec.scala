@@ -8,6 +8,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * tiny; shuffle.partitions=4 keeps plans readable and runs fast). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Recursive copy, used by the streamed-store crash specs to stash
+    * and restore delta partitions around a compaction (reconstructing
+    * the on-disk state of a specific crash interleaving). */
+  protected def copyTree(src: java.nio.file.Path,
+                         dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    Files.walk(src).forEach { p: Path =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 }
 
 object SparkSpec {

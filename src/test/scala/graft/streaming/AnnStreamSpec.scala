@@ -121,15 +121,6 @@ class AnnStreamSpec extends SparkSpec {
     val wantIds = (base ++ b0).map(_._1).toSet
     // stash deltas, compact, restore — the crash-window disk state
     val stash = root.resolve("stash")
-    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-      import java.nio.file.{Files, Path}
-      Files.walk(src).forEach { p: Path =>
-        val t = dst.resolve(src.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(t)
-        else Files.copy(p, t,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    }
     Seq("sigd", "vecd").foreach { s =>
       copyTree(java.nio.file.Paths.get(path, s), stash.resolve(s))
     }
@@ -154,5 +145,42 @@ class AnnStreamSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/sigd/batch_id=0")))
     assert(AnnStream.loadStreamedAnnIndex(spark, path)
       .vecs.select("vec_id").collect().map(_.getLong(0)).toSet == wantIds)
+  }
+
+  test("a sink crash before the sigd commit point cannot be compacted past") {
+    val base = (0L until 40L).map(i => (i, member((i % 5).toInt, (i / 5).toInt)))
+    val b0 = (100L until 110L).map(i => (i, member((i % 7).toInt, (i / 7).toInt)))
+    // 250 is the only all-ones-direction vector — the witness that the
+    // crashed batch's vectors survive into the index after replay
+    val b1 = (200L until 210L).map(i =>
+      (i, member((i % 9).toInt, (i / 9).toInt))) :+ (250L, Seq.fill(8)(5f))
+    val path = java.nio.file.Files.createTempDirectory("graft-ann-sinkcrash")
+      .resolve("ix").toString
+    AnnStream.initAnnIndexStore(vecsDF(base), path, Occ)
+    val sink = AnnStream.annIndexSink(path)
+    sink(vecsDF(b0), 0L)
+    // batch 1's sink "crashes" between the vecd and sigd writes: run it
+    // fully, then remove the commit-point partition
+    sink(vecsDF(b1), 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/sigd/batch_id=1"), true)
+    // restart-time compaction must neither advance the watermark past
+    // batch 1 (its replay's deltas would be invisible forever) nor fold
+    // the orphaned vecd/batch_id=1 into the base (the replay's deltas
+    // would then DUPLICATE every batch-1 vector)
+    AnnStream.compactAnnIndexStore(spark, path, Occ)
+    sink(vecsDF(b1), 1L) // the replay
+    val all = base ++ b0 ++ b1
+    val ix = AnnStream.loadStreamedAnnIndex(spark, path)
+    val ids = ix.vecs.select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == all.map(_._1).sorted,
+      "the replayed batch's vectors are in the index exactly once")
+    val queries = vecsDF(Seq((901L, Seq.fill(8)(7f))))
+    val got = probeRows(ix, queries)
+    assert(got == offlineRows(all, ix.planes, queries),
+      "maintained == offline after the crash-replay interleaving")
+    assert(got.exists(r => r.head == 901L && r(1) == 1 && r(2) == 250L),
+      "the crashed-then-replayed batch's witness vector is retrievable")
   }
 }

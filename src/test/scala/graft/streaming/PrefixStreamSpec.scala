@@ -153,16 +153,6 @@ class PrefixStreamSpec extends SparkSpec {
       "post-compaction accepts keep participating in the probe")
   }
 
-  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, Path}
-    Files.walk(src).forEach { p: Path =>
-      val t = dst.resolve(src.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
-
   test("a compaction crash before delta retirement never double-counts documents") {
     import spark.implicits._
     def doc(id: Long, tokens: Seq[String]) = (id, tokens.mkString(" "))
@@ -213,5 +203,46 @@ class PrefixStreamSpec extends SparkSpec {
     assert(DocStream.loadStreamedPrefixIndex(spark, path)
       .arrays.select("doc_id").collect().map(_.getLong(0)).toSet ==
       want + 200L)
+  }
+
+  test("a sink crash before the arrays commit point cannot be compacted past") {
+    import spark.implicits._
+    def doc(id: Long, tokens: Seq[String]) = (id, tokens.mkString(" "))
+    def cluster(tag: String) = (0 until 8).map(j => s"$tag$j")
+    val base = (0L until 12L).map(i => doc(i, cluster(s"b${i / 3}_") :+ s"n$i"))
+    val b0 = (0 until 3).map(i => doc(100L + i, cluster(s"f${i}_") :+ s"m$i"))
+    val b1 = (0 until 3).map(i => doc(200L + i, cluster(s"g${i}_") :+ s"p$i"))
+    val root = java.nio.file.Files.createTempDirectory("graft-prefix-sinkcrash")
+    val path = root.resolve("ix").toString
+    DocStream.initPrefixIndexStore(base.toDF("doc_id", "text"), path, T)
+    val sink = DocStream.prefixIndexSink(path, T)
+    sink(b0.toDF("doc_id", "text"), 0L)
+    // batch 1's sink "crashes" between the freqd and arrays writes: run
+    // it fully, then remove its commit-point partition — the exact disk
+    // state of a death mid-batch (entries/freqd committed, arrays not)
+    sink(b1.toDF("doc_id", "text"), 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/arrays/batch_id=1"), true)
+    // restart-time compaction runs BEFORE the stream replays batch 1.
+    // The watermark must key off the commit point (arrays): advancing
+    // it to 1 would make the replay's deltas invisible forever — batch
+    // 1's accepted docs lost, their future near-dups wrongly accepted.
+    DocStream.compactPrefixIndexStore(spark, path, T)
+    sink(b1.toDF("doc_id", "text"), 1L) // the replay
+    val loaded = DocStream.loadStreamedPrefixIndex(spark, path)
+    val ids = loaded.arrays.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == (base.map(_._1) ++ b0.map(_._1) ++ b1.map(_._1)).sorted,
+      "the replayed batch's docs are in the index exactly once")
+    // and they guard the corpus: a near-dup of a batch-1 doc attributes
+    val probe = Seq(doc(900L, cluster("g1_") :+ "q0")).toDF("doc_id", "text")
+    assert(probePairs(loaded, probe).map(_._1) == Seq(201L),
+      "a replayed-batch doc rejects its later near-duplicate")
+    // the next compaction folds the replay and retires its deltas
+    DocStream.compactPrefixIndexStore(spark, path, T)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/entries/batch_id=1")))
+    assert(DocStream.loadStreamedPrefixIndex(spark, path)
+      .arrays.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted ==
+      ids.sorted)
   }
 }
