@@ -566,9 +566,11 @@ object AnnQueries {
   // exactly as the Spark side derives planes from embeddings.count(). ──
 
   /** `cnt` (corpus count), `pl` (planes = max(2, bitlength((n−1) div
-    * target))) and `pj` (plane ids 0..planes−1). */
-  private def planeKnobSql(target: Int): String =
-    s"""cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+    * target))) and `pj` (plane ids 0..planes−1). `where` restricts the
+    * counted corpus (the q130 probe-only split derives geometry from
+    * the INDEX side's count, not the full table). */
+  private def planeKnobSql(target: Int, where: String = ""): String =
+    s"""cnt AS (SELECT COUNT(*) AS n FROM embeddings $where),
        |pl AS (SELECT GREATEST(2, CAST(MAX(j) + 1 AS INT)) AS planes
        |       FROM cnt, (SELECT unnest(range(0, 63)) AS j) js
        |       WHERE (GREATEST((cnt.n - 1) // $target, 1) >> j) > 0),
@@ -614,13 +616,15 @@ object AnnQueries {
 
   /** Scored LSH candidates through the derived mask relation: an
     * ordered pair meets iff xor(sig_a, sig_b) is one of the masks —
-    * the relational form of [[lshMeetSql]]'s OR chain. */
-  private def derivedScoredSql: String =
-    """p AS (SELECT a.vec_id AS id, b.vec_id AS nb,
+    * the relational form of [[lshMeetSql]]'s OR chain. `extraPred`
+    * (must start with " AND" when present) restricts the sides — the
+    * q130 probe-only split keeps a = query subset, b = index subset. */
+  private def derivedScoredSql(extraPred: String = ""): String =
+    s"""p AS (SELECT a.vec_id AS id, b.vec_id AS nb,
       |    CAST(ROUND(list_inner_product(a.v, b.v) / (a.nm * b.nm) * 1000000)
       |      AS BIGINT) AS c
       |  FROM sg a CROSS JOIN mk JOIN sg b
-      |    ON b.sig = xor(a.sig, mk.m) AND a.vec_id <> b.vec_id)""".stripMargin
+      |    ON b.sig = xor(a.sig, mk.m) AND a.vec_id <> b.vec_id$extraPred)""".stripMargin
 
   /** DuckDB twin of the registered (derived-planes, flips = 2) LSH kNN
     * join — q93's oracle at every corpus size. */
@@ -628,7 +632,23 @@ object AnnQueries {
     s"""WITH $knnBaseSql,
        |${planeKnobSql(target)},
        |$derivedSigSql,
-       |$derivedScoredSql,
+       |${derivedScoredSql()},
+       |r AS (${rankedSql("p")})
+       |SELECT id AS vec_id, CAST(rk AS INT) AS rk, nb AS nb_id, c AS cos_scaled
+       |FROM r WHERE rk <= $k ORDER BY vec_id, rk""".stripMargin
+
+  /** DuckDB twin of the registered probe-only kNN (q130): queries =
+    * `vec_id % mod = 0`, index = the rest; planes derive from the INDEX
+    * side's count (the geometry a maintained store freezes); signatures
+    * over everything (one CTE — the subsets are disjoint), multiprobe
+    * masks applied to the query side only via the scored predicate. */
+  private def knnProbeDerivedOracleSql(k: Int, mod: Long,
+                                       target: Int = 128): String =
+    s"""WITH $knnBaseSql,
+       |${planeKnobSql(target, s"WHERE vec_id % $mod <> 0")},
+       |$derivedSigSql,
+       |${derivedScoredSql(
+      s" AND a.vec_id % $mod = 0 AND b.vec_id % $mod <> 0")},
        |r AS (${rankedSql("p")})
        |SELECT id AS vec_id, CAST(rk AS INT) AS rk, nb AS nb_id, c AS cos_scaled
        |FROM r WHERE rk <= $k ORDER BY vec_id, rk""".stripMargin
@@ -642,7 +662,7 @@ object AnnQueries {
        |xr AS (${rankedSql("xp")}),
        |exact AS (SELECT id, nb FROM xr WHERE rk <= $k),
        |$derivedSigSql,
-       |$derivedScoredSql,
+       |${derivedScoredSql()},
        |ar AS (${rankedSql("p")}),
        |approx AS (SELECT id, nb, 1 AS hit FROM ar WHERE rk <= $k)
        |SELECT exact.id AS vec_id, COUNT(*) AS n_exact,
@@ -749,6 +769,26 @@ object AnnQueries {
           signatures = signSignaturesPortable, probeFlips = 2)
       },
       Some(knnLshDerivedOracleSql(k = 3))),
+    // PROBE-ONLY kNN against a prebuilt index (the q80 incremental
+    // discipline for vectors, and the registry face of the AnnStream
+    // maintained store): queries = vec_id % 17 = 0 stand in for an
+    // arriving batch, the rest is the index; planes derive from the
+    // INDEX count (the geometry a store freezes at build), only the
+    // query side multiprobe-explodes, so index×index candidates never
+    // form and the cost is the batch's own candidate volume. The
+    // oracle re-derives the split, the index-count planesFor rule and
+    // the one-sided masks in SQL.
+    "q130_knn_probe" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val index = e.filter(col("vec_id") % 17 =!= 0)
+        val queries = e.filter(col("vec_id") % 17 === 0)
+        val planes = planesFor(index.count())
+        knnProbeLsh(signSignaturesPortable(index, planes), index, planes,
+          queries, k = 3, probeFlips = 2,
+          signatures = signSignaturesPortable)
+      },
+      Some(knnProbeDerivedOracleSql(k = 3, mod = 17L))),
     // ANN recall diagnostic: per-vector recall of the LSH kNN join vs
     // the exact kNN join — the tuning report an ANN deployment watches;
     // oracle composes the q92 + q93 chains and the semi-join rollup.
