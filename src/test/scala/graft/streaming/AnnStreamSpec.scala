@@ -147,6 +147,31 @@ class AnnStreamSpec extends SparkSpec {
       .vecs.select("vec_id").collect().map(_.getLong(0)).toSet == wantIds)
   }
 
+  test("the sink runs as a real foreachBatch stream (engine batch ids, checkpointed)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = (0L until 30L).map(i => (i, member((i % 4).toInt, (i / 4).toInt)))
+    val b0 = (100L until 110L).map(i => (i, member((i % 6).toInt, (i / 6).toInt)))
+    val b1 = (200L until 210L).map(i => (i, member((i % 8).toInt, (i / 8).toInt)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-realstream")
+    val path = dir.resolve("ix").toString
+    AnnStream.initAnnIndexStore(vecsDF(base), path, Occ)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(AnnStream.annIndexSink(path))
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    try {
+      Seq(b0, b1).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val queries = vecsDF(Seq((900L, member(6, 3))))
+    val planes = AnnQueries.planesFor(base.size.toLong, Occ)
+    assert(probeRows(AnnStream.loadStreamedAnnIndex(spark, path), queries)
+      == offlineRows(base ++ b0 ++ b1, planes, queries),
+      "engine-driven batches fold exactly like direct sink calls")
+  }
+
   test("a sink crash before the sigd commit point cannot be compacted past") {
     val base = (0L until 40L).map(i => (i, member((i % 5).toInt, (i / 5).toInt)))
     val b0 = (100L until 110L).map(i => (i, member((i % 7).toInt, (i / 7).toInt)))

@@ -205,6 +205,36 @@ class PrefixStreamSpec extends SparkSpec {
       want + 200L)
   }
 
+  test("the sink runs as a real foreachBatch stream (engine batch ids, checkpointed)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def doc(id: Long, tokens: Seq[String]) = (id, tokens.mkString(" "))
+    def cluster(tag: String) = (0 until 8).map(j => s"$tag$j")
+    val base = (0L until 12L).map(i => doc(i, cluster(s"b${i / 3}_") :+ s"n$i"))
+    // one accept + one base near-dup per batch: the engine-driven fold
+    // must both admit and reject, exactly like the direct-call specs
+    val b0 = Seq(doc(100L, cluster("f0_") :+ "m0"),
+      doc(101L, cluster("b1_") :+ "m1"))
+    val b1 = Seq(doc(200L, cluster("g0_") :+ "p0"),
+      doc(201L, cluster("f0_") :+ "p1")) // near-dup of b0's ACCEPT
+    val dir = java.nio.file.Files.createTempDirectory("graft-prefix-realstream")
+    val path = dir.resolve("ix").toString
+    DocStream.initPrefixIndexStore(base.toDF("doc_id", "text"), path, T)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch(DocStream.prefixIndexSink(path, T))
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    try {
+      Seq(b0, b1).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = DocStream.loadStreamedPrefixIndex(spark, path)
+      .arrays.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == acceptedTruth(base, Seq(b0, b1)) ++ base.map(_._1),
+      "engine-driven batches fold exactly like direct sink calls")
+  }
+
   test("a sink crash before the arrays commit point cannot be compacted past") {
     import spark.implicits._
     def doc(id: Long, tokens: Seq[String]) = (id, tokens.mkString(" "))
