@@ -422,6 +422,46 @@ object AnnQueries {
           .cast("long").as("c"),
         col("idb").as("nb")), k)
 
+  /** Probe-only EXACT kNN — the brute yardstick for [[knnProbeLsh]]
+    * (the q92 role for the probe split): every query scored against
+    * every index vector, |Q|·|I| pairs. The query batch is
+    * dimension-sized by the probe contract, so it BROADCASTS and the
+    * "all-pairs" is one map-side pass over the index — linear in |I|,
+    * no shuffle of the corpus. Same output shape as [[knnProbeLsh]]. */
+  def knnProbeExact(vecs: DataFrame, queries: DataFrame, k: Int = 3)
+  : DataFrame = {
+    val build = withNorms(vecs).select(col("vec_id").as("idb"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val probe = withNorms(queries).select(col("vec_id").as("ida"),
+      col("v").as("va"), col("norm").as("na"))
+    rankedNeighbours(build.crossJoin(broadcast(probe))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida").as("vec_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
+          .cast("long").as("c"),
+        col("idb").as("nb")), k)
+  }
+
+  /** Per-query recall of [[knnProbeLsh]] against [[knnProbeExact]] —
+    * the q106 diagnostic for the PROBE split (q131): certifies the
+    * recall of the configuration a maintained index actually serves
+    * (index-derived planes, one-sided multiprobe). Same one-pass
+    * left-join rollup as [[knnRecall]]. */
+  def knnProbeRecall(index: DataFrame, queries: DataFrame, planes: Int,
+                     k: Int = 3, probeFlips: Int = 2): DataFrame = {
+    val exact = knnProbeExact(index, queries, k)
+      .select(col("vec_id"), col("nb_id"))
+    val approx = knnProbeLsh(signSignaturesPortable(index, planes), index,
+      planes, queries, k, probeFlips, signSignaturesPortable)
+      .select(col("vec_id"), col("nb_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("vec_id", "nb_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("vec_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderedOutput(col("vec_id"))
+  }
+
   /** Probe-only sign-LSH kNN: score QUERY vectors against a PREBUILT
     * `(sig, vecs)` index under the index's frozen `planes` — the q80
     * probe-only discipline applied to ANN. The index side is read
@@ -653,6 +693,28 @@ object AnnQueries {
        |SELECT id AS vec_id, CAST(rk AS INT) AS rk, nb AS nb_id, c AS cos_scaled
        |FROM r WHERE rk <= $k ORDER BY vec_id, rk""".stripMargin
 
+  /** DuckDB twin of the registered probe-only recall diagnostic —
+    * q131's oracle: the q130 split and one-sided masks, rolled up
+    * against the brute probe-only yardstick. */
+  private def knnProbeRecallDerivedOracleSql(k: Int, mod: Long,
+                                             target: Int = 128): String = {
+    val split = s" AND a.vec_id % $mod = 0 AND b.vec_id % $mod <> 0"
+    s"""WITH $knnBaseSql,
+       |${planeKnobSql(target, s"WHERE vec_id % $mod <> 0")},
+       |xp AS (${scoredSql("n", split)}),
+       |xr AS (${rankedSql("xp")}),
+       |exact AS (SELECT id, nb FROM xr WHERE rk <= $k),
+       |$derivedSigSql,
+       |${derivedScoredSql(split)},
+       |ar AS (${rankedSql("p")}),
+       |approx AS (SELECT id, nb, 1 AS hit FROM ar WHERE rk <= $k)
+       |SELECT exact.id AS vec_id, COUNT(*) AS n_exact,
+       |  CAST(COUNT(approx.hit) AS BIGINT) AS n_hit,
+       |  CAST(COUNT(approx.hit) AS DOUBLE) / COUNT(*) AS recall
+       |FROM exact LEFT JOIN approx USING (id, nb)
+       |GROUP BY exact.id ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB twin of the registered derived-planes recall diagnostic —
     * q106's oracle at every corpus size. */
   private def knnRecallDerivedOracleSql(k: Int, target: Int = 128): String =
@@ -789,6 +851,19 @@ object AnnQueries {
           signatures = signSignaturesPortable)
       },
       Some(knnProbeDerivedOracleSql(k = 3, mod = 17L))),
+    // recall certification of the q130 probe configuration: per-query
+    // recall@3 of the one-sided-multiprobe LSH probe vs the brute
+    // probe-only yardstick (broadcast query batch — the exact side is
+    // linear in the index, not quadratic). The report a deployment
+    // watches when it tunes the maintained store's flips/occupancy.
+    "q131_knn_probe_recall" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val index = e.filter(col("vec_id") % 17 =!= 0)
+        val queries = e.filter(col("vec_id") % 17 === 0)
+        knnProbeRecall(index, queries, planes = planesFor(index.count()))
+      },
+      Some(knnProbeRecallDerivedOracleSql(k = 3, mod = 17L))),
     // ANN recall diagnostic: per-vector recall of the LSH kNN join vs
     // the exact kNN join — the tuning report an ANN deployment watches;
     // oracle composes the q92 + q93 chains and the semi-join rollup.
