@@ -424,10 +424,14 @@ object AnnQueries {
 
   /** Probe-only EXACT kNN — the brute yardstick for [[knnProbeLsh]]
     * (the q92 role for the probe split): every query scored against
-    * every index vector, |Q|·|I| pairs. The query batch is
-    * dimension-sized by the probe contract, so it BROADCASTS and the
-    * "all-pairs" is one map-side pass over the index — linear in |I|,
-    * no shuffle of the corpus. Same output shape as [[knnProbeLsh]]. */
+    * every index vector, |Q|·|I| pairs. CONTRACT: the query batch must
+    * be BOUNDED (broadcast-sized — a fixed sample, not a fixed
+    * fraction of the corpus); it broadcasts, so the "all-pairs" is one
+    * map-side pass over the index — linear in |I|, no shuffle of the
+    * corpus. A corpus-proportional query set would blow the broadcast
+    * at scale — the registered q131 bounds its sample by construction
+    * (`vec_id % 17 = 0 AND vec_id < 17·512` → ≤ 512 queries at any
+    * corpus size). Same output shape as [[knnProbeLsh]]. */
   def knnProbeExact(vecs: DataFrame, queries: DataFrame, k: Int = 3)
   : DataFrame = {
     val build = withNorms(vecs).select(col("vec_id").as("idb"),
@@ -445,14 +449,21 @@ object AnnQueries {
   /** Per-query recall of [[knnProbeLsh]] against [[knnProbeExact]] —
     * the q106 diagnostic for the PROBE split (q131): certifies the
     * recall of the configuration a maintained index actually serves
-    * (index-derived planes, one-sided multiprobe). Same one-pass
-    * left-join rollup as [[knnRecall]]. */
+    * (index-derived planes, one-sided multiprobe). `queries` inherits
+    * [[knnProbeExact]]'s bounded-batch contract. `signatures` must be
+    * the family the certified store signs with — [[signSignatures]]
+    * (the [[graft.streaming.AnnStream]] default) unless certifying the
+    * portable path; the registry passes the portable family because
+    * the DuckDB oracle re-derives it. Same one-pass left-join rollup
+    * as [[knnRecall]]. */
   def knnProbeRecall(index: DataFrame, queries: DataFrame, planes: Int,
-                     k: Int = 3, probeFlips: Int = 2): DataFrame = {
+                     k: Int = 3, probeFlips: Int = 2,
+                     signatures: (DataFrame, Int) => DataFrame =
+                       signSignatures): DataFrame = {
     val exact = knnProbeExact(index, queries, k)
       .select(col("vec_id"), col("nb_id"))
-    val approx = knnProbeLsh(signSignaturesPortable(index, planes), index,
-      planes, queries, k, probeFlips, signSignaturesPortable)
+    val approx = knnProbeLsh(signatures(index, planes), index,
+      planes, queries, k, probeFlips, signatures)
       .select(col("vec_id"), col("nb_id"), lit(1).as("hit"))
     exact.join(approx, Seq("vec_id", "nb_id"), "left")
       .groupBy(col("vec_id"))
@@ -698,7 +709,10 @@ object AnnQueries {
     * against the brute probe-only yardstick. */
   private def knnProbeRecallDerivedOracleSql(k: Int, mod: Long,
                                              target: Int = 128): String = {
-    val split = s" AND a.vec_id % $mod = 0 AND b.vec_id % $mod <> 0"
+    // the query side is a BOUNDED sample (≤ 512 at any corpus size) —
+    // the knnProbeExact broadcast contract; the index side is everything
+    val split = s" AND a.vec_id % $mod = 0 AND a.vec_id < ${mod * 512}" +
+      s" AND b.vec_id % $mod <> 0"
     s"""WITH $knnBaseSql,
        |${planeKnobSql(target, s"WHERE vec_id % $mod <> 0")},
        |xp AS (${scoredSql("n", split)}),
@@ -853,15 +867,19 @@ object AnnQueries {
       Some(knnProbeDerivedOracleSql(k = 3, mod = 17L))),
     // recall certification of the q130 probe configuration: per-query
     // recall@3 of the one-sided-multiprobe LSH probe vs the brute
-    // probe-only yardstick (broadcast query batch — the exact side is
-    // linear in the index, not quadratic). The report a deployment
+    // probe-only yardstick. The query sample is BOUNDED by construction
+    // (% 17 AND < 17·512 → ≤ 512 queries at ANY corpus size — a fixed
+    // sample, not a fixed fraction), so the yardstick's broadcast-exact
+    // side stays linear in the index forever. The report a deployment
     // watches when it tunes the maintained store's flips/occupancy.
     "q131_knn_probe_recall" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val index = e.filter(col("vec_id") % 17 =!= 0)
-        val queries = e.filter(col("vec_id") % 17 === 0)
-        knnProbeRecall(index, queries, planes = planesFor(index.count()))
+        val queries = e.filter(col("vec_id") % 17 === 0 &&
+          col("vec_id") < 17L * 512)
+        knnProbeRecall(index, queries, planes = planesFor(index.count()),
+          signatures = signSignaturesPortable)
       },
       Some(knnProbeRecallDerivedOracleSql(k = 3, mod = 17L))),
     // ANN recall diagnostic: per-vector recall of the LSH kNN join vs

@@ -32,8 +32,8 @@ import graft.operators.{AnnQueries, Checkpoints}
   *   vecd/batch_id=N, sigd/batch_id=N   per-batch deltas
   * }}} */
 object AnnStream {
-  import DocStream.{batchDirs, dataBatchDirs, deltasAfter, fsOf,
-    keyedDirs, readLongMarker, writeLongMarker}
+  import DocStream.{dataBatchDirs, deltasAfter, readLongMarker,
+    writeLongMarker}
 
   /** The loaded maintained index: `sig` (vec_id, signature) and `vecs`
     * (vec_id, embedding) — base ∪ post-watermark deltas — plus the
@@ -132,58 +132,29 @@ object AnnStream {
     * harmless. Run at a quiet boundary of the single-writer stream. */
   def compactAnnIndexStore(spark: org.apache.spark.sql.SparkSession,
                            path: String,
-                           targetOccupancy: Int = 128): Unit = {
-    val folded = Seq("sigd", "vecd").flatMap(s => batchDirs(spark, s"$path/$s"))
-    if (folded.isEmpty) return
-    val v = readLongMarker(spark, path, "_base_version").getOrElse(0L)
-    val floor = readLongMarker(spark, s"$path/basev=$v", "_folded_through")
-      .getOrElse(Long.MinValue)
-    val fs0 = fsOf(spark, path)
-    // the watermark keys off data-bearing SIGD partitions — the sink's
-    // LAST write, so a batch visible here is fully committed. Keying
-    // off max(all dirs) would advance past a batch whose sink crashed
-    // between the vecd and sigd writes: its replay's deltas would land
-    // at-or-below the watermark, invisible to every load — the batch's
-    // vectors silently lost from the index (the compactBm25Index dfd
-    // discipline, spec-pinned in AnnStreamSpec)
-    val committed = dataBatchDirs(spark, s"$path/sigd", floor).map(_._1)
-    if (committed.isEmpty) {
-      // nothing NEW committed — finish any crashed retirement and keep
-      // the base. A crashed batch's partial vecd is safe to delete:
-      // its streaming commit never landed, so the replay rewrites both
-      // partitions from scratch.
-      folded.foreach { case (_, p) => fs0.delete(p, true) }
-      keyedDirs(spark, path, "basev").filter(_._1 < v)
-        .foreach { case (_, p) => fs0.delete(p, true) }
-      return
+                           targetOccupancy: Int = 128): Unit =
+    // commit point = sigd, the sink's LAST write (see the skeleton's
+    // crash-ordering scaladoc in DocStream.compactVersionedBase)
+    DocStream.compactVersionedBase(spark, path,
+      Seq("sigd", "vecd"), "sigd") { (v, floor, w) =>
+      Checkpoints.releasingScoped {
+        // fold base ∪ vecd deltas in (floor, w] ONLY — the skeleton's
+        // rebuild bound: a crashed sink can leave a vecd delta ABOVE w
+        // (vecd commits before sigd, and w keys off sigd); folding it
+        // while the watermark stays at w would bake the batch in AND
+        // let its replay's deltas fold again — duplicated vectors in
+        // every later probe's TopK. One materialization feeds the
+        // count, the vecs write and the re-sign.
+        val base = spark.read.parquet(s"$path/basev=$v/vecs")
+        val vecs = Checkpoints.truncate(
+          dataBatchDirs(spark, s"$path/vecd", floor)
+            .filter(_._1 <= w)
+            .map { case (_, p) =>
+              spark.read.parquet(p.toString).select(col("vec_id"),
+                col("embedding")) }
+            .foldLeft(base)(_.unionByName(_)))
+        writeBase(vecs, path, v + 1,
+          AnnQueries.planesFor(vecs.count(), targetOccupancy))
+      }
     }
-    val w = committed.max
-    Checkpoints.releasingScoped {
-      // fold base ∪ vecd deltas in (floor, w] ONLY — never the loader's
-      // "everything past the floor" view: a crashed sink can leave a
-      // vecd delta ABOVE w (vecd commits before sigd, and w keys off
-      // sigd); folding it while the watermark stays at w would bake the
-      // batch in AND let its replay's deltas fold again — duplicated
-      // vectors in every later probe's TopK. One materialization feeds
-      // the count, the vecs write and the re-sign.
-      val base = spark.read.parquet(s"$path/basev=$v/vecs")
-      val vecs = Checkpoints.truncate(
-        dataBatchDirs(spark, s"$path/vecd", floor)
-          .filter(_._1 <= w)
-          .map { case (_, p) =>
-            spark.read.parquet(p.toString).select(col("vec_id"),
-              col("embedding")) }
-          .foldLeft(base)(_.unionByName(_)))
-      writeBase(vecs, path, v + 1,
-        AnnQueries.planesFor(vecs.count(), targetOccupancy))
-      writeLongMarker(spark, s"$path/basev=${v + 1}", "_folded_through", w)
-    }
-    writeLongMarker(spark, path, "_base_version", v + 1)
-    val fs = fsOf(spark, path)
-    // retire only what the new base absorbed (id ≤ w); a crashed
-    // batch's above-w partials stay for its replay to overwrite
-    folded.filter(_._1 <= w).foreach { case (_, p) => fs.delete(p, true) }
-    keyedDirs(spark, path, "basev").filter(_._1 <= v)
-      .foreach { case (_, p) => fs.delete(p, true) }
-  }
 }

@@ -264,6 +264,58 @@ object DocStream {
     * under `dir`, optionally excluding one batch (a REPLAYING batch
     * must not see its own half-written prior attempt). None when no
     * such partition. */
+  /** The versioned-base compaction SKELETON shared by the prefix-dedup
+    * and ANN stores (the BM25 store keeps its own: it compacts into
+    * `through=` snapshots, not a rebuilt `basev=`). One definition so
+    * the crash-ordering discipline cannot diverge between stores:
+    *
+    *  - the replay watermark `w` keys off data-bearing partitions of
+    *    `commitSub` — the relation the sink writes LAST, so a batch
+    *    visible to `w` is fully committed. Keying off max(all dirs)
+    *    would advance past a batch whose sink crashed mid-write: its
+    *    replay's deltas would land at-or-below the watermark,
+    *    invisible to every load and retired by the next compaction —
+    *    the batch silently lost from the index;
+    *  - nothing-new-committed finishes any crashed retirement and
+    *    keeps the base (deleting a crashed batch's partial deltas is
+    *    safe: its streaming commit never landed, so the replay
+    *    rewrites every partition from scratch);
+    *  - `rebuild(v, floor, w)` writes the new `basev=v+1` relations —
+    *    it MUST bound any delta fold by `(floor, w]` (a crashed sink
+    *    can leave a delta ABOVE w in an earlier-written subdir;
+    *    folding it while the watermark stays at w would bake the batch
+    *    in AND let its replay fold again — duplicates);
+    *  - `_folded_through` commits inside the new base BEFORE
+    *    `_base_version` flips readers over; retirement (folded deltas
+    *    `≤ w` + superseded bases) happens after, so every crash
+    *    interleaving reads a consistent index (spec-pinned in
+    *    PrefixStreamSpec and AnnStreamSpec, both directions). */
+  private[streaming] def compactVersionedBase(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      deltaSubs: Seq[String], commitSub: String)(
+      rebuild: (Long, Long, Long) => Unit): Unit = {
+    val folded = deltaSubs.flatMap(s => batchDirs(spark, s"$path/$s"))
+    if (folded.isEmpty) return
+    val v = readLongMarker(spark, path, "_base_version").getOrElse(0L)
+    val floor = readLongMarker(spark, s"$path/basev=$v", "_folded_through")
+      .getOrElse(Long.MinValue)
+    val fs = fsOf(spark, path)
+    val committed = dataBatchDirs(spark, s"$path/$commitSub", floor).map(_._1)
+    if (committed.isEmpty) {
+      folded.foreach { case (_, p) => fs.delete(p, true) }
+      keyedDirs(spark, path, "basev").filter(_._1 < v)
+        .foreach { case (_, p) => fs.delete(p, true) }
+      return
+    }
+    val w = committed.max
+    rebuild(v, floor, w)
+    writeLongMarker(spark, s"$path/basev=${v + 1}", "_folded_through", w)
+    writeLongMarker(spark, path, "_base_version", v + 1)
+    folded.filter(_._1 <= w).foreach { case (_, p) => fs.delete(p, true) }
+    keyedDirs(spark, path, "basev").filter(_._1 <= v)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
   private[streaming] def deltasAfter(spark: org.apache.spark.sql.SparkSession,
                           dir: String, floor: Long,
                           exclude: Option[Long] = None): Option[DataFrame] = {
@@ -489,56 +541,22 @@ object DocStream {
   def compactPrefixIndexStore(spark: org.apache.spark.sql.SparkSession,
                               path: String, threshold: Double): Unit = {
     import graft.operators.{Checkpoints, DedupQueries}
-    val folded = Seq("entries", "freqd", "arrays")
-      .flatMap(s => batchDirs(spark, s"$path/$s"))
-    if (folded.isEmpty) return
-    val v = readLongMarker(spark, path, "_base_version").getOrElse(0L)
-    val floor = readLongMarker(spark, s"$path/basev=$v", "_folded_through")
-      .getOrElse(Long.MinValue)
-    val fs0 = fsOf(spark, path)
-    // the watermark keys off data-bearing ARRAYS partitions — the
-    // sink's LAST write, so a batch visible here is fully committed.
-    // Keying off max(all dirs) would advance past a batch whose sink
-    // crashed after entries/freqd but before arrays: its replay's
-    // deltas would land at-or-below the watermark, invisible to every
-    // load and retired by the next compaction — the batch's accepted
-    // docs silently lost from the index (the compactBm25Index dfd
-    // discipline, spec-pinned in PrefixStreamSpec)
-    val committed = dataBatchDirs(spark, s"$path/arrays", floor).map(_._1)
-    if (committed.isEmpty) {
-      // nothing NEW committed (empty-batch leftovers, deltas the base
-      // already absorbed before a crashed retirement, or a half-written
-      // batch the stream will replay) — just finish the cleanup and
-      // keep the current base. Deleting a crashed batch's partial
-      // deltas is safe: its streaming commit never landed, so the
-      // replay rewrites all three partitions from scratch.
-      folded.foreach { case (_, p) => fs0.delete(p, true) }
-      keyedDirs(spark, path, "basev").filter(_._1 < v)
-        .foreach { case (_, p) => fs0.delete(p, true) }
-      return
+    // commit point = arrays, the sink's LAST write (see the skeleton's
+    // crash-ordering scaladoc)
+    compactVersionedBase(spark, path,
+      Seq("entries", "freqd", "arrays"), "arrays") { (v, _, _) =>
+      Checkpoints.releasingScoped {
+        val arrays = loadStreamedPrefixIndex(spark, path).arrays
+        // the (floor, w] fold bound holds by construction: the rebuild
+        // consumes ONLY the commit-point relation (arrays), whose
+        // data-bearing ids are all ≤ w. The streamed store is
+        // single-block (the sink probes through tokenArrays' source =
+        // "all" convention), so the rebuild re-attaches that block key.
+        writeBase(DedupQueries.buildPrefixIndex(
+          arrays.select(col("doc_id"), lit("all").as("source"), col("sh")),
+          threshold), path, v + 1)
+      }
     }
-    val w = committed.max
-    Checkpoints.releasingScoped {
-      val arrays = loadStreamedPrefixIndex(spark, path).arrays
-      // the streamed store is single-block by construction (the sink
-      // probes through tokenArrays' source = "all" convention), so the
-      // rebuild re-attaches that block key
-      writeBase(DedupQueries.buildPrefixIndex(
-        arrays.select(col("doc_id"), lit("all").as("source"), col("sh")),
-        threshold), path, v + 1)
-    }
-    // the new base's delta watermark commits inside its own directory,
-    // BEFORE _base_version flips readers over — see the scaladoc.
-    // (The rebuild's arrays fold and w agree by construction: both are
-    // bounded by the data-bearing arrays partitions.)
-    writeLongMarker(spark, s"$path/basev=${v + 1}", "_folded_through", w)
-    writeLongMarker(spark, path, "_base_version", v + 1)
-    val fs = fsOf(spark, path)
-    // retire only what the new base absorbed (id ≤ w); a crashed
-    // batch's above-w partials stay for its replay to overwrite
-    folded.filter(_._1 <= w).foreach { case (_, p) => fs.delete(p, true) }
-    keyedDirs(spark, path, "basev").filter(_._1 <= v)
-      .foreach { case (_, p) => fs.delete(p, true) }
   }
 
   /** Load the stream-maintained dedup index: base relations unioned

@@ -15,12 +15,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   protected def copyTree(src: java.nio.file.Path,
                          dst: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
-    Files.walk(src).forEach { p: Path =>
+    val walk = Files.walk(src) // holds open dir handles until close()
+    try walk.forEach { p: Path =>
       val t = dst.resolve(src.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else Files.copy(p, t,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
   }
 }
 
