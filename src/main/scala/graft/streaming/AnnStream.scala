@@ -147,7 +147,7 @@ object AnnStream {
         // count, the vecs write and the re-sign.
         val base = spark.read.parquet(s"$path/basev=$v/vecs")
         val vecs = Checkpoints.truncate(
-          dataBatchDirs(spark, s"$path/vecd", floor)
+          DocStream.committedBatchDirs(spark, s"$path/vecd", floor)
             .filter(_._1 <= w)
             .map { case (_, p) =>
               spark.read.parquet(p.toString).select(col("vec_id"),

@@ -264,6 +264,29 @@ object DocStream {
     * under `dir`, optionally excluding one batch (a REPLAYING batch
     * must not see its own half-written prior attempt). None when no
     * such partition. */
+  /** `batch_id > floor` partitions under `dir` that are FULLY
+    * COMMITTED: data files AND the `_SUCCESS` marker. [[hasDataFile]]
+    * alone is not commit evidence for the compaction watermark — a
+    * writer dying MID-job-commit (after the committer moved some
+    * part-files to the destination, before `_SUCCESS`) leaves a
+    * data-bearing partial partition; folding it as complete and
+    * advancing the watermark past it would bake a PARTIAL batch into
+    * the base and suppress its replay forever. `_SUCCESS` is written
+    * last by the committer (requires the default
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=true`). The
+    * LOADERS intentionally stay on [[dataBatchDirs]]: reading a
+    * partial delta is bounded one-batch staleness the replay
+    * overwrites, while missing a complete one would hide docs. */
+  private[streaming] def committedBatchDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, floor: Long): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val fs = fsOf(spark, dir)
+    batchDirs(spark, dir).filter { case (id, p) =>
+      id > floor && hasDataFile(fs, p) &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    }
+  }
+
   /** The versioned-base compaction SKELETON shared by the prefix-dedup
     * and ANN stores (the BM25 store keeps its own: it compacts into
     * `through=` snapshots, not a rebuilt `basev=`). One definition so
@@ -300,7 +323,8 @@ object DocStream {
     val floor = readLongMarker(spark, s"$path/basev=$v", "_folded_through")
       .getOrElse(Long.MinValue)
     val fs = fsOf(spark, path)
-    val committed = dataBatchDirs(spark, s"$path/$commitSub", floor).map(_._1)
+    val committed =
+      committedBatchDirs(spark, s"$path/$commitSub", floor).map(_._1)
     if (committed.isEmpty) {
       folded.foreach { case (_, p) => fs.delete(p, true) }
       keyedDirs(spark, path, "basev").filter(_._1 < v)
@@ -416,11 +440,13 @@ object DocStream {
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
     val floor = compactedThrough(spark, path).getOrElse(-1L)
-    // only data-bearing deltas count (an empty batch's partition is a
-    // _SUCCESS-only dir) — compaction against nothing new just
+    // only FULLY COMMITTED deltas count: data-bearing (an empty
+    // batch's partition is a _SUCCESS-only dir) AND _SUCCESS-marked
+    // (a mid-job-commit death leaves a partial data-bearing dir — see
+    // committedBatchDirs). Compaction against nothing new just
     // finishes any crashed retirement (partitions the snapshots
     // already absorbed, empty-batch leftovers, superseded snapshots)
-    val newIds = dataBatchDirs(spark, s"$path/dfd", floor).map(_._1)
+    val newIds = committedBatchDirs(spark, s"$path/dfd", floor).map(_._1)
     if (newIds.isEmpty) {
       val fs = fsOf(spark, path)
       // tf dirs <= floor are retirable ONLY when a consolidated
@@ -544,14 +570,23 @@ object DocStream {
     // commit point = arrays, the sink's LAST write (see the skeleton's
     // crash-ordering scaladoc)
     compactVersionedBase(spark, path,
-      Seq("entries", "freqd", "arrays"), "arrays") { (v, _, _) =>
+      Seq("entries", "freqd", "arrays"), "arrays") { (v, floor, w) =>
       Checkpoints.releasingScoped {
-        val arrays = loadStreamedPrefixIndex(spark, path).arrays
-        // the (floor, w] fold bound holds by construction: the rebuild
-        // consumes ONLY the commit-point relation (arrays), whose
-        // data-bearing ids are all ≤ w. The streamed store is
-        // single-block (the sink probes through tokenArrays' source =
-        // "all" convention), so the rebuild re-attaches that block key.
+        // fold base ∪ COMMITTED arrays deltas in (floor, w] — the
+        // skeleton's rebuild bound. The loader's wider "data-bearing
+        // above floor" view is wrong here: a writer that died
+        // mid-job-commit can leave a PARTIAL data-bearing arrays
+        // partition above w, and baking it in while the watermark
+        // stays at w would double its docs when the replay folds.
+        val base = spark.read.parquet(s"$path/basev=$v/arrays")
+        val arrays = committedBatchDirs(spark, s"$path/arrays", floor)
+          .filter(_._1 <= w)
+          .map { case (_, p) => spark.read.parquet(p.toString)
+            .select(col("doc_id"), col("sh")) }
+          .foldLeft(base)(_.unionByName(_))
+        // the streamed store is single-block (the sink probes through
+        // tokenArrays' source = "all" convention), so the rebuild
+        // re-attaches that block key
         writeBase(DedupQueries.buildPrefixIndex(
           arrays.select(col("doc_id"), lit("all").as("source"), col("sh")),
           threshold), path, v + 1)

@@ -208,4 +208,33 @@ class AnnStreamSpec extends SparkSpec {
     assert(got.exists(r => r.head == 901L && r(1) == 1 && r(2) == 250L),
       "the crashed-then-replayed batch's witness vector is retrievable")
   }
+
+  test("a PARTIAL commit-point partition (data, no _SUCCESS) is not folded as complete") {
+    val base = (0L until 40L).map(i => (i, member((i % 5).toInt, (i / 5).toInt)))
+    val b0 = (100L until 110L).map(i => (i, member((i % 7).toInt, (i / 7).toInt)))
+    val b1 = (200L until 210L).map(i =>
+      (i, member((i % 9).toInt, (i / 9).toInt))) :+ (250L, Seq.fill(8)(5f))
+    val path = java.nio.file.Files.createTempDirectory("graft-ann-partial")
+      .resolve("ix").toString
+    AnnStream.initAnnIndexStore(vecsDF(base), path, Occ)
+    val sink = AnnStream.annIndexSink(path)
+    sink(vecsDF(b0), 0L)
+    sink(vecsDF(b1), 1L)
+    // batch 1's writer "died mid-job-commit" on the sigd write: part
+    // files landed, _SUCCESS did not
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val succ = new org.apache.hadoop.fs.Path(s"$path/sigd/batch_id=1/_SUCCESS")
+    assert(fs.exists(succ), "fixture sanity: the committer wrote _SUCCESS")
+    fs.delete(succ, false)
+    AnnStream.compactAnnIndexStore(spark, path, Occ)
+    sink(vecsDF(b1), 1L) // the replay
+    val all = base ++ b0 ++ b1
+    val ix = AnnStream.loadStreamedAnnIndex(spark, path)
+    assert(ix.vecs.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+      == all.map(_._1).sorted,
+      "partial-commit batch lands exactly once after replay")
+    val queries = vecsDF(Seq((901L, Seq.fill(8)(7f))))
+    assert(probeRows(ix, queries) == offlineRows(all, ix.planes, queries))
+  }
 }

@@ -156,4 +156,37 @@ class Bm25StreamSpec extends SparkSpec {
     assert(relRows(after.df) == relRows(want.df))
     assert(relRows(after.totals) == relRows(want.totals))
   }
+
+  test("a PARTIAL dfd partition (data, no _SUCCESS) is not folded as complete") {
+    import spark.implicits._
+    val vocab = (0 until 10).map(i => s"w$i")
+    val rnd = new scala.util.Random(23)
+    def doc(i: Long) =
+      (i, Seq.fill(5 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val batches = Seq((0L until 15L).map(doc), (15L until 28L).map(doc))
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-partial")
+      .resolve("ix").toString
+    val sink = DocStream.bm25IndexSink(path)
+    sink(batches(0).toDF("doc_id", "text"), 0L)
+    sink(batches(1).toDF("doc_id", "text"), 1L)
+    // batch 1's dfd writer "died mid-job-commit": part files landed at
+    // the destination, _SUCCESS never did — data-bearing but NOT commit
+    // evidence (a v2 committer or a death mid-file-move leaves this)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val succ = new org.apache.hadoop.fs.Path(s"$path/dfd/batch_id=1/_SUCCESS")
+    assert(fs.exists(succ), "fixture sanity: the committer wrote _SUCCESS")
+    fs.delete(succ, false)
+    DocStream.compactBm25Index(spark, path)
+    assert(DocStream.compactedThrough(spark, path).contains(0L),
+      "watermark must not cover the partially-committed batch")
+    sink(batches(1).toDF("doc_id", "text"), 1L) // the replay
+    val got = DocStream.loadBm25Index(spark, path)
+    val want = CurationQueries.buildBm25Index(
+      batches.flatten.toDF("doc_id", "text"))
+    assert(relRows(got.df) == relRows(want.df), "df exact after replay")
+    assert(relRows(got.totals) == relRows(want.totals))
+    assert(relRows(got.tf) == relRows(want.tf))
+  }
 }

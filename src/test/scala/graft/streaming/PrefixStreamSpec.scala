@@ -275,4 +275,38 @@ class PrefixStreamSpec extends SparkSpec {
       .arrays.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted ==
       ids.sorted)
   }
+
+  test("a PARTIAL commit-point partition (data, no _SUCCESS) is not folded as complete") {
+    import spark.implicits._
+    def doc(id: Long, tokens: Seq[String]) = (id, tokens.mkString(" "))
+    def cluster(tag: String) = (0 until 8).map(j => s"$tag$j")
+    val base = (0L until 12L).map(i => doc(i, cluster(s"b${i / 3}_") :+ s"n$i"))
+    val b0 = (0 until 3).map(i => doc(100L + i, cluster(s"f${i}_") :+ s"m$i"))
+    val b1 = (0 until 3).map(i => doc(200L + i, cluster(s"g${i}_") :+ s"p$i"))
+    val root = java.nio.file.Files.createTempDirectory("graft-prefix-partial")
+    val path = root.resolve("ix").toString
+    DocStream.initPrefixIndexStore(base.toDF("doc_id", "text"), path, T)
+    val sink = DocStream.prefixIndexSink(path, T)
+    sink(b0.toDF("doc_id", "text"), 0L)
+    sink(b1.toDF("doc_id", "text"), 1L)
+    // batch 1's writer "died mid-job-commit": part files landed at the
+    // destination but _SUCCESS never did — a data-bearing partition
+    // that is NOT commit evidence
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val succ = new org.apache.hadoop.fs.Path(
+      s"$path/arrays/batch_id=1/_SUCCESS")
+    assert(fs.exists(succ), "fixture sanity: the committer wrote _SUCCESS")
+    fs.delete(succ, false)
+    // compaction must treat batch 1 as uncommitted: watermark stays
+    // below it, its docs are NOT baked into the base, and the replay
+    // then folds them exactly once
+    DocStream.compactPrefixIndexStore(spark, path, T)
+    sink(b1.toDF("doc_id", "text"), 1L) // the replay
+    val ids = DocStream.loadStreamedPrefixIndex(spark, path)
+      .arrays.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted ==
+      (base.map(_._1) ++ b0.map(_._1) ++ b1.map(_._1)).sorted,
+      "partial-commit batch lands exactly once after replay")
+  }
 }
