@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * JVMs — and SIGKILLs one executor mid-iteration; the standalone
   * worker relaunches it and the job must complete with correct output.
   *
-  * Run: sbt 'runMain graft.FaultBench'   (results recorded in PERF.md)
-  * Dev tooling — not part of the driver contract. */
+  * Run: SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  *   sbt 'runMain graft.FaultBench'      (results recorded in PERF.md;
+  * both env vars are needed for local-cluster's worker-launched
+  * executor JVMs). Dev tooling — not part of the driver contract. */
 object FaultBench {
 
   /** PIDs of live executor JVMs (children of the in-process workers).
@@ -35,7 +37,40 @@ object FaultBench {
     }
   }
 
+  /** Child mode for phase 3 (`prefix-sink-child <storePath>`): run the
+    * prefix-index sink on two deterministic batches against an
+    * already-initialised store. The PARENT SIGKILLs this process while
+    * batch 1's three delta writes are in flight — a real unclean death
+    * of the maintenance process, not a reconstructed disk state. */
+  private def prefixSinkChild(path: String): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-fault-child")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sink = graft.streaming.DocStream.prefixIndexSink(path, 0.5)
+    sink(childDocs(spark, 100000L, 102000L), 0L)
+    println("[fault-child] batch 0 committed")
+    sink(childDocs(spark, 200000L, 204000L), 1L)
+    println("[fault-child] batch 1 committed (kill arrived too late)")
+    spark.stop()
+  }
+
+  /** Deterministic fresh-vocabulary docs — the same relation in child
+    * (ingest) and parent (replay/reference), so the replayed batch is
+    * bit-identical to the killed one, as foreachBatch redelivery is. */
+  private def childDocs(spark: SparkSession, lo: Long, hi: Long) =
+    spark.range(lo, hi).toDF("id")
+      .select(col("id").as("doc_id"),
+        BenchCorpus.zipfText(col("id")).as("text"))
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("prefix-sink-child")) {
+      prefixSinkChild(args(1)); return
+    }
     val spark: SparkSession = SparkSession.builder()
       .master("local-cluster[2,1,1536]")
       .appName("graft-fault")
@@ -150,6 +185,60 @@ object FaultBench {
       s"fresh_docs=${freshIds.size} " +
       s"executors_after=${executorPids().mkString(", ")}")
     require(okStream, "streaming state lost across executor kill")
+
+    // ── phase 3: REAL mid-batch death of the index-maintenance
+    // process. The store specs pin the crash interleavings on
+    // reconstructed disk states; this kills an actual child JVM with
+    // SIGKILL while batch 1's three delta writes are in flight, then
+    // runs the restart sequence (compaction FIRST — the dangerous
+    // order — then the replay foreachBatch would deliver) and demands
+    // the store equal a never-crashed reference. Every kill landing
+    // point must converge: before arrays (uncommitted → replay folds),
+    // mid-job-commit (partial, no _SUCCESS → not commit evidence), or
+    // after (committed → replay self-rejects on content). ──
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-fault-ix")
+    val ixPath = ixDir.resolve("ix").toString
+    val refPath = ixDir.resolve("ref").toString
+    val baseDocs = childDocs(spark, 0L, 2000L)
+    graft.streaming.DocStream.initPrefixIndexStore(baseDocs, ixPath, 0.5)
+    graft.streaming.DocStream.initPrefixIndexStore(baseDocs, refPath, 0.5)
+    val childCmd = Seq(
+      s"${sys.props("java.home")}/bin/java",
+      "-Xmx4g", "-cp", sys.props("java.class.path"),
+      "graft.FaultBench", "prefix-sink-child", ixPath)
+    val child = new ProcessBuilder(childCmd: _*).inheritIO().start()
+    // kill as soon as batch 1's FIRST delta commits — the remaining
+    // freqd/arrays writes are then in flight or unstarted
+    val trigger = java.nio.file.Paths.get(ixPath,
+      "entries/batch_id=1/_SUCCESS")
+    while (child.isAlive && !java.nio.file.Files.exists(trigger))
+      Thread.sleep(5)
+    val landedLate = !child.isAlive
+    child.destroyForcibly()
+    child.waitFor()
+    val arraysCommitted = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ixPath, "arrays/batch_id=1/_SUCCESS"))
+    println(s"[fault-bench] child SIGKILLed mid-batch-1 " +
+      s"(arrays committed=$arraysCommitted, finished=$landedLate)")
+    // the restart sequence a deployment runs: quiet-boundary compaction
+    // first, then the stream's redelivery of the uncommitted batch
+    graft.streaming.DocStream.compactPrefixIndexStore(spark, ixPath, 0.5)
+    val sinkIx = graft.streaming.DocStream.prefixIndexSink(ixPath, 0.5)
+    sinkIx(childDocs(spark, 200000L, 204000L), 1L)
+    // the never-crashed reference over the same batches
+    val sinkRef = graft.streaming.DocStream.prefixIndexSink(refPath, 0.5)
+    sinkRef(childDocs(spark, 100000L, 102000L), 0L)
+    sinkRef(childDocs(spark, 200000L, 204000L), 1L)
+    def storeIds(p: String) = graft.streaming.DocStream
+      .loadStreamedPrefixIndex(spark, p)
+      .arrays.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    val gotIds = storeIds(ixPath)
+    val wantIds = storeIds(refPath)
+    val okKill = gotIds == wantIds
+    println(s"[fault-bench] killed-store == reference after " +
+      s"compact+replay: correct=$okKill " +
+      s"(docs=${gotIds.size} vs ${wantIds.size})")
+    require(okKill, "prefix store diverged after a real mid-batch kill")
     spark.stop()
   }
 }
