@@ -202,17 +202,31 @@ object FaultBench {
     val baseDocs = childDocs(spark, 0L, 2000L)
     graft.streaming.DocStream.initPrefixIndexStore(baseDocs, ixPath, 0.5)
     graft.streaming.DocStream.initPrefixIndexStore(baseDocs, refPath, 0.5)
+    // the child needs the parent's JDK-17 module options (sbt supplies
+    // them via forked javaOptions; a bare `java` would fail Spark init)
+    import scala.jdk.CollectionConverters._
+    val moduleArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") ||
+        a.startsWith("--add-exports") || a.startsWith("--enable-native"))
     val childCmd = Seq(
-      s"${sys.props("java.home")}/bin/java",
+      s"${sys.props("java.home")}/bin/java") ++ moduleArgs ++ Seq(
       "-Xmx4g", "-cp", sys.props("java.class.path"),
       "graft.FaultBench", "prefix-sink-child", ixPath)
     val child = new ProcessBuilder(childCmd: _*).inheritIO().start()
     // kill as soon as batch 1's FIRST delta commits — the remaining
-    // freqd/arrays writes are then in flight or unstarted
+    // freqd/arrays writes are then in flight or unstarted. Bounded
+    // wait: a hung child must fail the bench, not block it.
     val trigger = java.nio.file.Paths.get(ixPath,
       "entries/batch_id=1/_SUCCESS")
-    while (child.isAlive && !java.nio.file.Files.exists(trigger))
-      Thread.sleep(5)
+    val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+    while (child.isAlive && !java.nio.file.Files.exists(trigger) &&
+      System.nanoTime() < deadline) Thread.sleep(5)
+    require(java.nio.file.Files.exists(trigger) || child.isAlive,
+      s"fault child exited (code ${child.exitValue()}) before batch 1 " +
+        "started — launch failure, not a crash probe")
+    require(System.nanoTime() < deadline, "fault child hung before the " +
+      "kill trigger; aborting phase 3")
     val landedLate = !child.isAlive
     child.destroyForcibly()
     child.waitFor()

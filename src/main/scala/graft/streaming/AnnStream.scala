@@ -145,9 +145,11 @@ object AnnStream {
         // let its replay's deltas fold again — duplicated vectors in
         // every later probe's TopK. One materialization feeds the
         // count, the vecs write and the re-sign.
+        // within (floor, w] every partition is complete — w's
+        // batch-level evidence covers vecd too
         val base = spark.read.parquet(s"$path/basev=$v/vecs")
         val vecs = Checkpoints.truncate(
-          DocStream.committedBatchDirs(spark, s"$path/vecd", floor)
+          dataBatchDirs(spark, s"$path/vecd", floor)
             .filter(_._1 <= w)
             .map { case (_, p) =>
               spark.read.parquet(p.toString).select(col("vec_id"),

@@ -260,45 +260,78 @@ object DocStream {
       .filter { case (_, p) => hasDataFile(fs, p) }
   }
 
-  /** Union of the data-bearing `batch_id > floor` delta partitions
-    * under `dir`, optionally excluding one batch (a REPLAYING batch
-    * must not see its own half-written prior attempt). None when no
-    * such partition. */
-  /** `batch_id > floor` partitions under `dir` that are FULLY
-    * COMMITTED: data files AND the `_SUCCESS` marker. [[hasDataFile]]
-    * alone is not commit evidence for the compaction watermark — a
-    * writer dying MID-job-commit (after the committer moved some
-    * part-files to the destination, before `_SUCCESS`) leaves a
-    * data-bearing partial partition; folding it as complete and
-    * advancing the watermark past it would bake a PARTIAL batch into
-    * the base and suppress its replay forever. `_SUCCESS` is written
-    * last by the committer (requires the default
-    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=true`). The
-    * LOADERS intentionally stay on [[dataBatchDirs]]: reading a
-    * partial delta is bounded one-batch staleness the replay
-    * overwrites, while missing a complete one would hide docs. */
-  private[streaming] def committedBatchDirs(
-      spark: org.apache.spark.sql.SparkSession,
-      dir: String, floor: Long): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+  /** Batch ids whose `batch_id=N` partition under `dir` carries the
+    * committer's `_SUCCESS` marker (data-bearing or legitimately
+    * empty). */
+  private[streaming] def successIds(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): Set[Long] = {
     val fs = fsOf(spark, dir)
-    batchDirs(spark, dir).filter { case (id, p) =>
-      id > floor && hasDataFile(fs, p) &&
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-    }
+    batchDirs(spark, dir).collect { case (id, p)
+      if fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) => id
+    }.toSet
   }
+
+  /** Batch ids > `floor` that are FULLY COMMITTED as a batch: the
+    * `triggerSub` partition has data files AND EVERY subdir in `subs`
+    * carries `_SUCCESS`. Two failure modes make anything weaker unsafe
+    * as compaction-watermark evidence:
+    *
+    *  - [[hasDataFile]] alone: a writer dying MID-job-commit (part
+    *    files moved, `_SUCCESS` absent) leaves a data-bearing PARTIAL
+    *    partition — folding it as complete and advancing the watermark
+    *    suppresses the repairing replay forever;
+    *  - `_SUCCESS` on the last-written subdir alone: a REPLAY of a
+    *    fully-written-but-uncheckpointed batch first `overwrite`s the
+    *    earlier subdirs — the committer deletes the old partition at
+    *    job start — so a crash mid-replay leaves an earlier subdir
+    *    absent/partial while the last subdir still carries attempt 1's
+    *    stale marker. Batch-level evidence (ALL subdirs marked) makes
+    *    both states read as uncommitted, and the replay repairs them.
+    *
+    * `_SUCCESS` is written last by the committer and requires the
+    * default `mapreduce.fileoutputcommitter.marksuccessfuljobs=true` —
+    * [[requireSuccessMarkers]] fail-fasts otherwise. The LOADERS
+    * intentionally stay on [[dataBatchDirs]]: reading a partial delta
+    * is bounded one-batch staleness the replay overwrites, while
+    * missing a complete one would hide docs. */
+  private[streaming] def committedBatchIds(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      subs: Seq[String], triggerSub: String, floor: Long): Seq[Long] = {
+    val marked = subs.map(s => successIds(spark, s"$path/$s"))
+      .reduce(_ intersect _)
+    dataBatchDirs(spark, s"$path/$triggerSub", floor).map(_._1)
+      .filter(marked)
+  }
+
+  /** Fail fast when the deployment disabled `_SUCCESS` markers: with
+    * them off, NO batch can ever present commit evidence, and the
+    * compactors' nothing-new branch would read every fully-committed,
+    * checkpoint-acknowledged delta as a crashed leftover and DELETE it
+    * — silent permanent loss. An error at compaction entry turns the
+    * misconfiguration into a diagnosis. */
+  private[streaming] def requireSuccessMarkers(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    require(spark.sparkContext.hadoopConfiguration.getBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+      "streamed-store compaction needs _SUCCESS markers as commit " +
+        "evidence: re-enable mapreduce.fileoutputcommitter." +
+        "marksuccessfuljobs before compacting")
 
   /** The versioned-base compaction SKELETON shared by the prefix-dedup
     * and ANN stores (the BM25 store keeps its own: it compacts into
     * `through=` snapshots, not a rebuilt `basev=`). One definition so
     * the crash-ordering discipline cannot diverge between stores:
     *
-    *  - the replay watermark `w` keys off data-bearing partitions of
-    *    `commitSub` — the relation the sink writes LAST, so a batch
-    *    visible to `w` is fully committed. Keying off max(all dirs)
-    *    would advance past a batch whose sink crashed mid-write: its
-    *    replay's deltas would land at-or-below the watermark,
-    *    invisible to every load and retired by the next compaction —
-    *    the batch silently lost from the index;
+    *  - the replay watermark `w` keys off BATCH-LEVEL commit evidence
+    *    ([[committedBatchIds]]: `commitSub` data-bearing and EVERY
+    *    delta subdir `_SUCCESS`-marked), so a batch visible to `w` is
+    *    fully committed in every relation. Anything weaker loses data:
+    *    max(all dirs) advances past a mid-write crash; last-subdir
+    *    `_SUCCESS` alone advances past a crashed REPLAY whose
+    *    overwrite regressed an earlier subdir while the stale marker
+    *    survived — either way the repairing replay's deltas land
+    *    at-or-below the watermark, invisible to every load and retired
+    *    by the next compaction;
     *  - nothing-new-committed finishes any crashed retirement and
     *    keeps the base (deleting a crashed batch's partial deltas is
     *    safe: its streaming commit never landed, so the replay
@@ -307,7 +340,9 @@ object DocStream {
     *    it MUST bound any delta fold by `(floor, w]` (a crashed sink
     *    can leave a delta ABOVE w in an earlier-written subdir;
     *    folding it while the watermark stays at w would bake the batch
-    *    in AND let its replay fold again — duplicates);
+    *    in AND let its replay fold again — duplicates). Within
+    *    `(floor, w]` every partition is complete — `w`'s evidence
+    *    covers all subdirs — so folds may read [[dataBatchDirs]];
     *  - `_folded_through` commits inside the new base BEFORE
     *    `_base_version` flips readers over; retirement (folded deltas
     *    `≤ w` + superseded bases) happens after, so every crash
@@ -317,6 +352,7 @@ object DocStream {
       spark: org.apache.spark.sql.SparkSession, path: String,
       deltaSubs: Seq[String], commitSub: String)(
       rebuild: (Long, Long, Long) => Unit): Unit = {
+    requireSuccessMarkers(spark)
     val folded = deltaSubs.flatMap(s => batchDirs(spark, s"$path/$s"))
     if (folded.isEmpty) return
     val v = readLongMarker(spark, path, "_base_version").getOrElse(0L)
@@ -324,7 +360,7 @@ object DocStream {
       .getOrElse(Long.MinValue)
     val fs = fsOf(spark, path)
     val committed =
-      committedBatchDirs(spark, s"$path/$commitSub", floor).map(_._1)
+      committedBatchIds(spark, path, deltaSubs, commitSub, floor)
     if (committed.isEmpty) {
       folded.foreach { case (_, p) => fs.delete(p, true) }
       keyedDirs(spark, path, "basev").filter(_._1 < v)
@@ -340,6 +376,10 @@ object DocStream {
       .foreach { case (_, p) => fs.delete(p, true) }
   }
 
+  /** Union of the data-bearing `batch_id > floor` delta partitions
+    * under `dir`, optionally excluding one batch (a REPLAYING batch
+    * must not see its own half-written prior attempt). None when no
+    * such partition. */
   private[streaming] def deltasAfter(spark: org.apache.spark.sql.SparkSession,
                           dir: String, floor: Long,
                           exclude: Option[Long] = None): Option[DataFrame] = {
@@ -439,14 +479,18 @@ object DocStream {
     * arrived since the last compaction. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
+    requireSuccessMarkers(spark)
     val floor = compactedThrough(spark, path).getOrElse(-1L)
-    // only FULLY COMMITTED deltas count: data-bearing (an empty
-    // batch's partition is a _SUCCESS-only dir) AND _SUCCESS-marked
-    // (a mid-job-commit death leaves a partial data-bearing dir — see
-    // committedBatchDirs). Compaction against nothing new just
+    // only FULLY COMMITTED batches count: dfd data-bearing (an empty
+    // batch's partition is a _SUCCESS-only dir) AND all three delta
+    // subdirs _SUCCESS-marked — batch-level evidence, so neither a
+    // mid-job-commit partial nor a crashed replay that regressed tf or
+    // tot under dfd's stale marker can be folded as complete (see
+    // committedBatchIds). Compaction against nothing new just
     // finishes any crashed retirement (partitions the snapshots
     // already absorbed, empty-batch leftovers, superseded snapshots)
-    val newIds = committedBatchDirs(spark, s"$path/dfd", floor).map(_._1)
+    val newIds = committedBatchIds(spark, path,
+      Seq("tf", "tot", "dfd"), "dfd", floor)
     if (newIds.isEmpty) {
       val fs = fsOf(spark, path)
       // tf dirs <= floor are retirable ONLY when a consolidated
@@ -572,14 +616,14 @@ object DocStream {
     compactVersionedBase(spark, path,
       Seq("entries", "freqd", "arrays"), "arrays") { (v, floor, w) =>
       Checkpoints.releasingScoped {
-        // fold base ∪ COMMITTED arrays deltas in (floor, w] — the
-        // skeleton's rebuild bound. The loader's wider "data-bearing
-        // above floor" view is wrong here: a writer that died
-        // mid-job-commit can leave a PARTIAL data-bearing arrays
-        // partition above w, and baking it in while the watermark
-        // stays at w would double its docs when the replay folds.
+        // fold base ∪ arrays deltas in (floor, w] — the skeleton's
+        // rebuild bound. The loader's wider "data-bearing above floor"
+        // view is wrong here: a partial/stale arrays partition above w
+        // baked in while the watermark stays at w would double its
+        // docs when the replay folds. Within (floor, w] every
+        // partition is complete (w's batch-level evidence).
         val base = spark.read.parquet(s"$path/basev=$v/arrays")
-        val arrays = committedBatchDirs(spark, s"$path/arrays", floor)
+        val arrays = dataBatchDirs(spark, s"$path/arrays", floor)
           .filter(_._1 <= w)
           .map { case (_, p) => spark.read.parquet(p.toString)
             .select(col("doc_id"), col("sh")) }

@@ -237,4 +237,41 @@ class AnnStreamSpec extends SparkSpec {
     val queries = vecsDF(Seq((901L, Seq.fill(8)(7f))))
     assert(probeRows(ix, queries) == offlineRows(all, ix.planes, queries))
   }
+
+  test("a crashed REPLAY that regressed vecd under sigd's stale marker is not compacted past") {
+    // the double-crash hole: attempt 1 of batch 1 writes vecd+sigd
+    // fully but the streaming checkpoint never commits; the replay's
+    // vecd overwrite DELETES the old partition (committer job start),
+    // then crashes — vecd absent/partial while sigd still carries
+    // attempt 1's _SUCCESS. Commit-point evidence alone would advance
+    // the watermark and lose the batch TOTALLY (the rebuild excludes
+    // the regressed vecd); batch-level evidence reads it uncommitted.
+    val base = (0L until 40L).map(i => (i, member((i % 5).toInt, (i / 5).toInt)))
+    val b0 = (100L until 110L).map(i => (i, member((i % 7).toInt, (i / 7).toInt)))
+    val b1 = (200L until 210L).map(i =>
+      (i, member((i % 9).toInt, (i / 9).toInt))) :+ (250L, Seq.fill(8)(5f))
+    val path = java.nio.file.Files.createTempDirectory("graft-ann-regress")
+      .resolve("ix").toString
+    AnnStream.initAnnIndexStore(vecsDF(base), path, Occ)
+    val sink = AnnStream.annIndexSink(path)
+    sink(vecsDF(b0), 0L)
+    sink(vecsDF(b1), 1L) // attempt 1: fully written, "uncheckpointed"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/vecd/batch_id=1"), true)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/sigd/batch_id=1/_SUCCESS")), "fixture: stale sigd marker")
+    AnnStream.compactAnnIndexStore(spark, path, Occ)
+    sink(vecsDF(b1), 1L) // the second replay repairs
+    val all = base ++ b0 ++ b1
+    val ix = AnnStream.loadStreamedAnnIndex(spark, path)
+    assert(ix.vecs.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+      == all.map(_._1).sorted,
+      "regressed batch lands exactly once after the repairing replay")
+    val queries = vecsDF(Seq((901L, Seq.fill(8)(7f))))
+    val got = probeRows(ix, queries)
+    assert(got == offlineRows(all, ix.planes, queries))
+    assert(got.exists(r => r.head == 901L && r(2) == 250L),
+      "the witness vector survived the regression interleaving")
+  }
 }

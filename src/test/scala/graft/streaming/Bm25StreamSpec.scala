@@ -189,4 +189,41 @@ class Bm25StreamSpec extends SparkSpec {
     assert(relRows(got.totals) == relRows(want.totals))
     assert(relRows(got.tf) == relRows(want.tf))
   }
+
+  test("a crashed REPLAY that regressed tf under dfd's stale marker is not compacted past") {
+    // double-crash: attempt 1 of batch 1 commits tf/tot/dfd fully but
+    // the streaming checkpoint never does; the replay's tf overwrite
+    // deletes the old partition then crashes — tf absent while dfd
+    // still carries attempt 1's _SUCCESS. dfd-only evidence would fold
+    // the regressed batch into the snapshots, advance the watermark,
+    // and make bm25IndexSink SKIP the repairing replay forever;
+    // batch-level evidence keeps the watermark below it.
+    import spark.implicits._
+    val vocab = (0 until 10).map(i => s"w$i")
+    val rnd = new scala.util.Random(31)
+    def doc(i: Long) =
+      (i, Seq.fill(5 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val batches = Seq((0L until 15L).map(doc), (15L until 28L).map(doc))
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-regress")
+      .resolve("ix").toString
+    val sink = DocStream.bm25IndexSink(path)
+    sink(batches(0).toDF("doc_id", "text"), 0L)
+    sink(batches(1).toDF("doc_id", "text"), 1L) // attempt 1, complete
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tf/batch_id=1"), true)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/dfd/batch_id=1/_SUCCESS")), "fixture: stale dfd marker")
+    DocStream.compactBm25Index(spark, path)
+    assert(DocStream.compactedThrough(spark, path).contains(0L),
+      "watermark must not cover the regressed batch")
+    sink(batches(1).toDF("doc_id", "text"), 1L) // the repairing replay
+    val got = DocStream.loadBm25Index(spark, path)
+    val want = CurationQueries.buildBm25Index(
+      batches.flatten.toDF("doc_id", "text"))
+    assert(relRows(got.tf) == relRows(want.tf), "tf exact after repair")
+    assert(relRows(got.df) == relRows(want.df))
+    assert(relRows(got.totals) == relRows(want.totals))
+  }
 }
