@@ -222,14 +222,19 @@ object FaultBench {
     val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
     while (child.isAlive && !java.nio.file.Files.exists(trigger) &&
       System.nanoTime() < deadline) Thread.sleep(5)
-    require(java.nio.file.Files.exists(trigger) || child.isAlive,
-      s"fault child exited (code ${child.exitValue()}) before batch 1 " +
-        "started — launch failure, not a crash probe")
-    require(System.nanoTime() < deadline, "fault child hung before the " +
-      "kill trigger; aborting phase 3")
-    val landedLate = !child.isAlive
+    // decide on the loop's EXIT REASON, sampled once — and destroy the
+    // child on EVERY path (a failure abort must not leak a live JVM
+    // that keeps mutating the store)
+    val triggered = java.nio.file.Files.exists(trigger)
+    val wasAlive = child.isAlive
     child.destroyForcibly()
     child.waitFor()
+    require(triggered || wasAlive,
+      s"fault child exited (code ${child.exitValue()}) before batch 1 " +
+        "started — launch failure, not a crash probe")
+    require(triggered,
+      "fault child hung 180 s before the kill trigger; aborting phase 3")
+    val landedLate = !wasAlive
     val arraysCommitted = java.nio.file.Files.exists(
       java.nio.file.Paths.get(ixPath, "arrays/batch_id=1/_SUCCESS"))
     println(s"[fault-bench] child SIGKILLed mid-batch-1 " +

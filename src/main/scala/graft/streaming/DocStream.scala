@@ -260,16 +260,31 @@ object DocStream {
       .filter { case (_, p) => hasDataFile(fs, p) }
   }
 
+  /** One `listStatus` per `batch_id=N` partition under `dir`:
+    * (id, hasData, hasSuccess). The single pass serves both the
+    * data-bearing and the commit-evidence questions — no per-partition
+    * `exists` round-trips on top of the listing (object-store
+    * deployments pay per RPC). */
+  private[streaming] def batchStates(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String)
+  : Seq[(Long, Boolean, Boolean)] = {
+    val fs = fsOf(spark, dir)
+    batchDirs(spark, dir).map { case (id, p) =>
+      val st = fs.listStatus(p)
+      val data = st.exists(s => s.isFile && {
+        val nm = s.getPath.getName
+        !nm.startsWith("_") && !nm.startsWith(".")
+      })
+      (id, data, st.exists(s => s.getPath.getName == "_SUCCESS"))
+    }
+  }
+
   /** Batch ids whose `batch_id=N` partition under `dir` carries the
     * committer's `_SUCCESS` marker (data-bearing or legitimately
     * empty). */
   private[streaming] def successIds(spark: org.apache.spark.sql.SparkSession,
-                                    dir: String): Set[Long] = {
-    val fs = fsOf(spark, dir)
-    batchDirs(spark, dir).collect { case (id, p)
-      if fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) => id
-    }.toSet
-  }
+                                    dir: String): Set[Long] =
+    batchStates(spark, dir).collect { case (id, _, true) => id }.toSet
 
   /** Batch ids > `floor` that are FULLY COMMITTED as a batch: the
     * `triggerSub` partition has data files AND EVERY subdir in `subs`
@@ -297,9 +312,12 @@ object DocStream {
   private[streaming] def committedBatchIds(
       spark: org.apache.spark.sql.SparkSession, path: String,
       subs: Seq[String], triggerSub: String, floor: Long): Seq[Long] = {
-    val marked = subs.map(s => successIds(spark, s"$path/$s"))
+    val states = subs.map(s => s -> batchStates(spark, s"$path/$s")).toMap
+    val marked = states.values
+      .map(_.collect { case (id, _, true) => id }.toSet)
       .reduce(_ intersect _)
-    dataBatchDirs(spark, s"$path/$triggerSub", floor).map(_._1)
+    states(triggerSub)
+      .collect { case (id, true, _) if id > floor => id }
       .filter(marked)
   }
 
@@ -362,6 +380,25 @@ object DocStream {
     val committed =
       committedBatchIds(spark, path, deltaSubs, commitSub, floor)
     if (committed.isEmpty) {
+      // before treating everything as crashed leftovers: under the
+      // single-writer sequential contract AT MOST ONE batch above the
+      // floor can be mid-crash (markerless-but-data-bearing across all
+      // its subdirs). Two or more means the store's history was written
+      // with _SUCCESS markers DISABLED — deleting those deltas would
+      // destroy checkpoint-acknowledged data the stream will never
+      // replay. Refuse instead (the flag-only check above cannot catch
+      // a store whose config was fixed after the fact).
+      val states = deltaSubs.map(s => batchStates(spark, s"$path/$s"))
+      val anyMark = states.flatMap(_.collect { case (id, _, true) => id })
+        .toSet
+      val markerless = states.flatMap(_.collect {
+        case (id, true, _) if id > floor && !anyMark(id) => id
+      }).distinct
+      require(markerless.size <= 1,
+        s"${markerless.size} data-bearing delta batches under $path carry " +
+          "no _SUCCESS marker in any relation — this store's history " +
+          "looks written with marksuccessfuljobs=false; refusing to " +
+          "retire them as crash leftovers")
       folded.foreach { case (_, p) => fs.delete(p, true) }
       keyedDirs(spark, path, "basev").filter(_._1 < v)
         .foreach { case (_, p) => fs.delete(p, true) }

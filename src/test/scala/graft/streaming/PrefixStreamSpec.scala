@@ -309,4 +309,73 @@ class PrefixStreamSpec extends SparkSpec {
       (base.map(_._1) ++ b0.map(_._1) ++ b1.map(_._1)).sorted,
       "partial-commit batch lands exactly once after replay")
   }
+
+  test("a crashed REPLAY that regressed entries under stale arrays markers is not compacted past") {
+    // double-crash: attempt 1 of batch 1 commits all three deltas but
+    // the streaming checkpoint never does; the replay's entries
+    // overwrite deletes the old partition then crashes — entries
+    // absent while freqd/arrays still carry attempt 1's _SUCCESS.
+    // Batch-level evidence reads the batch uncommitted, so the
+    // watermark stays below it and the second replay repairs.
+    import spark.implicits._
+    def doc(id: Long, tokens: Seq[String]) = (id, tokens.mkString(" "))
+    def cluster(tag: String) = (0 until 8).map(j => s"$tag$j")
+    val base = (0L until 12L).map(i => doc(i, cluster(s"b${i / 3}_") :+ s"n$i"))
+    val b0 = (0 until 3).map(i => doc(100L + i, cluster(s"f${i}_") :+ s"m$i"))
+    val b1 = (0 until 3).map(i => doc(200L + i, cluster(s"g${i}_") :+ s"p$i"))
+    val root = java.nio.file.Files.createTempDirectory("graft-prefix-regress")
+    val path = root.resolve("ix").toString
+    DocStream.initPrefixIndexStore(base.toDF("doc_id", "text"), path, T)
+    val sink = DocStream.prefixIndexSink(path, T)
+    sink(b0.toDF("doc_id", "text"), 0L)
+    sink(b1.toDF("doc_id", "text"), 1L) // attempt 1: fully committed
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/entries/batch_id=1"), true)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/arrays/batch_id=1/_SUCCESS")), "fixture: stale arrays marker")
+    DocStream.compactPrefixIndexStore(spark, path, T)
+    sink(b1.toDF("doc_id", "text"), 1L) // the repairing replay
+    val loaded = DocStream.loadStreamedPrefixIndex(spark, path)
+    val ids = loaded.arrays.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted ==
+      (base.map(_._1) ++ b0.map(_._1) ++ b1.map(_._1)).sorted,
+      "regressed batch lands exactly once after the repairing replay")
+    // batch-1 docs still guard the corpus: a near-dup attributes to 201
+    val probe = Seq(doc(900L, cluster("g1_") :+ "q0")).toDF("doc_id", "text")
+    assert(probePairs(loaded, probe).map(_._1) == Seq(201L))
+  }
+
+  test("compaction refuses to retire a marker-less multi-batch history") {
+    // a store whose sinks ran with marksuccessfuljobs=false has data
+    // everywhere and _SUCCESS nowhere — after the config is fixed,
+    // compaction must REFUSE rather than read checkpoint-acknowledged
+    // batches as crash leftovers and delete them
+    import spark.implicits._
+    def doc(id: Long, tokens: Seq[String]) = (id, tokens.mkString(" "))
+    def cluster(tag: String) = (0 until 8).map(j => s"$tag$j")
+    val base = (0L until 6L).map(i => doc(i, cluster(s"b${i}_")))
+    val root = java.nio.file.Files.createTempDirectory("graft-prefix-nomark")
+    val path = root.resolve("ix").toString
+    DocStream.initPrefixIndexStore(base.toDF("doc_id", "text"), path, T)
+    val sink = DocStream.prefixIndexSink(path, T)
+    sink(Seq(doc(100L, cluster("f0_"))).toDF("doc_id", "text"), 0L)
+    sink(Seq(doc(200L, cluster("g0_"))).toDF("doc_id", "text"), 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("entries", "freqd", "arrays").foreach { s =>
+      (0 to 1).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$path/$s/batch_id=$b/_SUCCESS"), false)
+      }
+    }
+    val e = intercept[IllegalArgumentException] {
+      DocStream.compactPrefixIndexStore(spark, path, T)
+    }
+    assert(e.getMessage.contains("marksuccessfuljobs"))
+    // nothing was deleted: the store still loads complete
+    assert(DocStream.loadStreamedPrefixIndex(spark, path)
+      .arrays.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      base.map(_._1).toSet + 100L + 200L)
+  }
 }
