@@ -951,21 +951,38 @@ object DedupQueries {
     new java.util.LinkedHashMap[(String, Int, Int, Int, Int), SharedEntry](
       16, 0.75f, true)
 
-  private def dropEntry(e: SharedEntry): Unit = {
-    // best-effort: the entry may belong to a STOPPED session (keys are
-    // session-scoped, so such entries linger until evicted here) and
-    // unpersist on a dead context throws — that must not abort the
-    // unrelated query whose miss triggered the eviction
+  // checkpoint dirs of EVICTED/COLLIDED entries await the next
+  // clearSharedPairCache boundary (r9 ADVICE): an in-flight query may
+  // still hold the evicted DataFrame, and unpersist is safe for it
+  // (block loss recomputes through the lineage) only while the one-shot
+  // checkpoints that lineage reads still exist — deleting them at
+  // eviction time would turn the recompute into FileNotFoundException.
+  // Deferral is bounded: at most MaxSharedPairEntries dirs per
+  // eviction wave, freed wholesale at the cache's declared boundary.
+  private val retiredOwned = scala.collection.mutable.Buffer
+    .empty[(org.apache.hadoop.conf.Configuration, String)]
+
+  /** Unpersist only; the entry's checkpoint storage moves to the
+    * deferred-retirement buffer. Best-effort: the entry may belong to a
+    * STOPPED session (keys are session-scoped, so such entries linger
+    * until evicted here) and unpersist on a dead context throws — that
+    * must not abort the unrelated query whose miss triggered the
+    * eviction. */
+  private def retireEntry(e: SharedEntry): Unit = {
     try e.df.unpersist() catch { case _: Throwable => () }
-    e.owned.foreach { case (c, p) =>
-      try Checkpoints.deleteCheckpointDir(c, p)
-      catch { case _: Throwable => () }
-    }
+    retiredOwned ++= e.owned
   }
 
   private def dropAllShared(): Unit = {
-    sharedCache.values.forEach(dropEntry(_))
+    sharedCache.values.forEach(retireEntry(_))
     sharedCache.clear()
+    // the boundary where deletion IS safe: the caller asserts no
+    // consumer of any cached relation remains in flight
+    retiredOwned.foreach { case (c, p) =>
+      try Checkpoints.deleteCheckpointDir(c, p)
+      catch { case _: Throwable => () }
+    }
+    retiredOwned.clear()
   }
 
   /** Registry-level memoization of a shared relation. PRECONDITION: the
@@ -993,10 +1010,10 @@ object DedupQueries {
         .getOrElse {
           // a 32-bit hash collision (or dead-session residue) under this
           // exact key: retire the impostor before rebuilding
-          Option(sharedCache.remove(key)).foreach(dropEntry)
+          Option(sharedCache.remove(key)).foreach(retireEntry)
           if (sharedCache.size >= MaxSharedPairEntries) {
             val it = sharedCache.entrySet().iterator()
-            if (it.hasNext) { val ev = it.next(); it.remove(); dropEntry(ev.getValue) }
+            if (it.hasNext) { val ev = it.next(); it.remove(); retireEntry(ev.getValue) }
           }
           // the built plan's LINEAGE may hold one-shot checkpoints (the
           // similarity joins' candidate index); claim them so a runner's
@@ -1036,9 +1053,12 @@ object DedupQueries {
         sorted = false))
 
   /** Drop every cached shared pair/edge relation (frees executor
-    * storage and the checkpoint directories the entries own). Runners
-    * keep the cache alive across queries — that is its point — so this
-    * is for deployments that move on to a different corpus. */
+    * storage and the checkpoint directories the entries own, INCLUDING
+    * dirs whose deletion earlier evictions deferred — see
+    * [[retireEntry]]). Runners keep the cache alive across queries —
+    * that is its point — so this is for deployments that move on to a
+    * different corpus, called when no consumer of any previously
+    * returned shared relation remains in flight. */
   def clearSharedPairCache(): Unit = sharedCache.synchronized {
     dropAllShared()
   }

@@ -71,18 +71,54 @@ object AnnStream {
     * partitions. `sigd` commits last, so signatures never reference
     * vectors that have not landed (a reader racing the writer may see
     * a batch's vectors without signatures — those rows simply cannot
-    * be candidates until the next load; bounded by one batch). */
-  def annIndexSink(path: String): (DataFrame, Long) => Unit =
-    (batch, batchId) => Checkpoints.releasingScoped {
+    * be candidates until the next load; bounded by one batch).
+    *
+    * Concurrent-compaction guard (r9 ADVICE): the planes are read at
+    * batch entry, so a compaction running CONCURRENTLY (violating the
+    * quiet-boundary contract) could flip `_base_version` — and with it
+    * the plane count — while this batch signs under the OLD planes. The
+    * batch's sigd would then land ABOVE the new base's watermark,
+    * signed under geometry no probe uses: silently unfindable vectors
+    * until the next compaction re-signs them. The sink therefore
+    * re-reads `_base_version` AFTER the sigd commit and FAILS the batch
+    * if it moved — foreachBatch's replay re-signs under the new base's
+    * planes, turning the contract breach into a loud, self-healing
+    * error instead of silent recall loss. (The sink's OWN
+    * `autoCompactEvery` cadence runs after this guard, inside the same
+    * foreachBatch call — a quiet boundary by construction, so it never
+    * trips it.)
+    *
+    * `autoCompactEvery > 0` wires the
+    * [[DocStream.autoCompact]] cadence in: once that many uncompacted
+    * sigd deltas accumulate, the sink runs [[compactAnnIndexStore]]
+    * (the occupancy re-freeze) before returning — between batches of
+    * the single-writer stream, with no manual compaction call. */
+  def annIndexSink(path: String, targetOccupancy: Int = 128,
+                   autoCompactEvery: Int = 0): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
       val spark = batch.sparkSession
-      val v = readLongMarker(spark, path, "_base_version").getOrElse(0L)
-      val planes = readLongMarker(spark, s"$path/basev=$v", "_planes")
-        .getOrElse(sys.error(s"no _planes marker under $path/basev=$v " +
-          "— initAnnIndexStore must run before the sink")).toInt
-      val vecs = batch.select(col("vec_id"), col("embedding"))
-      vecs.write.mode("overwrite").parquet(s"$path/vecd/batch_id=$batchId")
-      AnnQueries.signSignatures(vecs, planes)
-        .write.mode("overwrite").parquet(s"$path/sigd/batch_id=$batchId")
+      val v = Checkpoints.releasingScoped {
+        val v0 = readLongMarker(spark, path, "_base_version").getOrElse(0L)
+        val planes = readLongMarker(spark, s"$path/basev=$v0", "_planes")
+          .getOrElse(sys.error(s"no _planes marker under $path/basev=$v0 " +
+            "— initAnnIndexStore must run before the sink")).toInt
+        val vecs = batch.select(col("vec_id"), col("embedding"))
+        vecs.write.mode("overwrite").parquet(s"$path/vecd/batch_id=$batchId")
+        AnnQueries.signSignatures(vecs, planes)
+          .write.mode("overwrite").parquet(s"$path/sigd/batch_id=$batchId")
+        val vAfter = readLongMarker(spark, path, "_base_version").getOrElse(0L)
+        require(vAfter == v0,
+          s"_base_version moved $v0 -> $vAfter while batch $batchId signed " +
+            s"under basev=$v0's planes — a compaction ran concurrently with " +
+            "the sink (quiet-boundary breach); failing the batch so the " +
+            "replay re-signs under the current geometry")
+        v0
+      }
+      DocStream.autoCompact(spark, autoCompactEvery, s"$path/sigd",
+        readLongMarker(spark, s"$path/basev=$v", "_folded_through")
+          .getOrElse(Long.MinValue)) {
+        compactAnnIndexStore(spark, path, targetOccupancy)
+      }
     }
 
   /** Load the maintained index: base relations unioned with every

@@ -147,9 +147,17 @@ object DocStream {
     * at-least-once replay, with no read-modify-write of shared state in
     * the hot path (contrast UpsertSink's keyed merge, which pays a read
     * of the touched partitions per batch; pure partition overwrites are
-    * the cheaper discipline when deltas are additive). */
-  def bm25IndexSink(path: String): (DataFrame, Long) => Unit =
-    (batch, batchId) => graft.operators.Checkpoints.releasingScoped {
+    * the cheaper discipline when deltas are additive).
+    *
+    * `autoCompactEvery > 0` wires the [[autoCompact]] cadence in: once
+    * that many uncompacted dfd deltas accumulate, the sink runs
+    * [[compactBm25Index]] before returning — between batches of the
+    * single-writer stream, so the quiet-boundary contract holds with no
+    * manual compaction call (steady-state measured over 500+ batches in
+    * Bm25StoreBench; load wall and file count stay bounded). */
+  def bm25IndexSink(path: String, autoCompactEvery: Int = 0)
+  : (DataFrame, Long) => Unit = (batch, batchId) => {
+    graft.operators.Checkpoints.releasingScoped {
       // a replay at or below the compaction watermark is a no-op: the
       // watermark only ever covers fully-committed sinks (foreachBatch
       // runs batches sequentially, so a folded dfd implies the whole
@@ -174,6 +182,11 @@ object DocStream {
         idx.df.write.mode("overwrite").parquet(s"$path/dfd/batch_id=$batchId")
       }
     }
+    autoCompact(batch.sparkSession, autoCompactEvery, s"$path/dfd",
+      compactedThrough(batch.sparkSession, path).getOrElse(-1L)) {
+      compactBm25Index(batch.sparkSession, path)
+    }
+  }
 
   // ── streamed-index store plumbing (shared by the BM25 and
   // prefix-dedup maintenance sinks): batch-keyed delta directories,
@@ -239,6 +252,32 @@ object DocStream {
   def compactedThrough(spark: org.apache.spark.sql.SparkSession,
                        path: String): Option[Long] =
     readLongMarker(spark, path, "_compacted_through")
+
+  /** Delta-volume auto-compaction cadence (r9 verdict task #1): run
+    * `compact` when the number of uncompacted delta batches under
+    * `deltaDir` (ids above the store's current watermark `floor`)
+    * reaches `every`; `every = 0` disables. Invoked by the sinks AFTER
+    * their own batch commits, INSIDE the foreachBatch call — the
+    * single-writer stream is between batches at that point, so the
+    * compactors' quiet-boundary contract holds by construction and a
+    * deployment on the reference's 5 s trigger never needs an operator
+    * to intervene (PERF r9's "posting-volume cadence" made code).
+    *
+    * The trigger counts DELTA DIRS, not `batchId % every`: a modulo
+    * fires on replayed batch ids (double compaction after every
+    * restart), drifts when batches are empty, and goes quiet forever if
+    * the trigger id itself is what keeps crashing; the dir count is
+    * exactly the quantity load cost grows with, holds across restarts,
+    * and costs one listing per batch (already paid by the sinks'
+    * skip/exclude reads). Crashed batches' leftover dirs above the
+    * floor count too — harmless: compaction folds only committed
+    * batches and the next cadence check re-fires until the replay
+    * lands. */
+  private[streaming] def autoCompact(spark: org.apache.spark.sql.SparkSession,
+                                     every: Int, deltaDir: String,
+                                     floor: Long)(compact: => Unit): Unit =
+    if (every > 0 && batchDirs(spark, deltaDir).count(_._1 > floor) >= every)
+      compact
 
   private[streaming] def hasDataFile(fs: org.apache.hadoop.fs.FileSystem,
                           p: org.apache.hadoop.fs.Path): Boolean =
@@ -365,7 +404,13 @@ object DocStream {
     *    `_base_version` flips readers over; retirement (folded deltas
     *    `≤ w` + superseded bases) happens after, so every crash
     *    interleaving reads a consistent index (spec-pinned in
-    *    PrefixStreamSpec and AnnStreamSpec, both directions). */
+    *    PrefixStreamSpec and AnnStreamSpec, both directions).
+    *
+    * Readers: the quiet-boundary contract covers the single WRITER; a
+    * separate reader process whose lazily-loaded index spans a
+    * compaction can hit retired paths — [[loadBm25Index]]'s
+    * reader/compaction contract applies verbatim to the versioned-base
+    * stores. */
   private[streaming] def compactVersionedBase(
       spark: org.apache.spark.sql.SparkSession, path: String,
       deltaSubs: Seq[String], commitSub: String)(
@@ -435,11 +480,27 @@ object DocStream {
     * [[graft.operators.CurationQueries.bm25ScoreIndexed]], identical to
     * an offline-built index (spec-pinned).
     *
-    * Consistency window: the sink commits tf before dfd, so a load
-    * racing the writer may see a batch's postings whose df/totals have
-    * not landed yet (idf lags by that one in-flight batch; the next
-    * load heals it). Bounded by a single batch — inherent to a
-    * multi-relation store with no cross-file transaction. */
+    * Consistency window (SINK race): the sink commits tf before dfd,
+    * so a load racing the writer may see a batch's postings whose
+    * df/totals have not landed yet (idf lags by that one in-flight
+    * batch; the next load heals it). Bounded by a single batch —
+    * inherent to a multi-relation store with no cross-file transaction.
+    *
+    * Reader/COMPACTION contract (r9 ADVICE): a load must not SPAN a
+    * compaction — the returned relations read the snapshot and delta
+    * paths lazily, and compaction RETIRES folded deltas and superseded
+    * snapshots after committing the new watermark, so an action run
+    * against a pre-compaction load after compaction finishes hits
+    * FileNotFoundException on the retired paths. Same-process
+    * deployments get this for free from the single-writer quiet
+    * boundary (the sinks and compactors run in one foreachBatch
+    * thread); deployments with SEPARATE reader processes must either
+    * re-load after any failed action (the retirement is detectable —
+    * the re-load sees the new snapshot) or give compaction a grace
+    * period covering the longest in-flight read before it retires old
+    * paths. The markers make a generation-count grace trivial: old
+    * snapshots are keyed (`through=`/`basev=`), so retirement may
+    * simply lag one compaction behind the flip. */
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
                     path: String): graft.operators.CurationQueries.Bm25Index = {
     // ONE marker read per load: snapshot choice and delta floor must
@@ -733,10 +794,17 @@ object DocStream {
     * exactly as a fresh build over the accepted set would hold both) —
     * feed the stream through [[curate]]/[[nearDupStream]] first when
     * in-batch dedup is wanted. `threshold` must equal the base build's
-    * (a probe threshold above it only admits extra candidates). */
+    * (a probe threshold above it only admits extra candidates).
+    *
+    * `autoCompactEvery > 0` wires the [[autoCompact]] cadence in: once
+    * that many uncompacted arrays deltas accumulate, the sink runs
+    * [[compactPrefixIndexStore]] (the order re-freeze) before
+    * returning — between batches of the single-writer stream, so the
+    * quiet-boundary contract holds with no manual compaction call. */
   def prefixIndexSink(path: String, threshold: Double,
-                      heavyListThreshold: Int = 4096, salt: Int = 16)
-  : (DataFrame, Long) => Unit = (batch, batchId) =>
+                      heavyListThreshold: Int = 4096, salt: Int = 16,
+                      autoCompactEvery: Int = 0)
+  : (DataFrame, Long) => Unit = (batch, batchId) => {
     graft.operators.Checkpoints.releasingScoped {
       import graft.operators.DedupQueries
       val spark = batch.sparkSession
@@ -776,6 +844,14 @@ object DocStream {
       accepted.select(col("doc_id"), col("sh"))
         .write.mode("overwrite").parquet(s"$path/arrays/batch_id=$batchId")
     }
+    val spark2 = batch.sparkSession
+    val v = readLongMarker(spark2, path, "_base_version").getOrElse(0L)
+    autoCompact(spark2, autoCompactEvery, s"$path/arrays",
+      readLongMarker(spark2, s"$path/basev=$v", "_folded_through")
+        .getOrElse(Long.MinValue)) {
+      compactPrefixIndexStore(spark2, path, threshold)
+    }
+  }
 
   /** A near-duplicate match surfaced by [[nearDupStream]]: `doc_id` is
     * the arriving document, `matched_id` a previously-seen bucket-mate,

@@ -111,6 +111,61 @@ class AnnStreamSpec extends SparkSpec {
       "post-compaction deltas sign under the new planes")
   }
 
+  test("autoCompactEvery re-derives planes mid-stream with no manual call") {
+    val base = (0L until 40L).map(i => (i, member((i % 5).toInt, (i / 5).toInt)))
+    val batches = (0 until 4).map(b =>
+      (100L + b * 20L until 100L + (b + 1) * 20L).map(i =>
+        (i, member((i % 7).toInt, (i / 7).toInt))))
+    val path = java.nio.file.Files.createTempDirectory("graft-ann-auto")
+      .resolve("ix").toString
+    AnnStream.initAnnIndexStore(vecsDF(base), path, Occ)
+    val sink = AnnStream.annIndexSink(path, Occ, autoCompactEvery = 2)
+    batches.zipWithIndex.foreach { case (b, i) => sink(vecsDF(b), i.toLong) }
+    // the cadence fired twice (after batches 1 and 3): two base
+    // rebuilds, each re-deriving planes for the grown corpus, no
+    // manual compactAnnIndexStore call, no delta dirs left
+    assert(DocStream.readLongMarker(spark, path, "_base_version")
+      .contains(2L), "two auto-triggered occupancy re-freezes")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert((0 until 4).forall(b => !fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/sigd/batch_id=$b"))),
+      "all deltas folded and retired by the cadence")
+    val all = base ++ batches.flatten
+    val ix = AnnStream.loadStreamedAnnIndex(spark, path)
+    assert(ix.planes == AnnQueries.planesFor(all.size.toLong, Occ),
+      "planes re-derived at the final auto-compaction's corpus size")
+    val queries = vecsDF(Seq((900L, member(3, 9)), (901L, member(6, 2))))
+    assert(probeRows(ix, queries) == offlineRows(all, ix.planes, queries),
+      "auto-compacted maintained index == offline build")
+  }
+
+  test("the sink fails the batch when a compaction flips the base version mid-batch") {
+    val base = (0L until 40L).map(i => (i, member((i % 5).toInt, (i / 5).toInt)))
+    val b0 = (100L until 110L).map(i => (i, member((i % 7).toInt, (i / 7).toInt)))
+    val path = java.nio.file.Files.createTempDirectory("graft-ann-flip")
+      .resolve("ix").toString
+    AnnStream.initAnnIndexStore(vecsDF(base), path, Occ)
+    // emulate a compaction racing the sink (quiet-boundary BREACH): a
+    // UDF in the batch's plan flips _base_version while the sink's own
+    // writes evaluate — after the sink read planes at entry
+    val marker = s"$path/_base_version"
+    val flip = udf { (id: Long) =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(marker), "7")
+      // drop the stale Hadoop-local checksum sidecar the raw write
+      // invalidated, or the sink's marker re-read dies on CRC instead
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$path/._base_version.crc"))
+      id
+    }
+    val racing = vecsDF(b0).withColumn("vec_id", flip(col("vec_id")))
+    val ex = intercept[IllegalArgumentException] {
+      AnnStream.annIndexSink(path)(racing, 0L)
+    }
+    assert(ex.getMessage.contains("_base_version moved"),
+      "the breach is loud, not silent recall loss")
+  }
+
   test("a compaction crash before delta retirement never duplicates candidates") {
     val base = (0L until 40L).map(i => (i, member((i % 5).toInt, (i / 5).toInt)))
     val b0 = (100L until 110L).map(i => (i, member((i % 7).toInt, (i / 7).toInt)))

@@ -114,6 +114,44 @@ class Bm25StreamSpec extends SparkSpec {
     check(4, "idle compaction")
   }
 
+  test("autoCompactEvery compacts mid-stream with no manual call") {
+    import spark.implicits._
+    val vocab = (0 until 10).map(i => s"w$i")
+    val rnd = new scala.util.Random(23)
+    def doc(i: Long) =
+      (i, Seq.fill(5 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val batches = (0 until 5).map(b => (b * 15L until (b + 1) * 15L).map(doc))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-auto")
+    val path = dir.resolve("ix").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch(DocStream.bm25IndexSink(path, autoCompactEvery = 2))
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // the cadence fired by itself: after batches 0..4 at every=2 the
+    // second and fourth batches trigger, leaving watermark 3 and exactly
+    // one uncompacted delta (batch 4)
+    assert(DocStream.compactedThrough(spark, path).contains(3L),
+      "delta-volume cadence compacted through batch 3 with no manual call")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val pending = (0 until 5).count(b => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/dfd/batch_id=$b")))
+    assert(pending == 1, "uncompacted deltas stay below the cadence")
+    // correctness across auto-triggered compactions mid-stream
+    val streamed = DocStream.loadBm25Index(spark, path)
+    val offline = CurationQueries.buildBm25Index(
+      batches.flatten.toDF("doc_id", "text"))
+    assert(relRows(streamed.df) == relRows(offline.df), "df equal")
+    assert(relRows(streamed.totals) == relRows(offline.totals), "totals equal")
+    assert(relRows(streamed.tf) == relRows(offline.tf), "tf equal")
+  }
+
   test("a sink crash before the dfd commit cannot be compacted past") {
     import spark.implicits._
     val vocab = (0 until 10).map(i => s"w$i")

@@ -153,6 +153,65 @@ class PrefixStreamSpec extends SparkSpec {
       "post-compaction accepts keep participating in the probe")
   }
 
+  test("autoCompactEvery re-freezes the base mid-stream with no manual call") {
+    import spark.implicits._
+    def doc(id: Long, tokens: Seq[String]) = (id, tokens.mkString(" "))
+    def cluster(tag: String) = (0 until 8).map(j => s"$tag$j")
+    val base = (0L until 30L).map(i =>
+      doc(i, cluster(s"b${i / 3}_") :+ s"n$i"))
+    // b0/b1 as in the maintenance test; b2 re-submits near-dups of b0/b1
+    // ACCEPTS (they must reject against the AUTO-rebuilt base) plus
+    // fresh vocabulary; b3 is fresh
+    val b0 = (0 until 5).map(i =>
+      doc(100L + i, cluster(s"b${i}_") :+ s"m$i")) ++
+      (5 until 10).map(i => doc(100L + i, cluster(s"f${i}_") :+ s"m$i"))
+    val b1 = Seq(
+      doc(200L, cluster("f5_") :+ "p0"),
+      doc(203L, cluster("g0_") :+ "p3"),
+      doc(204L, cluster("g1_") :+ "p4"))
+    val b2 = Seq(
+      doc(300L, cluster("g0_") :+ "r0"), // near-dup of the b1 accept
+      doc(301L, cluster("f7_") :+ "r1"), // near-dup of a b0 accept
+      doc(302L, cluster("h0_") :+ "r2")) // fresh
+    val b3 = Seq(doc(400L, cluster("i0_") :+ "s0"))
+    val batches = Seq(b0, b1, b2, b3)
+    val want = acceptedTruth(base, batches)
+    assert(want == Set(105L, 106L, 107L, 108L, 109L, 203L, 204L, 302L, 400L),
+      "fixture sanity")
+
+    val path = java.nio.file.Files.createTempDirectory("graft-prefix-auto")
+      .resolve("ix").toString
+    DocStream.initPrefixIndexStore(base.toDF("doc_id", "text"), path, T)
+    val sink = DocStream.prefixIndexSink(path, T, autoCompactEvery = 2)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      sink(b.toDF("doc_id", "text"), i.toLong)
+    }
+    // the cadence fired twice (after batches 1 and 3) — two base
+    // rebuilds, no manual compactPrefixIndexStore call, no delta dirs
+    assert(DocStream.readLongMarker(spark, path, "_base_version")
+      .contains(2L), "two auto-triggered re-freezes")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert((0 until 4).forall(b => !fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/arrays/batch_id=$b"))),
+      "all deltas folded and retired by the cadence")
+    // correctness across the auto-triggered re-freezes
+    val maintained = DocStream.loadStreamedPrefixIndex(spark, path)
+    assert(maintained.arrays.select("doc_id").collect()
+      .map(_.getLong(0)).toSet == base.map(_._1).toSet ++ want)
+    val unionDocs = (base ++ batches.flatten.filter(d => want(d._1)))
+      .toDF("doc_id", "text")
+    val fresh = DedupQueries.buildPrefixIndex(
+      DedupQueries.tokenArrays(unionDocs), T)
+    val probe = (Seq(
+      doc(900L, cluster("h0_") :+ "q0"),   // matches the b2 accept
+      doc(901L, cluster("i0_") :+ "q1"),   // matches the b3 accept
+      doc(902L, cluster("b2_") :+ "q2")))  // matches base
+      .toDF("doc_id", "text")
+    assert(probePairs(maintained, probe) == probePairs(fresh, probe),
+      "maintained-with-auto-compaction == fresh union build")
+  }
+
   test("a compaction crash before delta retirement never double-counts documents") {
     import spark.implicits._
     def doc(id: Long, tokens: Seq[String]) = (id, tokens.mkString(" "))
