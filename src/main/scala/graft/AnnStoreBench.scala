@@ -17,13 +17,22 @@ import org.apache.spark.sql.functions._
   * buckets have realistic skew. Query ids sit at +10⁹ — disjoint from
   * the index namespace per the knnProbeLsh ID CONTRACT.
   *
+  * `SPARK_GRAFT_AUTO_EVERY=N` (r9 verdict task #1) switches to the
+  * AUTO-compaction steady-state protocol: the sink carries
+  * `autoCompactEvery = N`, no manual compaction call is made, and the
+  * probe reports per-batch wall deciles + the final base version — a
+  * 500+-batch run bounded by the cadence alone.
+  *
   * Run: SPARK_GRAFT_VECS=200000 SPARK_GRAFT_BATCHES=20 \
   *   sbt 'runMain graft.AnnStoreBench'
+  * Steady state: SPARK_GRAFT_VECS=200000 SPARK_GRAFT_BATCHES=500 \
+  *   SPARK_GRAFT_AUTO_EVERY=50 sbt 'runMain graft.AnnStoreBench'
   * Dev tooling (PERF.md evidence), not part of the driver contract. */
 object AnnStoreBench {
   def main(args: Array[String]): Unit = {
     val nVecs = sys.env.getOrElse("SPARK_GRAFT_VECS", "200000").toLong
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "20").toInt
+    val autoEvery = sys.env.getOrElse("SPARK_GRAFT_AUTO_EVERY", "0").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,7 +42,7 @@ object AnnStoreBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.streaming.AnnStream
+    import graft.streaming.{AnnStream, DocStream}
 
     def vecsOf(ids: org.apache.spark.sql.DataFrame) = ids.select(
       col("id").as("vec_id"),
@@ -56,7 +65,7 @@ object AnnStoreBench {
       s"${AnnStream.loadStreamedAnnIndex(spark, path).planes}, " +
       f"build ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    val sink = AnnStream.annIndexSink(path)
+    val sink = AnnStream.annIndexSink(path, autoCompactEvery = autoEvery)
     val per = math.max(1L, (nVecs - half) / nBatches)
     val walls = (0 until nBatches).map { b =>
       val lo = half + b * per
@@ -69,6 +78,16 @@ object AnnStoreBench {
       s"first3=${walls.take(3).map(w => f"$w%.1f").mkString(",")} " +
       s"last3=${walls.takeRight(3).map(w => f"$w%.1f").mkString(",")} " +
       f"(median ${walls.sorted.apply(nBatches / 2)}%.1f s)")
+    if (autoEvery > 0) {
+      def med(w: Seq[Double]) = w.sorted.apply(w.size / 2)
+      val dec = math.max(1, nBatches / 10)
+      println(f"[ann-store] auto-cadence $autoEvery: per-batch wall " +
+        f"median first-decile ${med(walls.take(dec))}%.2f s, " +
+        f"middle ${med(walls.slice(nBatches / 2 - dec / 2, nBatches / 2 + dec / 2 + 1))}%.2f s, " +
+        f"last ${med(walls.takeRight(dec))}%.2f s, max ${walls.max}%.2f s; " +
+        "base version " +
+        s"${DocStream.readLongMarker(spark, path, "_base_version").getOrElse(0L)}")
+    }
 
     val queries = vecsOf(spark.range(1000000000L, 1000000500L).toDF())
     def probeWall(): Double = {
@@ -81,14 +100,22 @@ object AnnStoreBench {
       }
       ws.sorted.apply(1)
     }
-    val before = probeWall()
-    val tc = System.nanoTime()
-    AnnStream.compactAnnIndexStore(spark, path)
-    val compactWall = (System.nanoTime() - tc) / 1e9
-    val after = probeWall()
-    println(f"[ann-store] load+probe(500q,flips2) median $before%.1f -> " +
-      f"$after%.1f s; compaction $compactWall%.1f s; planes now " +
-      s"${AnnStream.loadStreamedAnnIndex(spark, path).planes}")
+    if (autoEvery > 0) {
+      // no manual compaction: the cadence's steady state is the result
+      println(f"[ann-store] steady state: load+probe(500q,flips2) median " +
+        f"${probeWall()}%.1f s; planes " +
+        s"${AnnStream.loadStreamedAnnIndex(spark, path).planes} " +
+        "(no manual compaction call in the whole run)")
+    } else {
+      val before = probeWall()
+      val tc = System.nanoTime()
+      AnnStream.compactAnnIndexStore(spark, path)
+      val compactWall = (System.nanoTime() - tc) / 1e9
+      val after = probeWall()
+      println(f"[ann-store] load+probe(500q,flips2) median $before%.1f -> " +
+        f"$after%.1f s; compaction $compactWall%.1f s; planes now " +
+        s"${AnnStream.loadStreamedAnnIndex(spark, path).planes}")
+    }
     spark.stop()
   }
 }

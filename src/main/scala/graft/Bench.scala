@@ -74,12 +74,19 @@ object Bench {
     def median(ts: Seq[Double]): Double =
       if (ts.size % 2 == 1) ts(ts.size / 2) else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2
     val results = ordered.map { case (n, _) => n -> median(samples(n)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // r9 verdict task #7: the driver's BENCH_rN.json tail truncates long
+    // stdout lines, leaving an artifact that does not parse standalone.
+    // Print per-query medians at millisecond precision (plenty for PERF
+    // comparisons; ~3 KB for the full registry, inside the tail window)
+    // and keep the spread map in the committed full-map FILE only.
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val spread =
       if (reps < 2) ""
       else results.map { case (k, _) =>
-        s"\"" + k + "\":[" + samples(k).head + "," + samples(k).last + "]"
+        s"\"" + k + "\":[" + ms(samples(k).head) + "," +
+          ms(samples(k).last) + "]"
       }.mkString(""","spread":{""", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // second pass with the count() action rounds r1-r4 used: count-driven
@@ -96,12 +103,12 @@ object Bench {
     // truncates long lines, so the pointer to the COMPLETE committed
     // map must sit in the part that survives truncation
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // stdout: rounded medians, NO spread map — short enough to survive
+    // the driver's tail window and parse standalone
+    println(s"""{"metric":"total","value":$total,"unit":"sec","full_map_file":"$outPath","action":"toRdd","reps":$reps,"count_action_total":$countTotal,"queries":$qs,"sf":"$sfDir"}""")
+    // the committed full map (bench_full_rN.json) carries the spread
+    // map too — the per-query [min, max] PERF claims cite
     val line = s"""{"metric":"total","value":$total,"unit":"sec","full_map_file":"$outPath","action":"toRdd","reps":$reps,"count_action_total":$countTotal,"queries":$qs$spread,"sf":"$sfDir"}"""
-    println(line)
-    // the driver's BENCH_rN.json tail truncates long registries (the r7
-    // verdict lost half the per-query medians); persist the COMPLETE
-    // line so round-over-round comparison keeps every query. Committed
-    // per round as bench_full_rN.json.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }

@@ -37,12 +37,13 @@ object FaultBench {
     }
   }
 
-  /** Child mode for phase 3 (`prefix-sink-child <storePath>`): run the
-    * prefix-index sink on two deterministic batches against an
-    * already-initialised store. The PARENT SIGKILLs this process while
-    * batch 1's three delta writes are in flight — a real unclean death
-    * of the maintenance process, not a reconstructed disk state. */
-  private def prefixSinkChild(path: String): Unit = {
+  /** Child modes for phases 3-5 (`<store>-sink-child <storePath>`): run
+    * the named store's maintenance sink on two deterministic batches
+    * against an already-initialised store. The PARENT SIGKILLs this
+    * process while batch 1's delta writes are in flight — a real
+    * unclean death of the maintenance process, not a reconstructed
+    * disk state. */
+  private def sinkChild(mode: String, path: String): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-fault-child")
@@ -51,10 +52,20 @@ object FaultBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sink = graft.streaming.DocStream.prefixIndexSink(path, 0.5)
-    sink(childDocs(spark, 100000L, 102000L), 0L)
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = mode match {
+      case "prefix-sink-child" =>
+        graft.streaming.DocStream.prefixIndexSink(path, 0.5)
+      case "bm25-sink-child" =>
+        graft.streaming.DocStream.bm25IndexSink(path)
+      case "ann-sink-child" =>
+        graft.streaming.AnnStream.annIndexSink(path)
+    }
+    def batch(lo: Long, hi: Long) =
+      if (mode == "ann-sink-child") childVecs(spark, lo, hi)
+      else childDocs(spark, lo, hi)
+    sink(batch(100000L, 102000L), 0L)
     println("[fault-child] batch 0 committed")
-    sink(childDocs(spark, 200000L, 204000L), 1L)
+    sink(batch(200000L, 204000L), 1L)
     println("[fault-child] batch 1 committed (kill arrived too late)")
     spark.stop()
   }
@@ -67,9 +78,61 @@ object FaultBench {
       .select(col("id").as("doc_id"),
         BenchCorpus.zipfText(col("id")).as("text"))
 
+  /** Deterministic 16-dim vectors (hash direction + hash noise — the
+    * AnnStoreBench profile), identical across JVMs for the same ids. */
+  private def childVecs(spark: SparkSession, lo: Long, hi: Long) =
+    spark.range(lo, hi).toDF("id").select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), d => {
+        val cl = (pmod(xxhash64(pmod(col("id"), lit(64L)), d),
+          lit(2001L)).cast("double") / 1000.0 - 1.0)
+        val nz = (pmod(xxhash64(col("id"), d, lit(7L)),
+          lit(2001L)).cast("double") / 1000.0 - 1.0)
+        (cl + nz * 0.1).cast("float")
+      }).as("embedding"))
+
+  /** Launch a `<mode> <storePath>` child JVM, SIGKILL it as soon as
+    * batch 1's FIRST delta write commits (`trigger`, relative to the
+    * store) — the batch's remaining writes are then in flight or
+    * unstarted — and report whether the child had already finished
+    * (kill landed too late; the probe still validates the committed
+    * path). Bounded wait: a hung child fails the bench. */
+  private def killChildMidBatch(mode: String, storePath: String,
+                                trigger: String): Boolean = {
+    // the child needs the parent's JDK-17 module options (sbt supplies
+    // them via forked javaOptions; a bare `java` would fail Spark init)
+    import scala.jdk.CollectionConverters._
+    val moduleArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") ||
+        a.startsWith("--add-exports") || a.startsWith("--enable-native"))
+    val childCmd = Seq(
+      s"${sys.props("java.home")}/bin/java") ++ moduleArgs ++ Seq(
+      "-Xmx4g", "-cp", sys.props("java.class.path"),
+      "graft.FaultBench", mode, storePath)
+    val child = new ProcessBuilder(childCmd: _*).inheritIO().start()
+    val trig = java.nio.file.Paths.get(storePath, trigger)
+    val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+    while (child.isAlive && !java.nio.file.Files.exists(trig) &&
+      System.nanoTime() < deadline) Thread.sleep(5)
+    // decide on the loop's EXIT REASON, sampled once — and destroy the
+    // child on EVERY path (a failure abort must not leak a live JVM
+    // that keeps mutating the store)
+    val triggered = java.nio.file.Files.exists(trig)
+    val wasAlive = child.isAlive
+    child.destroyForcibly()
+    child.waitFor()
+    require(triggered || wasAlive,
+      s"fault child exited (code ${child.exitValue()}) before batch 1 " +
+        "started — launch failure, not a crash probe")
+    require(triggered,
+      s"fault child hung 180 s before the kill trigger; aborting $mode")
+    !wasAlive
+  }
+
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("prefix-sink-child")) {
-      prefixSinkChild(args(1)); return
+    if (args.headOption.exists(_.endsWith("-sink-child"))) {
+      sinkChild(args(0), args(1)); return
     }
     val spark: SparkSession = SparkSession.builder()
       .master("local-cluster[2,1,1536]")
@@ -202,39 +265,10 @@ object FaultBench {
     val baseDocs = childDocs(spark, 0L, 2000L)
     graft.streaming.DocStream.initPrefixIndexStore(baseDocs, ixPath, 0.5)
     graft.streaming.DocStream.initPrefixIndexStore(baseDocs, refPath, 0.5)
-    // the child needs the parent's JDK-17 module options (sbt supplies
-    // them via forked javaOptions; a bare `java` would fail Spark init)
-    import scala.jdk.CollectionConverters._
-    val moduleArgs = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getInputArguments.asScala
-      .filter(a => a.startsWith("--add-opens") ||
-        a.startsWith("--add-exports") || a.startsWith("--enable-native"))
-    val childCmd = Seq(
-      s"${sys.props("java.home")}/bin/java") ++ moduleArgs ++ Seq(
-      "-Xmx4g", "-cp", sys.props("java.class.path"),
-      "graft.FaultBench", "prefix-sink-child", ixPath)
-    val child = new ProcessBuilder(childCmd: _*).inheritIO().start()
     // kill as soon as batch 1's FIRST delta commits — the remaining
-    // freqd/arrays writes are then in flight or unstarted. Bounded
-    // wait: a hung child must fail the bench, not block it.
-    val trigger = java.nio.file.Paths.get(ixPath,
+    // freqd/arrays writes are then in flight or unstarted
+    val landedLate = killChildMidBatch("prefix-sink-child", ixPath,
       "entries/batch_id=1/_SUCCESS")
-    val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
-    while (child.isAlive && !java.nio.file.Files.exists(trigger) &&
-      System.nanoTime() < deadline) Thread.sleep(5)
-    // decide on the loop's EXIT REASON, sampled once — and destroy the
-    // child on EVERY path (a failure abort must not leak a live JVM
-    // that keeps mutating the store)
-    val triggered = java.nio.file.Files.exists(trigger)
-    val wasAlive = child.isAlive
-    child.destroyForcibly()
-    child.waitFor()
-    require(triggered || wasAlive,
-      s"fault child exited (code ${child.exitValue()}) before batch 1 " +
-        "started — launch failure, not a crash probe")
-    require(triggered,
-      "fault child hung 180 s before the kill trigger; aborting phase 3")
-    val landedLate = !wasAlive
     val arraysCommitted = java.nio.file.Files.exists(
       java.nio.file.Paths.get(ixPath, "arrays/batch_id=1/_SUCCESS"))
     println(s"[fault-bench] child SIGKILLed mid-batch-1 " +
@@ -258,6 +292,96 @@ object FaultBench {
       s"compact+replay: correct=$okKill " +
       s"(docs=${gotIds.size} vs ${wantIds.size})")
     require(okKill, "prefix store diverged after a real mid-batch kill")
+
+    // ── phase 4 (r9 verdict task #2): the same real mid-batch SIGKILL
+    // for the BM25 store. The kill triggers on batch 1's FIRST delta
+    // (tf — the sink commits tf, tot, dfd in that order), so the
+    // additive counters are the exposed surface: a compaction that
+    // folded the partial batch, or a replay that double-counted it,
+    // would corrupt df/totals forever. Restart sequence = compaction
+    // first (the dangerous order), then the replay. The reference is a
+    // never-crashed store over the same batches; equality is on the
+    // LOADED relations (the load path folds snapshots + deltas, so the
+    // representations may differ, the contents must not). ──
+    {
+      import graft.streaming.DocStream
+      val dir = java.nio.file.Files.createTempDirectory("graft-fault-bm25")
+      val ix = dir.resolve("ix").toString
+      val ref = dir.resolve("ref").toString
+      // the BM25 sink needs no init: seed batch 0 paths exist after the
+      // child's first batch
+      val late = killChildMidBatch("bm25-sink-child", ix,
+        "tf/batch_id=1/_SUCCESS")
+      val dfdCommitted = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(ix, "dfd/batch_id=1/_SUCCESS"))
+      println(s"[fault-bench] bm25 child SIGKILLed mid-batch-1 " +
+        s"(dfd committed=$dfdCommitted, finished=$late)")
+      DocStream.compactBm25Index(spark, ix)
+      DocStream.bm25IndexSink(ix)(childDocs(spark, 200000L, 204000L), 1L)
+      val sinkRef = DocStream.bm25IndexSink(ref)
+      sinkRef(childDocs(spark, 100000L, 102000L), 0L)
+      sinkRef(childDocs(spark, 200000L, 204000L), 1L)
+      def rel(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+          .sorted.toSeq
+      val (gi, gr) = (DocStream.loadBm25Index(spark, ix),
+        DocStream.loadBm25Index(spark, ref))
+      val ok = rel(gi.tf) == rel(gr.tf) && rel(gi.df) == rel(gr.df) &&
+        rel(gi.totals) == rel(gr.totals)
+      println(s"[fault-bench] killed BM25 store == reference after " +
+        s"compact+replay: correct=$ok " +
+        s"(postings=${gi.tf.count()} vs ${gr.tf.count()})")
+      require(ok, "BM25 store diverged after a real mid-batch kill")
+    }
+
+    // ── phase 5 (r9 verdict task #2): the real mid-batch SIGKILL for
+    // the ANN store. The kill triggers on batch 1's vecd commit (sigd
+    // — the commit point — is then in flight), exposing the
+    // batch-level-evidence guard: folding the orphaned vecd would
+    // duplicate every batch-1 vector once the replay lands. The killed
+    // store must hold each vector exactly once and probe EQUAL to an
+    // offline rebuild at its own planes (the AnnStreamSpec hinge — the
+    // reference store's planes legitimately differ when the kill
+    // interleaving changes which batches the compaction folded). ──
+    {
+      import graft.streaming.AnnStream
+      val dir = java.nio.file.Files.createTempDirectory("graft-fault-ann")
+      val ix = dir.resolve("ix").toString
+      val baseVecs = childVecs(spark, 0L, 2000L)
+      AnnStream.initAnnIndexStore(baseVecs, ix, targetOccupancy = 64)
+      val late = killChildMidBatch("ann-sink-child", ix,
+        "vecd/batch_id=1/_SUCCESS")
+      val sigdCommitted = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(ix, "sigd/batch_id=1/_SUCCESS"))
+      println(s"[fault-bench] ann child SIGKILLed mid-batch-1 " +
+        s"(sigd committed=$sigdCommitted, finished=$late)")
+      AnnStream.compactAnnIndexStore(spark, ix, targetOccupancy = 64)
+      AnnStream.annIndexSink(ix)(childVecs(spark, 200000L, 204000L), 1L)
+      val got = AnnStream.loadStreamedAnnIndex(spark, ix)
+      val ids = got.vecs.select("vec_id").collect().map(_.getLong(0)).toSeq
+      val wantIdSet = ((0L until 2000L) ++ (100000L until 102000L) ++
+        (200000L until 204000L)).toSeq
+      val idsOk = ids.sorted == wantIdSet
+      // probe parity vs an offline rebuild over the same vectors at the
+      // killed store's own frozen planes
+      val allVecs = baseVecs
+        .unionByName(childVecs(spark, 100000L, 102000L))
+        .unionByName(childVecs(spark, 200000L, 204000L))
+      val queries = childVecs(spark, 1000000000L, 1000000064L)
+      def probeRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+          .sorted.toSeq
+      val gotProbe = probeRows(AnnStream.knnProbe(got, queries, k = 3,
+        probeFlips = 1))
+      val offline = probeRows(graft.operators.AnnQueries.knnProbeLsh(
+        graft.operators.AnnQueries.signSignatures(allVecs, got.planes),
+        allVecs, got.planes, queries, k = 3, probeFlips = 1))
+      val ok = idsOk && gotProbe == offline
+      println(s"[fault-bench] killed ANN store == offline rebuild after " +
+        s"compact+replay: correct=$ok (vecs=${ids.size}, " +
+        s"planes=${got.planes}, probe_rows=${gotProbe.size})")
+      require(ok, "ANN store diverged after a real mid-batch kill")
+    }
     spark.stop()
   }
 }

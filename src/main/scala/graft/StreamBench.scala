@@ -19,6 +19,16 @@ import graft.gtfs.{GtfsRt, GtfsStatic}
   * percentiles, throughput, and the basis-dedup state size (which must
   * stay == fleet size — bounded — regardless of feeds processed).
   *
+  * `SPARK_GRAFT_COMPOSED=1` (r9 verdict task #4) co-residents the THREE
+  * streamed index sinks (BM25, prefix-dedup, sign-LSH ANN — each with
+  * its auto-compaction cadence) in the SAME SparkSession: rate-source
+  * document/vector feeds drive them at the same trigger while the
+  * records + predictions queries process the fleet. The question is
+  * INTERFERENCE — whether the automatic mode's batch medians stay under
+  * the trigger floor with five queries sharing one scheduler — so the
+  * JSON line grows per-sink batch percentiles alongside the two
+  * automatic-mode entries.
+  *
   * Dev tooling (scale probes), not part of the driver contract.
   */
 object StreamBench {
@@ -114,6 +124,53 @@ object StreamBench {
     (0 until staged).foreach(writeFeed)
 
     val trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs)
+    val composed = sys.env.get("SPARK_GRAFT_COMPOSED").contains("1")
+
+    // --- composed mode: the three index-maintenance sinks co-resident
+    // in this session, fed by rate sources at the same trigger ---
+    val ixQueries: Seq[(String, org.apache.spark.sql.streaming.StreamingQuery)] =
+      if (!composed) Nil else {
+        import graft.streaming.{AnnStream, DocStream}
+        val docsPerSec = sys.env.getOrElse("SPARK_GRAFT_DOC_RATE", "200").toInt
+        val vecsPerSec = sys.env.getOrElse("SPARK_GRAFT_VEC_RATE", "500").toInt
+        def rate(rps: Int) = spark.readStream.format("rate")
+          .option("rowsPerSecond", rps).load()
+        val bm25Path = base.resolve("bm25ix").toString
+        val prefixPath = base.resolve("prefixix").toString
+        val annPath = base.resolve("annix").toString
+        // prefix/ANN stores need a base; ids sit below the rate range
+        DocStream.initPrefixIndexStore(
+          spark.range(1000000000L, 1000002000L)
+            .select(col("id").as("doc_id"),
+              BenchCorpus.zipfText(col("id")).as("text")),
+          prefixPath, 0.5)
+        AnnStream.initAnnIndexStore(
+          spark.range(1000000000L, 1000005000L).toDF("id").select(
+            col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(15)), d =>
+              ((pmod(xxhash64(col("id"), d), lit(2001L)).cast("double")
+                / 1000.0) - 1.0).cast("float")).as("embedding")),
+          annPath)
+        def docFeed = rate(docsPerSec).select(col("value").as("doc_id"),
+          BenchCorpus.zipfText(col("value")).as("text"))
+        def vecFeed = rate(vecsPerSec).select(col("value").as("vec_id"),
+          transform(sequence(lit(0), lit(15)), d =>
+            ((pmod(xxhash64(col("value"), d, lit(3L)), lit(2001L))
+              .cast("double") / 1000.0) - 1.0).cast("float")).as("embedding"))
+        def go(name: String, df: DataFrame,
+               sink: (DataFrame, Long) => Unit) =
+          name -> df.writeStream.trigger(trigger)
+            .option("checkpointLocation", base.resolve(s"ckpt-$name").toString)
+            .foreachBatch(sink).start()
+        Seq(
+          go("bm25_sink", docFeed,
+            DocStream.bm25IndexSink(bm25Path, autoCompactEvery = 10)),
+          go("prefix_sink", docFeed,
+            DocStream.prefixIndexSink(prefixPath, 0.5, autoCompactEvery = 10)),
+          go("ann_sink", vecFeed,
+            AnnStream.annIndexSink(annPath, autoCompactEvery = 10)))
+      }
+
     val t0 = System.nanoTime()
     val (recQ, predQ) = graft.streaming.RtStream.startAutomatic(spark, rtDir,
       schedule, stats,
@@ -145,11 +202,19 @@ object StreamBench {
     }
     val (rb, rRows, rDurs, _) = summary(recQ)
     val (pb, pRows, pDurs, pState) = summary(predQ)
+    val ixSummaries = ixQueries.map { case (name, q) =>
+      val (b, rows, durs, _) = summary(q)
+      (name, b, rows, durs)
+    }
+    ixQueries.foreach(_._2.stop())
     recQ.stop(); predQ.stop()
     val nPreds = spark.read.parquet(base.resolve("predictions").toString).count()
-    println(s"""{"metric":"stream_latency","vehicles":$vehicles,"feeds":${staged + dripped},"trigger_ms":$triggerMs,"wall_s":$wallS,""" +
+    val ixJson = ixSummaries.map { case (name, b, rows, durs) =>
+      s""","$name":{"batches":$b,"rows":$rows,"batch_ms_median":${pct(durs, 0.5)},"batch_ms_p95":${pct(durs, 0.95)},"batch_ms_max":${pct(durs, 1.0)}}"""
+    }.mkString
+    println(s"""{"metric":"stream_latency","vehicles":$vehicles,"feeds":${staged + dripped},"trigger_ms":$triggerMs,"composed":$composed,"wall_s":$wallS,""" +
       s""""records":{"batches":$rb,"rows":$rRows,"batch_ms_median":${pct(rDurs, 0.5)},"batch_ms_p95":${pct(rDurs, 0.95)},"batch_ms_max":${pct(rDurs, 1.0)}},""" +
-      s""""predictions":{"batches":$pb,"rows":$pRows,"batch_ms_median":${pct(pDurs, 0.5)},"batch_ms_p95":${pct(pDurs, 0.95)},"batch_ms_max":${pct(pDurs, 1.0)},"state_rows":$pState,"pred_rows_written":$nPreds}}""")
+      s""""predictions":{"batches":$pb,"rows":$pRows,"batch_ms_median":${pct(pDurs, 0.5)},"batch_ms_p95":${pct(pDurs, 0.95)},"batch_ms_max":${pct(pDurs, 1.0)},"state_rows":$pState,"pred_rows_written":$nPreds}$ixJson}""")
     spark.stop()
   }
 }

@@ -42,11 +42,14 @@ import org.apache.spark.sql.DataFrame
 object Checkpoints {
 
   // one-shot reliable-checkpoint directories awaiting release; keyed by
-  // path (Hadoop conf rides along). Thread-safe: concurrent queries may
-  // truncate while a runner releases.
+  // path (Hadoop conf + registering thread ride along). Thread-safe:
+  // concurrent queries may truncate while a runner releases. The thread
+  // id lets [[releasingScoped]] claim ONLY its own registrations — five
+  // co-resident streaming sinks (the composed automatic mode) otherwise
+  // steal and delete each other's in-flight checkpoints.
   private val oneShots =
     new java.util.concurrent.ConcurrentHashMap[
-      String, org.apache.hadoop.conf.Configuration]()
+      String, (org.apache.hadoop.conf.Configuration, Long)]()
 
   /** Eagerly materialize `df` and truncate its lineage, using reliable
     * storage when the SparkContext has a checkpoint dir configured. On
@@ -57,7 +60,8 @@ object Checkpoints {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       val out = df.checkpoint()
       checkpointFileOf(out).foreach(p => oneShots.put(p,
-        out.sparkSession.sparkContext.hadoopConfiguration))
+        (out.sparkSession.sparkContext.hadoopConfiguration,
+          Thread.currentThread().getId)))
       out
     } else
       df.localCheckpoint()
@@ -74,7 +78,7 @@ object Checkpoints {
     while (it.hasNext) {
       val e = it.next()
       it.remove()
-      try deleteCheckpointDir(e.getValue, e.getKey)
+      try deleteCheckpointDir(e.getValue._1, e.getKey)
       catch { case _: Throwable => () } // best effort — sweep again later
     }
   }
@@ -84,18 +88,22 @@ object Checkpoints {
     * (streaming micro-batches) that must not sweep globally: the global
     * sweep would delete a CONCURRENT query's still-live checkpoints.
     * Call only when every action consuming plans built inside `body`
-    * completes inside `body` (the sink's writes do). Caveat: one-shots
-    * registered by OTHER threads while `body` runs are claimed too —
-    * single-writer streaming sinks satisfy this; interleave multi-query
-    * runners through [[releaseOneShots]] at their own boundaries
-    * instead. */
+    * completes inside `body` (the sink's writes do). The claim is
+    * registration-window AND same-thread: in a COMPOSED session several
+    * sinks' micro-batches overlap (r10 — the automatic mode plus three
+    * index sinks share one SparkSession), and a window-only claim would
+    * steal a concurrent sink's just-registered checkpoint and delete
+    * storage its still-running writes read. Each foreachBatch body runs
+    * driver-side on its own microbatch thread, so thread identity is
+    * exactly per-sink ownership. */
   private[graft] def releasingScoped[T](body: => T): T = {
     val before = snapshotOneShots()
     try body
-    finally claimOneShots(before).foreach { case (c, p) =>
-      try deleteCheckpointDir(c, p)
-      catch { case _: Throwable => () } // best effort, as releaseOneShots
-    }
+    finally claimOneShots(before, sameThreadOnly = true)
+      .foreach { case (c, p) =>
+        try deleteCheckpointDir(c, p)
+        catch { case _: Throwable => () } // best effort, as releaseOneShots
+      }
   }
 
   private[graft] def deregisterOneShot(path: String): Unit = {
@@ -116,12 +124,19 @@ object Checkpoints {
     * own lifetime ends. Used by the shared-relation cache: a persisted
     * relation's LINEAGE may reference these checkpoints (recompute on
     * block loss), so they must live exactly as long as the cache
-    * entry. */
-  private[graft] def claimOneShots(before: Set[String])
+    * entry. `sameThreadOnly` restricts the claim to registrations made
+    * by the CALLING thread — the composed-session ownership rule
+    * [[releasingScoped]] needs (a registration window alone cannot
+    * distinguish this sink's checkpoints from a concurrent sink's). */
+  private[graft] def claimOneShots(before: Set[String],
+                                   sameThreadOnly: Boolean = false)
   : Seq[(org.apache.hadoop.conf.Configuration, String)] = {
+    val tid = Thread.currentThread().getId
     val out = Seq.newBuilder[(org.apache.hadoop.conf.Configuration, String)]
     snapshotOneShots().diff(before).foreach { p =>
-      Option(oneShots.remove(p)).foreach(c => out += ((c, p)))
+      val e = oneShots.get(p)
+      if (e != null && (!sameThreadOnly || e._2 == tid))
+        Option(oneShots.remove(p)).foreach(c => out += ((c._1, p)))
     }
     out.result()
   }

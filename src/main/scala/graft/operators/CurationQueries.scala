@@ -599,10 +599,42 @@ object CurationQueries {
   def bm25TopK(documents: DataFrame, k: Int = 5,
                queryMod: Long = 29L, dfPruneFactor: Long = 0L): DataFrame = {
     val index = buildBm25Index(documents)
+    // the derived-knob resolution reads ONE totals row (the documented
+    // dimension-sized driver-collect class — centroid seeds, bucket
+    // subtotals, and now the corpus doc count)
+    val factor =
+      if (dfPruneFactor == DerivedPrune)
+        dfPruneFactorFor(index.totals.select(col("n_docs")).head().getLong(0))
+      else dfPruneFactor
     val qdocs = documents.filter(col("doc_id") % queryMod === 0)
     bm25ScoreIndexed(index,
-      bm25QueryTerms(index, qdocs, dfPruneFactor = dfPruneFactor), k)
+      bm25QueryTerms(index, qdocs, dfPruneFactor = factor), k)
   }
+
+  /** Sentinel for [[bm25TopK]]'s `dfPruneFactor`: derive the factor
+    * from the index's own corpus stats via [[dfPruneFactorFor]]. */
+  val DerivedPrune: Long = -1L
+
+  /** Data-derived stopword-prune factor (r9 verdict stretch #8) — the
+    * `planesFor`/`kCellsFor` discipline applied to the last hand-set
+    * retrieval knob. The knob's JOB is bounding per-query-term posting
+    * volume: pruning at df·factor > N caps every surviving posting
+    * list at N/factor docs, so the right factor pins that cap at a
+    * constant target posting length (the heavy-list-threshold
+    * discipline applied to retrieval):
+    *
+    *   factor = max(2, ceil(N / maxPostingLen))
+    *
+    * — at most `maxPostingLen` postings scanned per query term at ANY
+    * corpus size (1 M docs → factor 245 → cap 4096; 10¹¹ docs → factor
+    * ~2.4·10⁷ → cap still 4096), while small corpora degrade to
+    * factor 2 = the df > N/2 rule — exactly the regime where BM25's
+    * own integer idf numerator 2(N−df)+1 stops discriminating
+    * (Robertson idf goes negative past df = N/2, and this scoring's
+    * floor-div form bottoms out). Deterministic integer arithmetic,
+    * mirrored verbatim in the q129 oracle CTE (`pf`). */
+  def dfPruneFactorFor(nDocs: Long, maxPostingLen: Long = 4096L): Long =
+    math.max(2L, (nDocs + maxPostingLen - 1L) / maxPostingLen)
 
   /** The persisted inverted-index artifact of BM25 retrieval — the
     * [[DedupQueries.PrefixIndex]] discipline applied to the retrieval
@@ -1045,16 +1077,19 @@ object CurationQueries {
              |SELECT query_id, rk AS rank, doc_id, score FROM lexr
              |WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin)),
 
-    // ── q126 with the absolute stopword prune ON (df·10 > N dropped) —
-    //    the production open-vocabulary configuration, oracle-checked
-    //    through the same CTE chain with the prune clause spliced in.
-    //    On this corpus's closed 31-token vocabulary exactly one rare
-    //    token survives factor 10, so the result is small but fully
-    //    deterministic: queries whose docs lack a surviving term drop
-    //    out (the defined partial-signal semantics) ──
+    // ── q126 with the absolute stopword prune ON at the DATA-DERIVED
+    //    factor (r9 stretch #8): dfPruneFactorFor(N) = max(2, ceil(N /
+    //    4096)) — posting lists capped at 4096 at any corpus size,
+    //    degrading to the df > N/2 rule on small corpora. The oracle
+    //    re-derives the factor from its own tot CTE (pf), so the rule —
+    //    not a literal — is what the gate certifies, at every SF. On
+    //    this corpus's closed 31-token vocabulary the derived factor is
+    //    2 (N ≤ 4096), pruning the majority-df head; queries whose docs
+    //    lack a surviving term drop out (the defined partial-signal
+    //    semantics) ──
     "q129_bm25_pruned" -> QueryDef(
-      (s, d) => bm25TopK(Tables.documents(s, d), dfPruneFactor = 10L),
-      Some(s"""WITH ${bm25RankedCtes(10L)}
+      (s, d) => bm25TopK(Tables.documents(s, d), dfPruneFactor = DerivedPrune),
+      Some(s"""WITH ${bm25RankedCtes(DerivedPrune)}
              |SELECT query_id, rk AS rank, doc_id, score FROM lexr
              |WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin))
   )
@@ -1072,8 +1107,15 @@ object CurationQueries {
     * exercises the prune clause end to end; Bm25Spec additionally pins
     * the Spark-side cut on an open-vocabulary fixture. */
   private[operators] def bm25RankedCtes(dfPruneFactor: Long): String = {
+    // DerivedPrune mirrors dfPruneFactorFor in SQL: the factor comes
+    // from the corpus's own doc count (pf), not a literal
+    val pfCte =
+      if (dfPruneFactor != DerivedPrune) ""
+      else "pf AS (SELECT GREATEST(2, (n_docs + 4095) // 4096) AS f FROM tot),\n"
     val prune =
-      if (dfPruneFactor <= 0) ""
+      if (dfPruneFactor == DerivedPrune)
+        ", tot, pf WHERE df.df * pf.f <= tot.n_docs"
+      else if (dfPruneFactor <= 0) ""
       else s", tot WHERE df.df * $dfPruneFactor <= tot.n_docs"
     s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |          FROM documents),
@@ -1081,7 +1123,7 @@ object CurationQueries {
       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
       |tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS s_tokens FROM dl),
-      |qc AS (SELECT doc_id AS query_id,
+      |${pfCte}qc AS (SELECT doc_id AS query_id,
       |         unnest(list_distinct(string_split(text, ' '))) AS token
       |       FROM documents WHERE doc_id % 29 = 0),
       |qp AS (SELECT qc.query_id, qc.token, df.df FROM qc

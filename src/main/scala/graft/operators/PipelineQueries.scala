@@ -472,13 +472,29 @@ object PipelineQueries {
     * rollup; the components operator dominates. */
   def dupClusterStats(documents: org.apache.spark.sql.DataFrame,
                       threshold: Double = 0.8,
-                      heavyListThreshold: Int = 512): org.apache.spark.sql.DataFrame = {
+                      heavyListThreshold: Int = 512): org.apache.spark.sql.DataFrame =
+    clusterRollup(exactDupComponents(documents, threshold,
+      heavyListThreshold), documents)
+
+  /** (id, component) over the EXACT corpus-wide prefix-join edge set —
+    * q125's assignment, shared with the q132 recall certificate. */
+  private def exactDupComponents(documents: org.apache.spark.sql.DataFrame,
+                                 threshold: Double,
+                                 heavyListThreshold: Int)
+  : org.apache.spark.sql.DataFrame = {
     val edges = DedupQueries.tokenPrefixJoin(
         documents.select(col("doc_id"), lit("all").as("source"), col("text")),
         threshold, heavyListThreshold, sorted = false)
       .select(col("id1").as("u"), col("id2").as("v"))
-    val comps = ConnectedComponents.components(
+    ConnectedComponents.components(
       documents.select(col("doc_id").as("id")), edges)
+  }
+
+  /** The shared per-cluster rollup of q125/q128: size, source span and
+    * token mass for every ≥2-doc component. */
+  private def clusterRollup(comps: org.apache.spark.sql.DataFrame,
+                            documents: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame =
     comps.join(documents.select(col("doc_id").as("id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens")), Seq("id"))
       .groupBy(col("component"))
@@ -489,7 +505,6 @@ object PipelineQueries {
         sum(col("n_tokens")).cast("long").as("total_tokens"))
       .filter(col("n_docs") >= 2)
       .orderedResult(col("component"))
-  }
 
   /** LSH-bucketed duplicate-cluster statistics (q128) — q125's linear-
     * cost scale rung. [[dupClusterStats]] derives its edge set from the
@@ -512,7 +527,14 @@ object PipelineQueries {
     * million-document duplicate blob costs 10⁶ verifications, not
     * 5·10¹¹ pairs. */
   def lshClusterStats(documents: org.apache.spark.sql.DataFrame,
-                      threshold: Double = 0.8): org.apache.spark.sql.DataFrame = {
+                      threshold: Double = 0.8): org.apache.spark.sql.DataFrame =
+    clusterRollup(lshDupComponents(documents, threshold), documents)
+
+  /** (id, component) over the LSH star-edge set — q128's assignment,
+    * shared with the q132 recall certificate. */
+  private def lshDupComponents(documents: org.apache.spark.sql.DataFrame,
+                               threshold: Double)
+  : org.apache.spark.sql.DataFrame = {
     val bandKey = Seq("band", "s0", "s1", "s2", "s3")
     val banded = DedupQueries.minhashBanded(
       documents.select(col("doc_id"), col("text")))
@@ -533,17 +555,53 @@ object PipelineQueries {
       .filter(size(array_intersect(col("t1"), col("t2"))).cast("double")
         / size(array_union(col("t1"), col("t2"))) >= threshold)
       .select(col("id1").as("u"), col("id2").as("v"))
-    val comps = ConnectedComponents.components(
+    ConnectedComponents.components(
       documents.select(col("doc_id").as("id")), verified)
-    comps.join(documents.select(col("doc_id").as("id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens")), Seq("id"))
+  }
+
+  /** Cluster-recall certificate for the q128 LSH rung (q132) — the
+    * q106/q131 discipline applied to the dedup-cluster family: the ANN
+    * queries certify their approximate rungs with a measured recall
+    * number, and the LSH cluster report gets the same. Per EXACT q125
+    * cluster (the yardstick): how many of its documents — and how much
+    * of its token mass — the linear-cost q128 construction recovers. A
+    * document is RECOVERED when the LSH rung groups it with at least
+    * one other document (member of a ≥2-doc LSH component); since every
+    * verified star edge is also an exact edge, LSH components REFINE
+    * exact components, so recovery never crosses cluster lines and
+    * doc_recall ∈ [0, 1] measures exactly what banding grants (a doc
+    * joins iff some band collides with a bucket representative).
+    *
+    * Cost: both component assignments (the exact one dominates — this
+    * is a certification report, priced like q125 + q128; the
+    * production pipeline runs q128 alone and consults this at audit
+    * cadence). Scale shape: two linear component runs + one
+    * broadcastable ≥2-size filter join + a component-keyed rollup —
+    * no operator beyond what q125/q128 already commit to. */
+  def lshClusterRecall(documents: org.apache.spark.sql.DataFrame,
+                       threshold: Double = 0.8): org.apache.spark.sql.DataFrame = {
+    val exact = exactDupComponents(documents, threshold, 512)
+    val lsh = lshDupComponents(documents, threshold)
+    // docs the LSH rung recovered: members of ≥2-doc LSH components.
+    // The size relation is component-keyed (≪ docs) — broadcastable
+    val lshSizes = lsh.groupBy(col("component"))
+      .agg(count(lit(1)).as("sz")).filter(col("sz") >= 2)
+      .select(col("component"))
+    val rec = lsh.join(broadcast(lshSizes), Seq("component"))
+      .select(col("id"), lit(1).as("rec"))
+    val nt = documents.select(col("doc_id").as("id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    exact.join(nt, Seq("id"))
+      .join(rec, Seq("id"), "left")
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_docs"),
-        count_distinct(col("source")).as("n_sources"),
-        min(col("n_tokens")).as("min_tokens"),
-        max(col("n_tokens")).as("max_tokens"),
-        sum(col("n_tokens")).cast("long").as("total_tokens"))
+        sum(coalesce(col("rec"), lit(0))).cast("long").as("n_recovered"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        sum(when(col("rec").isNotNull, col("n_tokens")).otherwise(0L))
+          .cast("long").as("recovered_tokens"))
       .filter(col("n_docs") >= 2)
+      .withColumn("doc_recall",
+        col("n_recovered").cast("double") / col("n_docs"))
       .orderedResult(col("component"))
   }
 
@@ -654,6 +712,69 @@ object PipelineQueries {
              |FROM comps c JOIN documents d ON d.doc_id = c.id
              |GROUP BY c.component HAVING COUNT(*) >= 2
              |ORDER BY c.component""".stripMargin)),
+
+    // ── cluster-recall certificate for the LSH rung: per EXACT q125
+    //    cluster, the fraction of documents and token mass the q128
+    //    construction recovers — both component assignments re-derived
+    //    in DuckDB (two recursive CTEs under one WITH RECURSIVE) ──
+    "q132_lsh_cluster_recall" -> QueryDef(
+      (s, d) => lshClusterRecall(Tables.documents(s, d)),
+      Some(s"""WITH RECURSIVE ${DedupQueries.minhashBandedCtes},
+             |reps AS (SELECT band, s0, s1, s2, s3, MIN(doc_id) AS rep
+             |         FROM bands GROUP BY 1, 2, 3, 4, 5
+             |         HAVING COUNT(*) >= 2),
+             |cand AS (SELECT DISTINCT r.rep AS id1, b.doc_id AS id2
+             |         FROM bands b JOIN reps r
+             |           USING (band, s0, s1, s2, s3)
+             |         WHERE b.doc_id <> r.rep),
+             |toks AS (SELECT doc_id,
+             |    list_distinct(string_split(text, ' ')) AS t FROM documents),
+             |xpairs AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |      / len(list_distinct(a.t || b.t)) >= 0.8),
+             |xedges AS (SELECT id1 AS u, id2 AS v FROM xpairs
+             |           UNION ALL SELECT id2, id1 FROM xpairs),
+             |xreach AS (
+             |  SELECT doc_id AS id, doc_id AS comp FROM documents
+             |  UNION
+             |  SELECT e.v AS id, r.comp FROM xreach r JOIN xedges e ON e.u = r.id
+             |  WHERE r.comp < e.v),
+             |xcomps AS (SELECT id, MIN(comp) AS component
+             |           FROM xreach GROUP BY id),
+             |lver AS (SELECT c.id1 AS u, c.id2 AS v FROM cand c
+             |         JOIN toks a ON a.doc_id = c.id1
+             |         JOIN toks b ON b.doc_id = c.id2
+             |         WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |             / len(list_distinct(a.t || b.t)) >= 0.8),
+             |ledges AS (SELECT u, v FROM lver UNION ALL SELECT v, u FROM lver),
+             |lreach AS (
+             |  SELECT doc_id AS id, doc_id AS comp FROM documents
+             |  UNION
+             |  SELECT e.v AS id, r.comp FROM lreach r JOIN ledges e ON e.u = r.id
+             |  WHERE r.comp < e.v),
+             |lcomps AS (SELECT id, MIN(comp) AS lcomponent
+             |           FROM lreach GROUP BY id),
+             |lsz AS (SELECT lcomponent FROM lcomps
+             |        GROUP BY 1 HAVING COUNT(*) >= 2),
+             |rec AS (SELECT lc.id FROM lcomps lc
+             |        JOIN lsz ON lsz.lcomponent = lc.lcomponent),
+             |nt AS (SELECT doc_id AS id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents)
+             |SELECT x.component, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_recovered,
+             |  CAST(SUM(nt.n_tokens) AS BIGINT) AS total_tokens,
+             |  CAST(SUM(CASE WHEN r.id IS NOT NULL THEN nt.n_tokens ELSE 0 END)
+             |    AS BIGINT) AS recovered_tokens,
+             |  CAST(SUM(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / COUNT(*) AS doc_recall
+             |FROM xcomps x JOIN nt ON nt.id = x.id
+             |LEFT JOIN rec r ON r.id = x.id
+             |GROUP BY x.component HAVING COUNT(*) >= 2
+             |ORDER BY x.component""".stripMargin)),
 
     // ── per-source triangle census of the duplicate graph: degree-
     //    ordered wedge join (π-orientation bounds per-key fan-out by

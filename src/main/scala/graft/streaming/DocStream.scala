@@ -215,7 +215,7 @@ object DocStream {
   private[streaming] def batchDirs(spark: org.apache.spark.sql.SparkSession, dir: String) =
     keyedDirs(spark, dir, "batch_id")
 
-  private[streaming] def readLongMarker(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readLongMarker(spark: org.apache.spark.sql.SparkSession,
                              path: String, name: String): Option[Long] = {
     val fs = fsOf(spark, path)
     val m = new org.apache.hadoop.fs.Path(s"$path/$name")

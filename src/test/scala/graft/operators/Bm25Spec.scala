@@ -151,6 +151,37 @@ class Bm25Spec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == tPr.collect().map(_.toSeq).toSeq)
   }
 
+  test("dfPruneFactorFor: posting cap constant at scale, df > N/2 floor below it") {
+    import org.apache.spark.sql.functions._
+    // the rule: factor = max(2, ceil(N / 4096)) — so the surviving
+    // posting-list cap N/factor is ~4096 at ANY large corpus and the
+    // small-corpus floor is the df > N/2 stopword rule
+    assert(CurationQueries.dfPruneFactorFor(500L) == 2L)
+    assert(CurationQueries.dfPruneFactorFor(4096L) == 2L)
+    assert(CurationQueries.dfPruneFactorFor(4097L) == 2L)
+    assert(CurationQueries.dfPruneFactorFor(1000000L) == 245L)
+    val huge = 100000000000L // 10^11 docs
+    val f = CurationQueries.dfPruneFactorFor(huge)
+    assert(huge / f <= 4096L && (f - 1) * 4096L < huge,
+      "f is the minimal factor pinning the cap at the target length")
+    // bm25TopK's DerivedPrune sentinel resolves through the rule: on a
+    // 60-doc corpus the factor is 2, so df = N stopwords are pruned
+    // exactly as an explicit factor-2 call would
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rare = (0 until 200).map(i => s"sig$i")
+    val docs = (0L until 60L).map(i => (i,
+      (Seq("the", "of") ++ Seq.fill(4)(rare(rnd.nextInt(rare.size))))
+        .mkString(" "))).toDF("doc_id", "text")
+    val derived = CurationQueries.bm25TopK(docs,
+      dfPruneFactor = CurationQueries.DerivedPrune)
+      .collect().map(_.toSeq).toSeq
+    val explicit = CurationQueries.bm25TopK(docs, dfPruneFactor = 2L)
+      .collect().map(_.toSeq).toSeq
+    assert(derived == explicit && derived.nonEmpty,
+      "DerivedPrune == dfPruneFactorFor(N) made explicit")
+  }
+
   test("deterministic across executions (integer scoring, no float sums)") {
     val rnd = new scala.util.Random(7)
     val vocab = (0 until 12).map(i => s"w$i")
