@@ -522,6 +522,77 @@ object DedupQueries {
   /** The CTE chain reproducing [[minhashBanded]] in DuckDB (g → sigs →
     * bands), generated from the same constants. Shared by the q66 oracle
     * and PipelineQueries' q128 LSH cluster-stats oracle. */
+  // ── TOKEN-set MinHash banding (r10): the q132 certificate showed the
+  // char-shingle estimator CANNOT serve token-Jaccard clustering — true
+  // token-jac ≥ 0.8 pairs on this corpus have shingle-jac ≈ 0.02
+  // (token-level rewrites destroy 8-char windows), so 4×4 banding fires
+  // with p ≈ 0.02⁴ and the q128 rung recovered 12 % of exact-cluster
+  // docs. Banding over minhashes of the TOKEN set aligns the estimator
+  // with the verifier: per-band collision = tok_jac⁴ (0.41 at t = 0.8),
+  // ≥ 1-of-4-bands = 0.88 per true pair. Portable token hash: the
+  // gramHashSql polynomial over the token's first 16 chars (ascii of
+  // an out-of-range substr is 0 on BOTH engines, so short tokens pad
+  // with zeros and 16+-char tokens truncate identically). ──
+
+  /** 31^k mod p coefficients for the portable token polynomial. */
+  private[operators] val tokenHashC: IndexedSeq[Long] = {
+    val out = Array.fill(16)(1L)
+    for (k <- 1 until 16) out(k) = out(k - 1) * 31L % MinhashP
+    out.toIndexedSeq
+  }
+
+  /** Portable per-token hash: Σ ascii(char_k)·31^k mod p over the first
+    * 16 chars — term sum ≤ 16·255·10⁹ ≈ 4·10¹², no overflow. */
+  private[operators] def tokenHash(w: Column): Column =
+    (0 until 16).map(k => ascii(substring(w, k + 1, 1)).cast("long")
+      * lit(tokenHashC(k))).reduce(_ + _) % MinhashP
+
+  private[operators] def tokenHashSql(w: String): String =
+    (0 until 16).map(k =>
+      s"ascii(substr($w,${k + 1},1))*CAST(${tokenHashC(k)} AS BIGINT)")
+      .mkString("(", " + ", s") % $MinhashP")
+
+  /** [[minhashBanded]] over the TOKEN set instead of char shingles —
+    * the banding that serves token-Jaccard cluster recovery (q128/
+    * q132). Same 16 affine permutations, same 4×4 banding. */
+  private[operators] def minhashBandedTokens(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(array_distinct(
+        transform(split(col("text"), " "), w => tokenHash(w)))).as("g"))
+    val sigs = toks.groupBy("doc_id")
+      .agg(min((col("g") * minhashA(0) + minhashB(0)) % MinhashP).as("sig0"),
+        (1 until 16).map(k =>
+          min((col("g") * minhashA(k) + minhashB(k)) % MinhashP).as(s"sig$k")): _*)
+    val bands = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        col(s"sig${4 * b}").as("s0"), col(s"sig${4 * b + 1}").as("s1"),
+        col(s"sig${4 * b + 2}").as("s2"), col(s"sig${4 * b + 3}").as("s3")))
+    sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.s0").as("s0"),
+        col("b.s1").as("s1"), col("b.s2").as("s2"), col("b.s3").as("s3"))
+  }
+
+  /** [[minhashBandedCtes]]'s token-set twin (ends in `bands`). */
+  private[operators] def minhashBandedTokensCtes: String = {
+    val sigExprs = (0 until 16).map(k =>
+      s"list_min(list_transform(gs, g -> (g * ${minhashA(k)} + ${minhashB(k)}) % $MinhashP)) AS sig$k")
+      .mkString(",\n    ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, sig${4 * b} AS s0, sig${4 * b + 1} AS s1, " +
+        s"sig${4 * b + 2} AS s2, sig${4 * b + 3} AS s3 FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""g AS (SELECT doc_id,
+       |    list_distinct(list_transform(string_split(text, ' '),
+       |      w -> ${tokenHashSql("w")})) AS gs
+       |  FROM documents),
+       |sigs AS (SELECT doc_id,
+       |    $sigExprs
+       |  FROM g),
+       |bands AS (
+       |  $bandRows)""".stripMargin
+  }
+
   private[operators] def minhashBandedCtes: String = {
     val gram = (0 until 8).map(gramHashSql).mkString(" + ")
     val sigExprs = (0 until 16).map(k =>
@@ -1051,6 +1122,17 @@ object DedupQueries {
       math.round(threshold * 1000000).toInt, heavyListThreshold)(
       tokenPrefixJoin(documents, threshold, heavyListThreshold,
         sorted = false))
+
+  /** The shared-relation memo for OTHER operator modules' edge sets
+    * (r10: PipelineQueries' q125/q132 exact corpus-wide edges and
+    * q128/q132 LSH star edges — the q132 recall certificate re-derives
+    * both assignments, and without sharing a registry pass computes
+    * each edge set twice). Same key/lifetime semantics as
+    * [[tokenPrefixJoinShared]]; `kind` must be unique per construction. */
+  private[operators] def memoSharedRelation(kind: String, input: DataFrame,
+                                            a: Int, b: Int)
+                                           (build: => DataFrame): DataFrame =
+    memoShared(kind, input, a, b)(build)
 
   /** Drop every cached shared pair/edge relation (frees executor
     * storage and the checkpoint directories the entries own, INCLUDING

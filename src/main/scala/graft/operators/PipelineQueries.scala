@@ -477,14 +477,20 @@ object PipelineQueries {
       heavyListThreshold), documents)
 
   /** (id, component) over the EXACT corpus-wide prefix-join edge set —
-    * q125's assignment, shared with the q132 recall certificate. */
+    * q125's assignment, shared with the q132 recall certificate. The
+    * edge set rides the registry-level shared-relation cache (the
+    * q57/q81 discipline): q125 and q132 consume the IDENTICAL corpus-
+    * wide t = 0.8 edges, and the exact prefix join is the dominant
+    * cost of both — one registry pass builds it once. */
   private def exactDupComponents(documents: org.apache.spark.sql.DataFrame,
                                  threshold: Double,
                                  heavyListThreshold: Int)
   : org.apache.spark.sql.DataFrame = {
-    val edges = DedupQueries.tokenPrefixJoin(
-        documents.select(col("doc_id"), lit("all").as("source"), col("text")),
-        threshold, heavyListThreshold, sorted = false)
+    val edges = DedupQueries.memoSharedRelation("xclust",
+        documents, math.round(threshold * 1000000).toInt, heavyListThreshold)(
+        DedupQueries.tokenPrefixJoin(
+          documents.select(col("doc_id"), lit("all").as("source"), col("text")),
+          threshold, heavyListThreshold, sorted = false))
       .select(col("id1").as("u"), col("id2").as("v"))
     ConnectedComponents.components(
       documents.select(col("doc_id").as("id")), edges)
@@ -512,51 +518,78 @@ object PipelineQueries {
     * (this corpus holds one ~2,400-doc cluster at t = 0.8 ⇒ ~2.9 M clique
     * edges — output-optimal for the exact report, but quadratic per
     * cluster). The production MinHash-dedup shape replaces the pair
-    * relation with STAR edges: within every q66 LSH bucket (band +
-    * 4-minhash tuple, [[DedupQueries.minhashBanded]]) each document is
-    * verified against the bucket REPRESENTATIVE (min doc_id) only —
-    * candidate volume is LINEAR in bucket size, never C(n,2). Every
+    * relation with CHAIN edges: within every TOKEN-minhash LSH bucket
+    * (band + 4-minhash tuple, [[DedupQueries.minhashBandedTokens]] —
+    * the estimator aligned with the token-Jaccard verifier, r10)
+    * consecutive members by doc_id are verified against each other —
+    * candidate
+    * volume is LINEAR in bucket size (n−1 pairs), never C(n,2). Every
     * candidate edge is still exact-verified at token-Jaccard ≥ t before
     * use, so each reported cluster provably REFINES an exact q125
     * cluster (edges ⊆ exact edges ⇒ components ⊆ exact components);
-    * recall is what LSH banding grants (a doc joins its cluster iff some
-    * band collides with the representative — 4 bands of 4 at the q66
-    * operating point). Same rollup as q125. The bucket groupBy and the
-    * rep probe are both linear scans of the banded relation (4 rows/doc);
-    * no self-join exists anywhere in the plan, so a 100 TB corpus with a
+    * recall is what LSH banding grants through local chaining, and is
+    * MEASURED per exact cluster by the q132 certificate (which is how
+    * the r10 round found chains dominate the star-to-representative
+    * variant at identical cost — see [[lshChainEdges]]). Same rollup as
+    * q125. The banding and chain window are linear scans of the banded
+    * relation (4 rows/doc, bucket-partitioned window); no self-join
+    * exists anywhere in the plan, so a 100 TB corpus with a
     * million-document duplicate blob costs 10⁶ verifications, not
     * 5·10¹¹ pairs. */
   def lshClusterStats(documents: org.apache.spark.sql.DataFrame,
                       threshold: Double = 0.8): org.apache.spark.sql.DataFrame =
     clusterRollup(lshDupComponents(documents, threshold), documents)
 
-  /** (id, component) over the LSH star-edge set — q128's assignment,
-    * shared with the q132 recall certificate. */
+  /** (id, component) over the LSH chain-edge set — q128's assignment,
+    * shared with the q132 recall certificate (the verified chain edges
+    * ride the shared-relation cache, like [[exactDupComponents]]'s). */
   private def lshDupComponents(documents: org.apache.spark.sql.DataFrame,
                                threshold: Double)
   : org.apache.spark.sql.DataFrame = {
+    val verified = DedupQueries.memoSharedRelation("lshchain",
+      documents, math.round(threshold * 1000000).toInt, 0)(
+      lshChainEdges(documents, threshold))
+    ConnectedComponents.components(
+      documents.select(col("doc_id").as("id")), verified)
+  }
+
+  /** CHAIN candidates within each LSH bucket — consecutive members by
+    * doc_id — exact-verified at token-Jaccard ≥ t. Candidate volume is
+    * the SAME n−1 per bucket a star-to-representative scheme emits,
+    * but the r10 q132 certificate showed why chains dominate stars on
+    * real cluster shapes: the bucket's min-id representative can be a
+    * weakly-connected satellite of a CHAIN-shaped exact cluster, and
+    * then every member fails exact verification against it (measured:
+    * star recovered 12 % of exact-cluster docs at sf0.1; the chain's
+    * consecutive pairs verify through LOCAL similarity and recover the
+    * cluster bulk — numbers in PERF r10). The per-bucket window is
+    * bucket-partitioned (never global); a million-doc duplicate blob
+    * is one sort of its own bucket, n−1 verifications — still no
+    * self-join anywhere. */
+  private def lshChainEdges(documents: org.apache.spark.sql.DataFrame,
+                            threshold: Double)
+  : org.apache.spark.sql.DataFrame = {
     val bandKey = Seq("band", "s0", "s1", "s2", "s3")
-    val banded = DedupQueries.minhashBanded(
+    // TOKEN-set minhash banding (r10): the estimator must speak the
+    // verifier's metric — char-shingle banding recovers 12 % of
+    // token-jac-0.8 clusters on this corpus (shingle-jac of true pairs
+    // ≈ 0.02); token banding fires at tok_jac⁴ per band
+    val banded = DedupQueries.minhashBandedTokens(
       documents.select(col("doc_id"), col("text")))
-    // one row per ≥2-doc bucket; singleton buckets generate no edges
-    val reps = banded.groupBy(bandKey.map(col): _*)
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .drop("n")
-    val starCand = banded.join(reps, bandKey)
-      .filter(col("doc_id") =!= col("rep"))
-      // rep = bucket min ⇒ id1 < id2 by construction
-      .select(col("rep").as("id1"), col("doc_id").as("id2")).distinct()
+    val w = Window.partitionBy(bandKey.map(col): _*).orderBy(col("doc_id"))
+    val chainCand = banded
+      .withColumn("nxt", lead(col("doc_id"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      // bucket-ordered ⇒ id1 < id2 by construction
+      .select(col("doc_id").as("id1"), col("nxt").as("id2")).distinct()
     val toks = documents.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("t"))
-    val verified = starCand
+    chainCand
       .join(toks.select(col("doc_id").as("id1"), col("t").as("t1")), Seq("id1"))
       .join(toks.select(col("doc_id").as("id2"), col("t").as("t2")), Seq("id2"))
       .filter(size(array_intersect(col("t1"), col("t2"))).cast("double")
         / size(array_union(col("t1"), col("t2"))) >= threshold)
       .select(col("id1").as("u"), col("id2").as("v"))
-    ConnectedComponents.components(
-      documents.select(col("doc_id").as("id")), verified)
   }
 
   /** Cluster-recall certificate for the q128 LSH rung (q132) — the
@@ -567,17 +600,24 @@ object PipelineQueries {
     * of its token mass — the linear-cost q128 construction recovers. A
     * document is RECOVERED when the LSH rung groups it with at least
     * one other document (member of a ≥2-doc LSH component); since every
-    * verified star edge is also an exact edge, LSH components REFINE
+    * verified chain edge is also an exact edge, LSH components REFINE
     * exact components, so recovery never crosses cluster lines and
     * doc_recall ∈ [0, 1] measures exactly what banding grants (a doc
-    * joins iff some band collides with a bucket representative).
+    * joins iff some band puts it next to a ≥ t bucket neighbour).
+    * This certificate is what exposed the star-to-representative
+    * variant's 12 % doc recall and drove the chain redesign (PERF
+    * r10) — exactly the job the q106/q131 numbers do for ANN.
     *
-    * Cost: both component assignments (the exact one dominates — this
-    * is a certification report, priced like q125 + q128; the
-    * production pipeline runs q128 alone and consults this at audit
-    * cadence). Scale shape: two linear component runs + one
-    * broadcastable ≥2-size filter join + a component-keyed rollup —
-    * no operator beyond what q125/q128 already commit to. */
+    * Cost: both component assignments — but both EDGE SETS ride the
+    * registry shared-relation cache, so in a pass that also runs
+    * q125/q128 this certificate pays only its two component iterations
+    * + rollup, not a second exact prefix join (the q57/q81 sharing
+    * discipline; standalone it prices like q125 + q128 — a
+    * certification report the production pipeline consults at audit
+    * cadence while running q128 alone). Scale shape: two linear
+    * component runs + one broadcastable ≥2-size filter join + a
+    * component-keyed rollup — no operator beyond what q125/q128
+    * already commit to. */
   def lshClusterRecall(documents: org.apache.spark.sql.DataFrame,
                        threshold: Double = 0.8): org.apache.spark.sql.DataFrame = {
     val exact = exactDupComponents(documents, threshold, 512)
@@ -675,20 +715,20 @@ object PipelineQueries {
              |ORDER BY c.component""".stripMargin)),
 
     // ── LSH-bucketed duplicate-cluster statistics: q125's linear-cost
-    //    scale rung — star edges to each q66 LSH bucket's representative,
-    //    exact token-Jaccard verification, same components + rollup; the
-    //    whole construction (portable MinHash bands → star candidates →
-    //    verify → recursive components) re-derived in DuckDB ──
+    //    scale rung — chain edges between consecutive members of each
+    //    q66 LSH bucket, exact token-Jaccard verification, same
+    //    components + rollup; the whole construction (portable MinHash
+    //    bands → chain candidates → verify → recursive components)
+    //    re-derived in DuckDB ──
     "q128_lsh_cluster_stats" -> QueryDef(
       (s, d) => lshClusterStats(Tables.documents(s, d)),
-      Some(s"""WITH RECURSIVE ${DedupQueries.minhashBandedCtes},
-             |reps AS (SELECT band, s0, s1, s2, s3, MIN(doc_id) AS rep
-             |         FROM bands GROUP BY 1, 2, 3, 4, 5
-             |         HAVING COUNT(*) >= 2),
-             |cand AS (SELECT DISTINCT r.rep AS id1, b.doc_id AS id2
-             |         FROM bands b JOIN reps r
-             |           USING (band, s0, s1, s2, s3)
-             |         WHERE b.doc_id <> r.rep),
+      Some(s"""WITH RECURSIVE ${DedupQueries.minhashBandedTokensCtes},
+             |cand AS (SELECT DISTINCT id1, id2 FROM (
+             |           SELECT lag(doc_id) OVER (
+             |               PARTITION BY band, s0, s1, s2, s3
+             |               ORDER BY doc_id) AS id1,
+             |             doc_id AS id2
+             |           FROM bands) WHERE id1 IS NOT NULL),
              |toks AS (SELECT doc_id,
              |    list_distinct(string_split(text, ' ')) AS t FROM documents),
              |ver AS (SELECT c.id1 AS u, c.id2 AS v FROM cand c
@@ -719,14 +759,13 @@ object PipelineQueries {
     //    in DuckDB (two recursive CTEs under one WITH RECURSIVE) ──
     "q132_lsh_cluster_recall" -> QueryDef(
       (s, d) => lshClusterRecall(Tables.documents(s, d)),
-      Some(s"""WITH RECURSIVE ${DedupQueries.minhashBandedCtes},
-             |reps AS (SELECT band, s0, s1, s2, s3, MIN(doc_id) AS rep
-             |         FROM bands GROUP BY 1, 2, 3, 4, 5
-             |         HAVING COUNT(*) >= 2),
-             |cand AS (SELECT DISTINCT r.rep AS id1, b.doc_id AS id2
-             |         FROM bands b JOIN reps r
-             |           USING (band, s0, s1, s2, s3)
-             |         WHERE b.doc_id <> r.rep),
+      Some(s"""WITH RECURSIVE ${DedupQueries.minhashBandedTokensCtes},
+             |cand AS (SELECT DISTINCT id1, id2 FROM (
+             |           SELECT lag(doc_id) OVER (
+             |               PARTITION BY band, s0, s1, s2, s3
+             |               ORDER BY doc_id) AS id1,
+             |             doc_id AS id2
+             |           FROM bands) WHERE id1 IS NOT NULL),
              |toks AS (SELECT doc_id,
              |    list_distinct(string_split(text, ' ')) AS t FROM documents),
              |xpairs AS (

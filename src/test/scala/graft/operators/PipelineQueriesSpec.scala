@@ -469,25 +469,25 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got.exists(_._3 > 1L), "no cross-source cluster found")
   }
 
-  test("q128 LSH cluster stats: star-edge derivation matches union-find and refines q125") {
+  test("q128 LSH cluster stats: chain-edge derivation matches union-find and refines q125") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, d)
-    // driver-side re-derivation: banded signatures -> per-bucket star
-    // candidates against the representative -> exact token-Jaccard
-    // verification -> union-find -> rollup
-    val banded = DedupQueries.minhashBanded(
+    // driver-side re-derivation: TOKEN-banded signatures -> per-bucket
+    // chain candidates (consecutive members by doc_id) -> exact
+    // token-Jaccard verification -> union-find -> rollup
+    val banded = DedupQueries.minhashBandedTokens(
         docs.select(col("doc_id"), col("text")))
       .collect()
       .map(r => ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
         r.getLong(5)), r.getLong(0)))
     val toks = docs.select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
-    val starCands = banded.groupBy(_._1).values.flatMap { rows =>
-      val ids = rows.map(_._2).distinct
-      if (ids.size < 2) Nil
-      else { val rep = ids.min; ids.filter(_ != rep).map(i => (rep, i)) }
+    val chainCands = banded.groupBy(_._1).values.flatMap { rows =>
+      rows.map(_._2).distinct.sorted.toSeq.sliding(2).collect {
+        case Seq(a, b) => (a, b)
+      }
     }.toSeq.distinct
-    val verified = starCands.filter { case (a, b) =>
+    val verified = chainCands.filter { case (a, b) =>
       val (ta, tb) = (toks(a), toks(b))
       ta.intersect(tb).size.toDouble / ta.union(tb).size >= 0.8
     }
@@ -510,7 +510,7 @@ class PipelineQueriesSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(got == want)
     assert(got.nonEmpty, "the testdata's near-dup clusters must collide in LSH")
-    // refinement contract: every verified star edge is an exact-Jaccard
+    // refinement contract: every verified chain edge is an exact-Jaccard
     // edge, so each q128 cluster must sit INSIDE one exact q125 cluster
     val exactPairs = DedupQueries.tokenPrefixJoin(
         docs.select(col("doc_id"), lit("all").as("source"), col("text")),
