@@ -176,3 +176,82 @@ object GramHashArray {
     ColumnBridge.column(
       GramHashArray(ColumnBridge.expression(text), gramLen, stride))
 }
+
+/** Per-TOKEN polynomial hashes as a native expression (r10): split the
+  * text at single spaces (empty segments kept, exactly like
+  * `split(text, " ")` / DuckDB `string_split`) and hash each token's
+  * first 16 codepoints Σₖ cp(k)·(31ᵏ mod p) mod p — the portable token
+  * hash `DedupQueries.tokenHashSql` re-derives in DuckDB (ascii of an
+  * out-of-range substr is 0 on both engines, so >16-char tokens
+  * truncate and short ones zero-pad identically).
+  *
+  * Why native: the Column formulation (`transform(split(text, " "),
+  * w => Σ ascii(substring(w, k+1, 1))·c_k % p)`) runs the 16-term
+  * lambda INTERPRETED per token — 16 Substring/Ascii/Multiply trees ×
+  * ~200 tokens per document on the q128/q132 banding hot path. One
+  * compiled pass per row instead (the GramHashArray precedent).
+  * Codepoint domain, as the sibling expressions. */
+object TokenHashArrayOps {
+  final val Mod = 1000000007L
+  final val MaxChars = 16
+  private val pows: Array[Long] = {
+    val a = new Array[Long](MaxChars)
+    var p = 1L
+    var k = 0
+    while (k < MaxChars) { a(k) = p; p = p * 31L % Mod; k += 1 }
+    a
+  }
+
+  def hashes(text: UTF8String): ArrayData = {
+    val cps = GramHashArrayOps.codepoints(text)
+    val n = cps.length
+    var segs = 1
+    var i = 0
+    while (i < n) { if (cps(i) == 32) segs += 1; i += 1 }
+    val out = new Array[Long](segs)
+    var s = 0
+    var start = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || cps(i) == 32) {
+        var h = 0L
+        var k = 0
+        val len = math.min(i - start, MaxChars)
+        while (k < len) { h += cps(start + k).toLong * pows(k); k += 1 }
+        out(s) = h % Mod
+        s += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class TokenHashArray(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text must be STRING, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    TokenHashArrayOps.hashes(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenHashArrayOps.hashes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashArray =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_hash_array"
+}
+
+object TokenHashArray {
+  def apply(text: Column): Column =
+    ColumnBridge.column(TokenHashArray(ColumnBridge.expression(text)))
+}

@@ -542,8 +542,11 @@ object DedupQueries {
   }
 
   /** Portable per-token hash: Σ ascii(char_k)·31^k mod p over the first
-    * 16 chars — term sum ≤ 16·255·10⁹ ≈ 4·10¹², no overflow. */
-  private[operators] def tokenHash(w: Column): Column =
+    * 16 chars — term sum ≤ 16·255·10⁹ ≈ 4·10¹², no overflow. The
+    * INTERPRETED reference form; the hot path uses the compiled
+    * [[graft.functions.TokenHashArray]] (spec-pinned equal on
+    * multi-space / trailing-space / empty / >16-char inputs). */
+  private[graft] def tokenHash(w: Column): Column =
     (0 until 16).map(k => ascii(substring(w, k + 1, 1)).cast("long")
       * lit(tokenHashC(k))).reduce(_ + _) % MinhashP
 
@@ -558,7 +561,7 @@ object DedupQueries {
   private[operators] def minhashBandedTokens(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(array_distinct(
-        transform(split(col("text"), " "), w => tokenHash(w)))).as("g"))
+        graft.functions.TokenHashArray(col("text")))).as("g"))
     val sigs = toks.groupBy("doc_id")
       .agg(min((col("g") * minhashA(0) + minhashB(0)) % MinhashP).as("sig0"),
         (1 until 16).map(k =>

@@ -107,6 +107,35 @@ class NativeTextExprSpec extends SparkSpec {
     assert((got(0) intersect got(1)).nonEmpty, "common span fingerprints")
   }
 
+  test("TokenHashArray matches the interpreted ascii(substring) form incl. edges") {
+    import spark.implicits._
+    // adversarial splits: multi-space (empty segment), leading/trailing
+    // space, empty text, exactly-16 and >16-char tokens (truncation),
+    // single char, unicode
+    val rows = Seq("the quick brown fox", "a  b", " lead", "trail ", "",
+      "x", "abcdefghijklmnop", "abcdefghijklmnopqrstuvwxyz",
+      "café über tøkens", "same same same")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("doc_id", "text")
+    val native = df.select(col("doc_id"),
+      graft.functions.TokenHashArray(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val interp = df.select(col("doc_id"),
+      transform(split(col("text"), " "),
+        w => graft.operators.DedupQueries.tokenHash(w)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == interp,
+      "compiled token hashes == interpreted Column form, segment for segment")
+    // oracle parity on the same strings: DuckDB re-derives via
+    // tokenHashSql — covered end-to-end by the q128/q132 gate; here pin
+    // the shape: one hash per ' '-separated segment, empties included
+    assert(native(1L).size == 3 && native(4L).size == 1)
+    // truncation: first 16 chars decide the hash
+    assert(native(6L) == native(7L).take(1) ||
+      native(6L).head == native(7L).head,
+      ">16-char tokens truncate to the 16-char prefix hash")
+  }
+
   test("CollapseBarrier is transparent for values and nulls") {
     import spark.implicits._
     val out = Seq(Some(1), None, Some(3)).toDF("x")
