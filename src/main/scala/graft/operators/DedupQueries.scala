@@ -470,10 +470,14 @@ object DedupQueries {
   // engines (both factors < p ≈ 2³⁰).
   // lazy: `registry` above is initialized first and reaches these via
   // the oracle generators — an eager val would still be null then
+  // 32 entries: k = 0..15 are the q66 family (values unchanged — the
+  // generator is a sequential power chain); 16..31 extend it for
+  // wider-banded layouts (r10: the q128 8×4 sweep point needs 32
+  // permutations at constant band width)
   private[graft] lazy val minhashAs: Array[Long] = {
-    val out = new Array[Long](16)
+    val out = new Array[Long](32)
     var acc = 1L
-    for (k <- 0 until 16) { acc = acc * 2654435761L % MinhashP; out(k) = acc }
+    for (k <- 0 until 32) { acc = acc * 2654435761L % MinhashP; out(k) = acc }
     out
   }
   private[graft] def minhashA(k: Int): Long = minhashAs(k)
@@ -557,33 +561,48 @@ object DedupQueries {
 
   /** [[minhashBanded]] over the TOKEN set instead of char shingles —
     * the banding that serves token-Jaccard cluster recovery (q128/
-    * q132). Same 16 affine permutations, same 4×4 banding. */
-  private[operators] def minhashBandedTokens(docs: DataFrame): DataFrame = {
+    * q132). Same 16 affine permutations; the band LAYOUT is a knob:
+    * `bands` × `rowsPerBand` ≤ 16 signatures, band b keyed by sigs
+    * [rowsPerBand·b, rowsPerBand·(b+1)) (unused key slots pinned 0 so
+    * the bucket schema stays 4-wide). Per-pair collision = 1−(1−sʳ)ᵇ:
+    * 4×4 fires at 0.88 for s = 0.8; 8×2 at 0.9997 — the high-recall
+    * operating point the q132 certificate measured (PERF r10). */
+  private[operators] def minhashBandedTokens(docs: DataFrame,
+                                             bands: Int = 4,
+                                             rowsPerBand: Int = 4): DataFrame = {
+    val numSigs = bands * rowsPerBand
+    require(numSigs <= 32 && rowsPerBand <= 4,
+      "32 permutations, 4-wide bucket schema")
     val toks = docs
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.TokenHashArray(col("text")))).as("g"))
     val sigs = toks.groupBy("doc_id")
       .agg(min((col("g") * minhashA(0) + minhashB(0)) % MinhashP).as("sig0"),
-        (1 until 16).map(k =>
+        (1 until numSigs).map(k =>
           min((col("g") * minhashA(k) + minhashB(k)) % MinhashP).as(s"sig$k")): _*)
-    val bands = (0 until 4).map(b =>
-      struct(lit(b).as("band"),
-        col(s"sig${4 * b}").as("s0"), col(s"sig${4 * b + 1}").as("s1"),
-        col(s"sig${4 * b + 2}").as("s2"), col(s"sig${4 * b + 3}").as("s3")))
+    def sig(b: Int, j: Int): Column =
+      if (j < rowsPerBand) col(s"sig${rowsPerBand * b + j}") else lit(0L)
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"), sig(b, 0).as("s0"), sig(b, 1).as("s1"),
+        sig(b, 2).as("s2"), sig(b, 3).as("s3")))
     sigs
-      .select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.s0").as("s0"),
         col("b.s1").as("s1"), col("b.s2").as("s2"), col("b.s3").as("s3"))
   }
 
-  /** [[minhashBandedCtes]]'s token-set twin (ends in `bands`). */
-  private[operators] def minhashBandedTokensCtes: String = {
-    val sigExprs = (0 until 16).map(k =>
+  /** [[minhashBandedCtes]]'s token-set twin (ends in `bands`), same
+    * layout knob as [[minhashBandedTokens]]. */
+  private[operators] def minhashBandedTokensCtes(
+      bands: Int = 4, rowsPerBand: Int = 4): String = {
+    val sigExprs = (0 until bands * rowsPerBand).map(k =>
       s"list_min(list_transform(gs, g -> (g * ${minhashA(k)} + ${minhashB(k)}) % $MinhashP)) AS sig$k")
       .mkString(",\n    ")
-    val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, sig${4 * b} AS s0, sig${4 * b + 1} AS s1, " +
-        s"sig${4 * b + 2} AS s2, sig${4 * b + 3} AS s3 FROM sigs")
+    def sig(b: Int, j: Int): String =
+      if (j < rowsPerBand) s"sig${rowsPerBand * b + j}" else "CAST(0 AS BIGINT)"
+    val bandRows = (0 until bands).map(b =>
+      s"SELECT doc_id, $b AS band, ${sig(b, 0)} AS s0, ${sig(b, 1)} AS s1, " +
+        s"${sig(b, 2)} AS s2, ${sig(b, 3)} AS s3 FROM sigs")
       .mkString("\n  UNION ALL ")
     s"""g AS (SELECT doc_id,
        |    list_distinct(list_transform(string_split(text, ' '),

@@ -536,19 +536,35 @@ object PipelineQueries {
     * exists anywhere in the plan, so a 100 TB corpus with a
     * million-document duplicate blob costs 10⁶ verifications, not
     * 5·10¹¹ pairs. */
+  /** The REGISTERED q128/q132 band layout: 8 bands × 4 rows over 32
+    * token-minhash permutations — the ClusterRecallProbe sweep's
+    * frontier point (doc recall 0.833 vs 4×4's 0.782 at the same warm
+    * wall; widening bands at CONSTANT width preserves bucket purity,
+    * which the 8×2 sweep point showed is what chain candidates need).
+    * One definition so the Spark defaults and the oracle CTEs cannot
+    * diverge. */
+  private[operators] final val LshBands = 8
+  private[operators] final val LshRows = 4
+
   def lshClusterStats(documents: org.apache.spark.sql.DataFrame,
-                      threshold: Double = 0.8): org.apache.spark.sql.DataFrame =
-    clusterRollup(lshDupComponents(documents, threshold), documents)
+                      threshold: Double = 0.8,
+                      bands: Int = LshBands,
+                      rowsPerBand: Int = LshRows): org.apache.spark.sql.DataFrame =
+    clusterRollup(lshDupComponents(documents, threshold, bands, rowsPerBand),
+      documents)
 
   /** (id, component) over the LSH chain-edge set — q128's assignment,
     * shared with the q132 recall certificate (the verified chain edges
     * ride the shared-relation cache, like [[exactDupComponents]]'s). */
   private def lshDupComponents(documents: org.apache.spark.sql.DataFrame,
-                               threshold: Double)
+                               threshold: Double,
+                               bands: Int = LshBands,
+                               rowsPerBand: Int = LshRows)
   : org.apache.spark.sql.DataFrame = {
     val verified = DedupQueries.memoSharedRelation("lshchain",
-      documents, math.round(threshold * 1000000).toInt, 0)(
-      lshChainEdges(documents, threshold))
+      documents, math.round(threshold * 1000000).toInt,
+      bands * 100 + rowsPerBand)(
+      lshChainEdges(documents, threshold, bands, rowsPerBand))
     ConnectedComponents.components(
       documents.select(col("doc_id").as("id")), verified)
   }
@@ -567,15 +583,16 @@ object PipelineQueries {
     * is one sort of its own bucket, n−1 verifications — still no
     * self-join anywhere. */
   private def lshChainEdges(documents: org.apache.spark.sql.DataFrame,
-                            threshold: Double)
+                            threshold: Double,
+                            bands: Int = LshBands, rowsPerBand: Int = LshRows)
   : org.apache.spark.sql.DataFrame = {
     val bandKey = Seq("band", "s0", "s1", "s2", "s3")
     // TOKEN-set minhash banding (r10): the estimator must speak the
     // verifier's metric — char-shingle banding recovers 12 % of
     // token-jac-0.8 clusters on this corpus (shingle-jac of true pairs
-    // ≈ 0.02); token banding fires at tok_jac⁴ per band
+    // ≈ 0.02); token banding fires at tok_jac^rows per band
     val banded = DedupQueries.minhashBandedTokens(
-      documents.select(col("doc_id"), col("text")))
+      documents.select(col("doc_id"), col("text")), bands, rowsPerBand)
     val w = Window.partitionBy(bandKey.map(col): _*).orderBy(col("doc_id"))
     val chainCand = banded
       .withColumn("nxt", lead(col("doc_id"), 1).over(w))
@@ -619,9 +636,11 @@ object PipelineQueries {
     * component-keyed rollup — no operator beyond what q125/q128
     * already commit to. */
   def lshClusterRecall(documents: org.apache.spark.sql.DataFrame,
-                       threshold: Double = 0.8): org.apache.spark.sql.DataFrame = {
+                       threshold: Double = 0.8,
+                       bands: Int = LshBands,
+                       rowsPerBand: Int = LshRows): org.apache.spark.sql.DataFrame = {
     val exact = exactDupComponents(documents, threshold, 512)
-    val lsh = lshDupComponents(documents, threshold)
+    val lsh = lshDupComponents(documents, threshold, bands, rowsPerBand)
     // docs the LSH rung recovered: members of ≥2-doc LSH components.
     // The size relation is component-keyed (≪ docs) — broadcastable
     val lshSizes = lsh.groupBy(col("component"))
@@ -722,7 +741,7 @@ object PipelineQueries {
     //    re-derived in DuckDB ──
     "q128_lsh_cluster_stats" -> QueryDef(
       (s, d) => lshClusterStats(Tables.documents(s, d)),
-      Some(s"""WITH RECURSIVE ${DedupQueries.minhashBandedTokensCtes},
+      Some(s"""WITH RECURSIVE ${DedupQueries.minhashBandedTokensCtes(LshBands, LshRows)},
              |cand AS (SELECT DISTINCT id1, id2 FROM (
              |           SELECT lag(doc_id) OVER (
              |               PARTITION BY band, s0, s1, s2, s3
@@ -759,7 +778,7 @@ object PipelineQueries {
     //    in DuckDB (two recursive CTEs under one WITH RECURSIVE) ──
     "q132_lsh_cluster_recall" -> QueryDef(
       (s, d) => lshClusterRecall(Tables.documents(s, d)),
-      Some(s"""WITH RECURSIVE ${DedupQueries.minhashBandedTokensCtes},
+      Some(s"""WITH RECURSIVE ${DedupQueries.minhashBandedTokensCtes(LshBands, LshRows)},
              |cand AS (SELECT DISTINCT id1, id2 FROM (
              |           SELECT lag(doc_id) OVER (
              |               PARTITION BY band, s0, s1, s2, s3

@@ -476,7 +476,8 @@ class PipelineQueriesSpec extends SparkSpec {
     // chain candidates (consecutive members by doc_id) -> exact
     // token-Jaccard verification -> union-find -> rollup
     val banded = DedupQueries.minhashBandedTokens(
-        docs.select(col("doc_id"), col("text")))
+        docs.select(col("doc_id"), col("text")),
+        PipelineQueries.LshBands, PipelineQueries.LshRows)
       .collect()
       .map(r => ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
         r.getLong(5)), r.getLong(0)))
