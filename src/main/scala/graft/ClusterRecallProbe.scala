@@ -28,7 +28,11 @@ object ClusterRecallProbe {
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.sources.Tables.documents(spark, sfDir)
 
-    Seq((4, 4), (8, 2), (6, 4), (8, 4)).foreach { case (b, r) =>
+    // the PERF r10 sweep: same-16-perm splits (4×4 / 5×3 / 8×2 / 16×1
+    // — recall FALLS as band keys shorten: coarser buckets break the
+    // chains) then constant-width widenings (6×4 / 8×4 — the axis that
+    // helps; 8×4 is the registered frontier point)
+    Seq((4, 4), (5, 3), (8, 2), (16, 1), (6, 4), (8, 4)).foreach { case (b, r) =>
       val t0 = System.nanoTime()
       val stats = graft.operators.PipelineQueries
         .lshClusterStats(docs, bands = b, rowsPerBand = r)
