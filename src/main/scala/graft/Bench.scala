@@ -79,7 +79,10 @@ object Bench {
     // Print per-query medians at millisecond precision (plenty for PERF
     // comparisons; ~3 KB for the full registry, inside the tail window)
     // and keep the spread map in the committed full-map FILE only.
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, so
+    // a comma-decimal locale would emit invalid JSON (r10 review)
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val spread =

@@ -61,10 +61,10 @@ object Bm25StoreBench {
       // steady-state evidence: per-batch wall must stay FLAT across the
       // run (deciles), with the cadence absorbing the compaction passes
       def med(w: Seq[Double]) = w.sorted.apply(w.size / 2)
-      val dec = nBatches / 10
+      val dec = math.max(1, nBatches / 10)
       println(f"[bm25-store] auto-cadence $autoEvery: per-batch wall " +
         f"median first-decile ${med(batchWalls.take(dec))}%.2f s, " +
-        f"middle ${med(batchWalls.slice(nBatches / 2 - dec / 2, nBatches / 2 + dec / 2))}%.2f s, " +
+        f"middle ${med(batchWalls.slice(nBatches / 2 - dec / 2, nBatches / 2 + dec / 2 + 1))}%.2f s, " +
         f"last ${med(batchWalls.takeRight(dec))}%.2f s, " +
         f"max ${batchWalls.max}%.2f s (compaction batches); " +
         s"watermark=${DocStream.compactedThrough(spark, path).getOrElse(-1L)}")

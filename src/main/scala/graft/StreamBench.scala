@@ -138,7 +138,8 @@ object StreamBench {
         val bm25Path = base.resolve("bm25ix").toString
         val prefixPath = base.resolve("prefixix").toString
         val annPath = base.resolve("annix").toString
-        // prefix/ANN stores need a base; ids sit below the rate range
+        // prefix/ANN stores need a base; base ids (1e9+) sit ABOVE the
+        // rate-source ids (0..), keeping the namespaces disjoint
         DocStream.initPrefixIndexStore(
           spark.range(1000000000L, 1000002000L)
             .select(col("id").as("doc_id"),

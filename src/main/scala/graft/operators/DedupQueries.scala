@@ -1044,26 +1044,35 @@ object DedupQueries {
     new java.util.LinkedHashMap[(String, Int, Int, Int, Int), SharedEntry](
       16, 0.75f, true)
 
-  // checkpoint dirs of EVICTED/COLLIDED entries await the next
-  // clearSharedPairCache boundary (r9 ADVICE): an in-flight query may
-  // still hold the evicted DataFrame, and unpersist is safe for it
-  // (block loss recomputes through the lineage) only while the one-shot
-  // checkpoints that lineage reads still exist — deleting them at
-  // eviction time would turn the recompute into FileNotFoundException.
-  // Deferral is bounded: at most MaxSharedPairEntries dirs per
-  // eviction wave, freed wholesale at the cache's declared boundary.
-  private val retiredOwned = scala.collection.mutable.Buffer
+  // checkpoint dirs of EVICTED/COLLIDED entries await a later
+  // retirement boundary (r9 ADVICE): an in-flight query may still hold
+  // the evicted DataFrame, and unpersist is safe for it (block loss
+  // recomputes through the lineage) only while the one-shot checkpoints
+  // that lineage reads still exist — deleting them at eviction time
+  // would turn the recompute into FileNotFoundException. Deferral is
+  // BOUNDED (r10 review): beyond MaxRetiredOwned dirs the OLDEST
+  // deferred entries are deleted — they have survived many full
+  // eviction waves, so any holder of those relations is long done (the
+  // grace is eviction-distance, not wall-clock); clearSharedPairCache
+  // frees everything wholesale at the declared boundary.
+  private val MaxRetiredOwned = 32
+  private val retiredOwned = scala.collection.mutable.Queue
     .empty[(org.apache.hadoop.conf.Configuration, String)]
 
   /** Unpersist only; the entry's checkpoint storage moves to the
-    * deferred-retirement buffer. Best-effort: the entry may belong to a
-    * STOPPED session (keys are session-scoped, so such entries linger
-    * until evicted here) and unpersist on a dead context throws — that
-    * must not abort the unrelated query whose miss triggered the
-    * eviction. */
+    * deferred-retirement queue (oldest beyond the bound deleted).
+    * Best-effort: the entry may belong to a STOPPED session (keys are
+    * session-scoped, so such entries linger until evicted here) and
+    * unpersist on a dead context throws — that must not abort the
+    * unrelated query whose miss triggered the eviction. */
   private def retireEntry(e: SharedEntry): Unit = {
     try e.df.unpersist() catch { case _: Throwable => () }
     retiredOwned ++= e.owned
+    while (retiredOwned.size > MaxRetiredOwned) {
+      val (c, p) = retiredOwned.dequeue()
+      try Checkpoints.deleteCheckpointDir(c, p)
+      catch { case _: Throwable => () }
+    }
   }
 
   private def dropAllShared(): Unit = {
@@ -1116,7 +1125,13 @@ object DedupQueries {
           val built = build
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           sharedCache.put(key,
-            SharedEntry(plan, built, Checkpoints.claimOneShots(before)))
+            // same-thread claim (r10 review): a window-only claim in a
+            // COMPOSED session could steal a concurrent sink's
+            // just-registered checkpoint — the releasingScoped hazard
+            // at this second claim site; the build runs on the calling
+            // thread, so its own one-shots are exactly what's claimed
+            SharedEntry(plan, built,
+              Checkpoints.claimOneShots(before, sameThreadOnly = true)))
           built
         }
     }

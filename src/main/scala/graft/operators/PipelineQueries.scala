@@ -532,10 +532,10 @@ object PipelineQueries {
     * the r10 round found chains dominate the star-to-representative
     * variant at identical cost — see [[lshChainEdges]]). Same rollup as
     * q125. The banding and chain window are linear scans of the banded
-    * relation (4 rows/doc, bucket-partitioned window); no self-join
-    * exists anywhere in the plan, so a 100 TB corpus with a
-    * million-document duplicate blob costs 10⁶ verifications, not
-    * 5·10¹¹ pairs. */
+    * relation ([[LshBands]] rows/doc — 8 at the registered layout —
+    * bucket-partitioned window); no self-join exists anywhere in the
+    * plan, so a 100 TB corpus with a million-document duplicate blob
+    * costs O(bands·10⁶) verifications, not 5·10¹¹ pairs. */
   /** The REGISTERED q128/q132 band layout: 8 bands × 4 rows over 32
     * token-minhash permutations — the ClusterRecallProbe sweep's
     * frontier point (doc recall 0.833 vs 4×4's 0.782 at the same warm
@@ -735,10 +735,10 @@ object PipelineQueries {
 
     // ── LSH-bucketed duplicate-cluster statistics: q125's linear-cost
     //    scale rung — chain edges between consecutive members of each
-    //    q66 LSH bucket, exact token-Jaccard verification, same
-    //    components + rollup; the whole construction (portable MinHash
-    //    bands → chain candidates → verify → recursive components)
-    //    re-derived in DuckDB ──
+    //    TOKEN-minhash bucket (8×4 layout), exact token-Jaccard
+    //    verification, same components + rollup; the whole construction
+    //    (portable token minhash bands → chain candidates → verify →
+    //    recursive components) re-derived in DuckDB ──
     "q128_lsh_cluster_stats" -> QueryDef(
       (s, d) => lshClusterStats(Tables.documents(s, d)),
       Some(s"""WITH RECURSIVE ${DedupQueries.minhashBandedTokensCtes(LshBands, LshRows)},

@@ -82,11 +82,14 @@ object AnnStream {
     * until the next compaction re-signs them. The sink therefore
     * re-reads `_base_version` AFTER the sigd commit and FAILS the batch
     * if it moved — foreachBatch's replay re-signs under the new base's
-    * planes, turning the contract breach into a loud, self-healing
-    * error instead of silent recall loss. (The sink's OWN
-    * `autoCompactEvery` cadence runs after this guard, inside the same
-    * foreachBatch call — a quiet boundary by construction, so it never
-    * trips it.)
+    * planes. This NARROWS the breach window to flips landing after the
+    * re-read (a compactor that listed sigd before this batch's commit
+    * and flipped after the check still strands the batch) — it is a
+    * detection aid, not a substitute for the quiet-boundary contract;
+    * run compaction through the sink's own `autoCompactEvery` cadence
+    * (which executes inside the foreachBatch turn, after this guard —
+    * a quiet boundary by construction) and no concurrent compactor
+    * exists to race at all.
     *
     * `autoCompactEvery > 0` wires the
     * [[DocStream.autoCompact]] cadence in: once that many uncompacted

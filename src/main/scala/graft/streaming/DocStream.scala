@@ -272,12 +272,17 @@ object DocStream {
     * skip/exclude reads). Crashed batches' leftover dirs above the
     * floor count too — harmless: compaction folds only committed
     * batches and the next cadence check re-fires until the replay
-    * lands. */
+    * lands. `floor` is BY-NAME: with the cadence off (every = 0) the
+    * sinks must not pay its marker reads per batch (r10 review —
+    * 1-2 GETs per trigger on an object store, for a disabled
+    * feature). */
   private[streaming] def autoCompact(spark: org.apache.spark.sql.SparkSession,
                                      every: Int, deltaDir: String,
-                                     floor: Long)(compact: => Unit): Unit =
-    if (every > 0 && batchDirs(spark, deltaDir).count(_._1 > floor) >= every)
-      compact
+                                     floor: => Long)(compact: => Unit): Unit =
+    if (every > 0) {
+      val f = floor // bind once: by-name in the count lambda would re-read
+      if (batchDirs(spark, deltaDir).count(_._1 > f) >= every) compact
+    }
 
   private[streaming] def hasDataFile(fs: org.apache.hadoop.fs.FileSystem,
                           p: org.apache.hadoop.fs.Path): Boolean =
@@ -845,10 +850,11 @@ object DocStream {
         .write.mode("overwrite").parquet(s"$path/arrays/batch_id=$batchId")
     }
     val spark2 = batch.sparkSession
-    val v = readLongMarker(spark2, path, "_base_version").getOrElse(0L)
-    autoCompact(spark2, autoCompactEvery, s"$path/arrays",
+    autoCompact(spark2, autoCompactEvery, s"$path/arrays", {
+      val v = readLongMarker(spark2, path, "_base_version").getOrElse(0L)
       readLongMarker(spark2, s"$path/basev=$v", "_folded_through")
-        .getOrElse(Long.MinValue)) {
+        .getOrElse(Long.MinValue)
+    }) {
       compactPrefixIndexStore(spark2, path, threshold)
     }
   }
