@@ -505,6 +505,55 @@ object AnnQueries {
       planes, probeFlips), build, k)
   }
 
+  /** Embedding-space benchmark decontamination (q135) — the semantic
+    * arm of the decontamination family (q61/q111 exact grams, q133
+    * token-Jaccard, this cosine): a training vector is contaminated
+    * when some EVAL vector (vec_id of a src0 document — the corpus id
+    * contract ties the two tables) sits at scaled cosine ≥ `tauScaled`,
+    * the embedding-level leakage a lexical scrub cannot see (a
+    * translated or heavily-paraphrased eval item shares no tokens but
+    * keeps its embedding). Probe-only sign-LSH under the q130
+    * discipline: the train side is signed ONCE at index-derived planes
+    * (the geometry a maintained [[graft.streaming.AnnStream]] store
+    * freezes — this query is the registry face of decontaminating
+    * against such a store) and read as-is; only the dimension-sized
+    * eval side multiprobe-explodes (hamming ≤ `probeFlips` masks), so
+    * train×train candidates never form and the cost is linear in the
+    * corpus. Each (eval, train) pair meets at exactly one probed
+    * bucket ([[probeMasks]] distinctness) and the id namespaces are
+    * disjoint by the source split, so the per-train rollup needs no
+    * dedup. Exact scaled-cosine verification before reporting — false
+    * positives impossible, recall is the q131-certified probe recall.
+    * Output per contaminated train vector: hit count, the closest eval
+    * vector (ties to the smallest eval id) and its scaled cosine. */
+  def embedDecontaminate(embeddings: DataFrame, documents: DataFrame,
+                         tauScaled: Long = 300000L, probeFlips: Int = 2,
+                         signatures: (DataFrame, Int) => DataFrame =
+                           signSignatures): DataFrame = {
+    val evIds = documents.filter(col("source") === "src0")
+      .select(col("doc_id").as("vec_id"))
+    val index = embeddings.join(evIds, Seq("vec_id"), "left_anti")
+    val queries = embeddings.join(broadcast(evIds), Seq("vec_id"), "left_semi")
+    val planes = planesFor(index.count())
+    val build = withNorms(index).join(signatures(index, planes), Seq("vec_id"))
+      .select(col("vec_id").as("idb"), col("v").as("vb"),
+        col("norm").as("nb"), col("signature").as("bucket"))
+    probeSide(withNorms(queries)
+        .join(signatures(queries, planes), Seq("vec_id")),
+        planes, probeFlips)
+      .join(build, Seq("bucket"))
+      .select(col("idb").as("vec_id"), col("ida").as("eval_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
+          .cast("long").as("c"))
+      .filter(col("c") >= tauScaled)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(struct(col("c").as("c"), (-col("eval_id")).as("negid"))).as("m"))
+      .select(col("vec_id"), col("n_eval_hits"),
+        (-col("m.negid")).as("best_eval_id"), col("m.c").as("best_cos_scaled"))
+      .orderedOutput(col("vec_id"))
+  }
+
   /** SemDeDup (Abbas et al. 2023) — semantic deduplication by k-means
     * cell: cluster the embedding space with the deterministic Lloyd
     * quantizer ([[kmeansCells]]), then compare vectors ONLY within their
@@ -913,8 +962,45 @@ object AnnQueries {
     // kNN cosine fragments + a row_number fusion twin)
     "q127_hybrid_rrf" -> QueryDef(
       (s, d) => hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d)),
-      Some(hybridRrfOracleSql(k = 5, depth = 20)))
+      Some(hybridRrfOracleSql(k = 5, depth = 20))),
+    // ── embedding-space decontamination: the q130 probe-only split
+    //    driven by the documents source column — eval (src0) vectors
+    //    probe the train-side index at index-derived planes, exact
+    //    scaled-cosine verify at τ·10⁶; the split, the planesFor rule,
+    //    the one-sided masks and the per-train rollup all re-derived
+    //    in DuckDB ──
+    "q135_embed_decontaminate" -> QueryDef(
+      (s, d) => embedDecontaminate(Tables.embeddings(s, d),
+        Tables.documents(s, d), signatures = signSignaturesPortable),
+      Some(embedDeconOracleSql(tauScaled = 300000L)))
   )
+
+  /** DuckDB twin of the registered embedding decontamination (q135):
+    * the eval split from the documents table, planes derived from the
+    * INDEX side's count, one-sided multiprobe via the mask relation,
+    * τ filter on the scaled cosine, and the argmax rollup (max cosine,
+    * ties to the smallest eval id). */
+  private def embedDeconOracleSql(tauScaled: Long, target: Int = 128): String =
+    s"""WITH $knnBaseSql,
+       |ev AS (SELECT doc_id AS vec_id FROM documents WHERE source = 'src0'),
+       |${planeKnobSql(target, "WHERE vec_id NOT IN (SELECT vec_id FROM ev)")},
+       |$derivedSigSql,
+       |p AS (SELECT b.vec_id AS vec_id, a.vec_id AS eval_id,
+       |    CAST(ROUND(list_inner_product(a.v, b.v) / (a.nm * b.nm) * 1000000)
+       |      AS BIGINT) AS c
+       |  FROM sg a CROSS JOIN mk JOIN sg b ON b.sig = xor(a.sig, mk.m)
+       |  WHERE a.vec_id IN (SELECT vec_id FROM ev)
+       |    AND b.vec_id NOT IN (SELECT vec_id FROM ev)),
+       |f AS (SELECT * FROM p WHERE c >= $tauScaled),
+       |agg AS (SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(c) AS mc
+       |        FROM f GROUP BY vec_id),
+       |best AS (SELECT f.vec_id, MIN(f.eval_id) AS best_eval_id
+       |  FROM f JOIN agg ON agg.vec_id = f.vec_id AND f.c = agg.mc
+       |  GROUP BY f.vec_id)
+       |SELECT agg.vec_id, agg.n_eval_hits, best.best_eval_id,
+       |  agg.mc AS best_cos_scaled
+       |FROM agg JOIN best ON best.vec_id = agg.vec_id
+       |ORDER BY agg.vec_id""".stripMargin
 
   /** Hybrid retrieval by Reciprocal Rank Fusion (q127) — the standard
     * two-arm retrieval stack over ONE query set: the lexical arm is

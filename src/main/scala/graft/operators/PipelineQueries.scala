@@ -369,6 +369,121 @@ object PipelineQueries {
       .orderedOutput(col("doc_id"))
   }
 
+  /** Fuzzy benchmark decontamination (q133) — q61's contract lifted
+    * from exact 8-gram overlap to NEAR-duplicate detection: a training
+    * document (source ≠ src0) is contaminated when some eval document
+    * rewrites it at token-Jaccard ≥ `threshold`, the paraphrase /
+    * light-edit leakage the exact gram scrub cannot see (an eval item
+    * reworded for the benchmark shares almost no 8-char window with
+    * its source — the same measurement that drove q128's token
+    * banding, PERF r10).
+    *
+    * Shape is the asymmetric LSH rung, not an all-pairs: both sides
+    * carry TOKEN-minhash bands ([[DedupQueries.minhashBandedTokens]],
+    * the registered 8×4 layout), candidates form ONLY where a training
+    * band collides with an EVAL band — the eval side is
+    * dimension-sized (held-out suites, not the corpus), so its banded
+    * relation and token sets broadcast and the corpus side is one
+    * map-side pass per band; train×train candidates never form. Every
+    * candidate is exact-verified at token-Jaccard ≥ t before reporting
+    * (LSH only generates, never decides — the q128 discipline), so
+    * false positives are impossible and recall is what banding grants,
+    * MEASURED by the q134 certificate. Per contaminated doc:
+    * match count, the best-matching eval doc (highest Jaccard, ties to
+    * the smallest eval id) and its score. */
+  def fuzzyDecontaminate(documents: org.apache.spark.sql.DataFrame,
+                         threshold: Double = 0.8,
+                         bands: Int = LshBands,
+                         rowsPerBand: Int = LshRows)
+  : org.apache.spark.sql.DataFrame =
+    fuzzyDeconMatches(documents, threshold, bands, rowsPerBand)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(struct(col("jac").as("jac"), (-col("eval_id")).as("negid"))).as("m"))
+      .select(col("doc_id"), col("n_eval_matches"),
+        (-col("m.negid")).as("best_eval_id"), col("m.jac").as("best_jac"))
+      .orderedOutput(col("doc_id"))
+
+  /** The verified (train doc, eval doc, jac ≥ t) match relation of
+    * q133/q134 — shared through the registry relation cache (the
+    * q125/q128/q132 edge-set discipline: the certificate re-consumes
+    * the rung's matches, one registry pass builds them once). */
+  private def fuzzyDeconMatches(documents: org.apache.spark.sql.DataFrame,
+                                threshold: Double,
+                                bands: Int, rowsPerBand: Int)
+  : org.apache.spark.sql.DataFrame =
+    DedupQueries.memoSharedRelation("fdecon", documents,
+      math.round(threshold * 1000000).toInt, bands * 100 + rowsPerBand) {
+      val bandKey = Seq("band", "s0", "s1", "s2", "s3")
+      val ev = documents.filter(col("source") === "src0")
+      val tr = documents.filter(col("source") =!= "src0")
+      // per-doc signatures are independent, so banding a source slice
+      // equals slicing the full banded relation — no post-hoc source join
+      val trB = DedupQueries.minhashBandedTokens(
+        tr.select(col("doc_id"), col("text")), bands, rowsPerBand)
+      val evB = DedupQueries.minhashBandedTokens(
+        ev.select(col("doc_id"), col("text")), bands, rowsPerBand)
+        .withColumnRenamed("doc_id", "eval_id")
+      val cand = trB.join(broadcast(evB), bandKey)
+        .select(col("doc_id"), col("eval_id")).distinct()
+      val evToks = ev.select(col("doc_id").as("eval_id"),
+        array_distinct(split(col("text"), " ")).as("et"))
+      val trToks = tr.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("t"))
+      cand.join(trToks, Seq("doc_id"))
+        .join(broadcast(evToks), Seq("eval_id"))
+        .withColumn("jac",
+          size(array_intersect(col("t"), col("et"))).cast("double")
+            / size(array_union(col("t"), col("et"))))
+        .filter(col("jac") >= threshold)
+        .select(col("doc_id"), col("eval_id"), col("jac"))
+    }
+
+  /** Recall certificate for the q133 fuzzy-decontamination rung (q134)
+    * — the q132 discipline applied to the decontamination family: per
+    * SOURCE, how many exactly-contaminated training docs (ANY eval doc
+    * at token-Jaccard ≥ t — the brute train×eval yardstick) the LSH
+    * rung flags, in documents and in token mass. Verified q133 matches
+    * are a subset of the exact matches by construction, so each recall
+    * ∈ [0, 1] and measures exactly what banding grants. The yardstick
+    * arm broadcasts the dimension-sized eval token sets and scores
+    * |train|·|eval| pairs in one map-side pass — linear in the corpus,
+    * quadratic only in the bounded eval suite (the q131 bounded-batch
+    * contract; at pretraining scale a deployment certifies on a train
+    * sample, like q106's role for q93). */
+  def fuzzyDeconRecall(documents: org.apache.spark.sql.DataFrame,
+                       threshold: Double = 0.8,
+                       bands: Int = LshBands,
+                       rowsPerBand: Int = LshRows)
+  : org.apache.spark.sql.DataFrame = {
+    val ev = documents.filter(col("source") === "src0")
+    val tr = documents.filter(col("source") =!= "src0")
+    val evToks = ev.select(array_distinct(split(col("text"), " ")).as("et"))
+    val trMeta = tr.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val exact = tr.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("t"))
+      .crossJoin(broadcast(evToks))
+      .filter(size(array_intersect(col("t"), col("et"))).cast("double")
+        / size(array_union(col("t"), col("et"))) >= threshold)
+      .select(col("doc_id")).distinct()
+    val flagged = fuzzyDeconMatches(documents, threshold, bands, rowsPerBand)
+      .select(col("doc_id")).distinct().withColumn("hit", lit(1))
+    exact.join(trMeta, Seq("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_docs_lsh"),
+        sum(col("n_tokens")).cast("long").as("tokens_exact"),
+        sum(when(col("hit").isNotNull, col("n_tokens")).otherwise(0L))
+          .cast("long").as("tokens_lsh"))
+      .withColumn("doc_recall",
+        col("n_docs_lsh").cast("double") / col("n_docs_exact"))
+      .withColumn("token_recall",
+        col("tokens_lsh").cast("double") / col("tokens_exact"))
+      .orderedResult(col("source"))
+  }
+
   /** Per-source triangle census of the duplicate graph (q110):
     * edges / wedges / triangles per source — the clustering-structure
     * diagnostic that separates chain-like duplication (scrape drift:
@@ -833,6 +948,87 @@ object PipelineQueries {
              |LEFT JOIN rec r ON r.id = x.id
              |GROUP BY x.component HAVING COUNT(*) >= 2
              |ORDER BY x.component""".stripMargin)),
+
+    // ── fuzzy decontamination: q61's scrub lifted to near-duplicate
+    //    leakage — training docs rewriting an eval (src0) doc at
+    //    token-Jaccard ≥ 0.8, found through asymmetric TOKEN-minhash
+    //    banding (train bands meet broadcast EVAL bands only; no
+    //    train×train candidates) and exact-verified before reporting;
+    //    the whole construction (portable token minhash bands →
+    //    cross-side candidates → verify → per-doc best match)
+    //    re-derived in DuckDB ──
+    "q133_fuzzy_decontaminate" -> QueryDef(
+      (s, d) => fuzzyDecontaminate(Tables.documents(s, d)),
+      Some(s"""WITH ${DedupQueries.minhashBandedTokensCtes(LshBands, LshRows)},
+             |src AS (SELECT doc_id, source FROM documents),
+             |cand AS (SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_id
+             |  FROM bands t JOIN bands e
+             |    ON t.band = e.band AND t.s0 = e.s0 AND t.s1 = e.s1
+             |   AND t.s2 = e.s2 AND t.s3 = e.s3
+             |  JOIN src st ON st.doc_id = t.doc_id
+             |  JOIN src se ON se.doc_id = e.doc_id
+             |  WHERE st.source <> 'src0' AND se.source = 'src0'),
+             |toks AS (SELECT doc_id,
+             |    list_distinct(string_split(text, ' ')) AS t FROM documents),
+             |ver AS (SELECT c.doc_id, c.eval_id,
+             |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |      / len(list_distinct(a.t || b.t)) AS jac
+             |  FROM cand c JOIN toks a ON a.doc_id = c.doc_id
+             |  JOIN toks b ON b.doc_id = c.eval_id
+             |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |      / len(list_distinct(a.t || b.t)) >= 0.8),
+             |agg AS (SELECT doc_id, COUNT(*) AS n_eval_matches,
+             |    MAX(jac) AS mj FROM ver GROUP BY doc_id),
+             |best AS (SELECT v.doc_id, MIN(v.eval_id) AS best_eval_id
+             |  FROM ver v JOIN agg g ON g.doc_id = v.doc_id AND v.jac = g.mj
+             |  GROUP BY v.doc_id)
+             |SELECT g.doc_id, g.n_eval_matches, b.best_eval_id,
+             |  g.mj AS best_jac
+             |FROM agg g JOIN best b ON b.doc_id = g.doc_id
+             |ORDER BY g.doc_id""".stripMargin)),
+
+    // ── recall certificate for the fuzzy-decontamination rung: per
+    //    source, the fraction of exactly-contaminated training docs
+    //    (brute train×eval token-Jaccard yardstick) the q133 LSH rung
+    //    flags, in docs and token mass — both arms re-derived in
+    //    DuckDB (the q132 treatment for the decontamination family) ──
+    "q134_fuzzy_decon_recall" -> QueryDef(
+      (s, d) => fuzzyDeconRecall(Tables.documents(s, d)),
+      Some(s"""WITH ${DedupQueries.minhashBandedTokensCtes(LshBands, LshRows)},
+             |toks AS (SELECT doc_id, source,
+             |    list_distinct(string_split(text, ' ')) AS t,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |exact AS (SELECT DISTINCT a.doc_id
+             |  FROM toks a JOIN toks e
+             |    ON a.source <> 'src0' AND e.source = 'src0'
+             |  WHERE CAST(len(list_intersect(a.t, e.t)) AS DOUBLE)
+             |      / len(list_distinct(a.t || e.t)) >= 0.8),
+             |cand AS (SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_id
+             |  FROM bands t JOIN bands e
+             |    ON t.band = e.band AND t.s0 = e.s0 AND t.s1 = e.s1
+             |   AND t.s2 = e.s2 AND t.s3 = e.s3
+             |  JOIN toks st ON st.doc_id = t.doc_id
+             |  JOIN toks se ON se.doc_id = e.doc_id
+             |  WHERE st.source <> 'src0' AND se.source = 'src0'),
+             |lsh AS (SELECT DISTINCT c.doc_id FROM cand c
+             |  JOIN toks a ON a.doc_id = c.doc_id
+             |  JOIN toks e ON e.doc_id = c.eval_id
+             |  WHERE CAST(len(list_intersect(a.t, e.t)) AS DOUBLE)
+             |      / len(list_distinct(a.t || e.t)) >= 0.8)
+             |SELECT tk.source, COUNT(*) AS n_docs_exact,
+             |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_docs_lsh,
+             |  CAST(SUM(tk.n_tokens) AS BIGINT) AS tokens_exact,
+             |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN tk.n_tokens
+             |    ELSE 0 END) AS BIGINT) AS tokens_lsh,
+             |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / COUNT(*) AS doc_recall,
+             |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN tk.n_tokens
+             |    ELSE 0 END) AS DOUBLE) / SUM(tk.n_tokens) AS token_recall
+             |FROM exact x JOIN toks tk ON tk.doc_id = x.doc_id
+             |LEFT JOIN lsh h ON h.doc_id = x.doc_id
+             |GROUP BY tk.source ORDER BY tk.source""".stripMargin)),
 
     // ── per-source triangle census of the duplicate graph: degree-
     //    ordered wedge join (π-orientation bounds per-key fan-out by

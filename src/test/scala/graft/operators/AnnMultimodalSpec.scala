@@ -448,4 +448,41 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(d.region(0) == 0 && d.region(1) == 0 &&
       d.region(2) == 100.toByte && d.region(3) == 0)
   }
+
+  test("q135 embedding decontamination equals the brute yardstick at full mask coverage") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val evIds = docs.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val vecs = graft.sources.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // precondition of the equality claim: at this corpus the derived
+    // planes (2) with flips = 2 probe every one of the 4 buckets, so
+    // ALL (eval, train) pairs are candidates and the verified output
+    // must EQUAL the brute cosine threshold join — the strongest pin
+    // available without re-deriving the LSH (which the oracle does)
+    assert(AnnQueries.planesFor(vecs.size - evIds.size.toLong) == 2)
+    def cosScaled(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val nm = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      math.round(dot / nm * 1e6)
+    }
+    def norm0(a: Array[Double]): Boolean = a.map(x => x * x).sum == 0.0
+    val brute = (for {
+      (ti, tv) <- vecs.toSeq if !evIds(ti) && !norm0(tv)
+      ei <- evIds if !norm0(vecs(ei))
+      c = cosScaled(tv, vecs(ei)) if c >= 300000L
+    } yield (ti, ei, c)).groupBy(_._1).map { case (ti, ms) =>
+      val mc = ms.map(_._3).max
+      ti -> (ms.size.toLong, ms.filter(_._3 == mc).map(_._2).min, mc)
+    }
+    val got = AnnQueries.registry("q135_embed_decontaminate")
+      .build(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.nonEmpty, "the corpus plants embedding-space contamination")
+    assert(got === brute)
+  }
 }

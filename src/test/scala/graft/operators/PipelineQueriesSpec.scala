@@ -569,4 +569,70 @@ class PipelineQueriesSpec extends SparkSpec {
     val overLong = chunks.filter(col("n_chunk_tokens") > 32).count()
     assert(overLong === 0L)
   }
+
+  /** Brute (train doc, eval doc) → token-Jaccard at ≥ `t`, driver-side
+    * from the real table — the yardstick of the q133/q134 tests. */
+  private def bruteFuzzyMatches(d: String, t: Double): Map[(Long, Long), Double] = {
+    val toks = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(col("text"), " ")).as("tk"))
+    val ev = toks.filter(col("source") === "src0")
+      .select(col("doc_id").as("eval_id"), col("tk").as("et"))
+    toks.filter(col("source") =!= "src0").crossJoin(ev)
+      .withColumn("jac",
+        size(array_intersect(col("tk"), col("et"))).cast("double")
+          / size(array_union(col("tk"), col("et"))))
+      .filter(col("jac") >= t)
+      .select(col("doc_id"), col("eval_id"), col("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+  }
+
+  test("q133 fuzzy decontamination: verified subset of the brute yardstick, best match exact") {
+    val d = "/root/testdata/sf0.001"
+    val brute = bruteFuzzyMatches(d, 0.8)
+    val byDoc = brute.keySet.groupBy(_._1)
+    val out = PipelineQueries.registry("q133_fuzzy_decontaminate")
+      .build(spark, d).collect()
+    assert(out.nonEmpty, "the corpus plants cross-source eval near-dups")
+    out.foreach { r =>
+      val (id, n, bid, bjac) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      // every flagged doc and its reported match are REAL ≥ t pairs
+      // (LSH generates, the exact verify decides — no false positives)
+      assert(byDoc.contains(id), s"doc $id flagged but not contaminated")
+      assert(brute.contains((id, bid)), s"($id, $bid) not a true match")
+      assert(bjac == brute((id, bid)), s"reported jac differs for ($id, $bid)")
+      assert(bjac >= 0.8)
+      // the rung can only find brute matches, never invent them
+      assert(n <= byDoc(id).size.toLong)
+      assert(bjac <= byDoc(id).map(brute).max)
+    }
+  }
+
+  test("q134 certificate columns agree with independently derived arms") {
+    val d = "/root/testdata/sf0.001"
+    val exactDocs = bruteFuzzyMatches(d, 0.8).keySet.map(_._1)
+    val lshDocs = PipelineQueries.registry("q133_fuzzy_decontaminate")
+      .build(spark, d).collect().map(_.getLong(0)).toSet
+    assert(lshDocs.subsetOf(exactDocs), "verified flags refine the exact set")
+    val meta = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val expected = exactDocs.groupBy(id => meta(id)._1).map { case (src, ids) =>
+      val flagged = ids.filter(lshDocs)
+      val (te, tl) = (ids.toSeq.map(meta(_)._2).sum,
+        flagged.toSeq.map(meta(_)._2).sum)
+      src -> (ids.size.toLong, flagged.size.toLong, te, tl,
+        flagged.size.toDouble / ids.size, tl.toDouble / te)
+    }
+    val got = PipelineQueries.registry("q134_fuzzy_decon_recall")
+      .build(spark, d).collect()
+    assert(got.map(_.getString(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)) === e, s"source ${r.getString(0)}")
+    }
+  }
 }
