@@ -567,7 +567,7 @@ object DedupQueries {
     * the bucket schema stays 4-wide). Per-pair collision = 1−(1−sʳ)ᵇ:
     * 4×4 fires at 0.88 for s = 0.8; 8×2 at 0.9997 — the high-recall
     * operating point the q132 certificate measured (PERF r10). */
-  private[operators] def minhashBandedTokens(docs: DataFrame,
+  private[graft] def minhashBandedTokens(docs: DataFrame,
                                              bands: Int = 4,
                                              rowsPerBand: Int = 4): DataFrame = {
     val numSigs = bands * rowsPerBand

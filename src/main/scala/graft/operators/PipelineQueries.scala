@@ -408,7 +408,7 @@ object PipelineQueries {
     * q133/q134 — shared through the registry relation cache (the
     * q125/q128/q132 edge-set discipline: the certificate re-consumes
     * the rung's matches, one registry pass builds them once). */
-  private def fuzzyDeconMatches(documents: org.apache.spark.sql.DataFrame,
+  private[graft] def fuzzyDeconMatches(documents: org.apache.spark.sql.DataFrame,
                                 threshold: Double,
                                 bands: Int, rowsPerBand: Int)
   : org.apache.spark.sql.DataFrame =
@@ -658,8 +658,8 @@ object PipelineQueries {
     * which the 8×2 sweep point showed is what chain candidates need).
     * One definition so the Spark defaults and the oracle CTEs cannot
     * diverge. */
-  private[operators] final val LshBands = 8
-  private[operators] final val LshRows = 4
+  private[graft] final val LshBands = 8
+  private[graft] final val LshRows = 4
 
   def lshClusterStats(documents: org.apache.spark.sql.DataFrame,
                       threshold: Double = 0.8,

@@ -859,6 +859,60 @@ object DocStream {
     }
   }
 
+  /** Streaming fuzzy-decontamination screen — q133's streaming face
+    * ([[graft.operators.PipelineQueries.fuzzyDecontaminate]]), the shape
+    * a decontamination deployment actually runs: documents ARRIVE, the
+    * eval suite is STATIC. Stateless and shuffle-free end to end:
+    * per-ROW token-minhash signatures (the [[nearDupStream]] idiom — no
+    * doc_id aggregate, so nothing shuffles), banded at the registered
+    * 8×4 layout, equi-joined against the BROADCAST banded eval suite,
+    * and every candidate exact-verified by token Jaccard against the
+    * broadcast eval token sets before it is emitted. An arriving batch
+    * therefore costs one map-side pass over itself — no state, no
+    * watermark, nothing grows — which is why this runs inline in an
+    * ingest path at any corpus rate.
+    *
+    * A pair colliding in several bands is emitted once per band
+    * (`band` column kept); consumers dedupe on (doc_id, eval_id) — the
+    * [[NearDupMatch]] contract, and exactly what the batch path's
+    * `distinct()` does. DocStreamSpec pins: streamed matches over any
+    * batch split, deduped, equal the offline q133 match relation on the
+    * same corpus (per-doc verdicts are batch-independent, so equality
+    * is exact, not approximate). Works unchanged on a static frame. */
+  def deconScreenStream(docs: DataFrame, evalDocs: DataFrame,
+                        threshold: Double = 0.8): DataFrame = {
+    import graft.operators.{DedupQueries, PipelineQueries}
+    val (nb, rpb) = (PipelineQueries.LshBands, PipelineQueries.LshRows)
+    val sig = array((0 until nb * rpb).map(k => array_min(transform(
+      graft.functions.TokenHashArray(col("text")),
+      g => (g * DedupQueries.minhashA(k) + DedupQueries.minhashB(k))
+        % DedupQueries.MinhashP))): _*)
+    def sg(b: Int, j: Int) =
+      if (j < rpb) col("sig")(rpb * b + j) else lit(0L)
+    val bandStructs = (0 until nb).map(b => struct(lit(b).as("band"),
+      sg(b, 0).as("s0"), sg(b, 1).as("s1"), sg(b, 2).as("s2"),
+      sg(b, 3).as("s3")))
+    val evB = broadcast(DedupQueries.minhashBandedTokens(
+      evalDocs.select(col("doc_id"), col("text")), nb, rpb)
+      .withColumnRenamed("doc_id", "eval_id"))
+    val evToks = broadcast(evalDocs.select(col("doc_id").as("eval_id"),
+      array_distinct(split(col("text"), " ")).as("et")))
+    docs.select(col("doc_id"), col("text"), sig.as("sig"))
+      .select(col("doc_id"), col("text"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("text"), col("b.band").as("band"),
+        col("b.s0").as("s0"), col("b.s1").as("s1"), col("b.s2").as("s2"),
+        col("b.s3").as("s3"))
+      .join(evB, Seq("band", "s0", "s1", "s2", "s3"))
+      .join(evToks, Seq("eval_id"))
+      .withColumn("t", array_distinct(split(col("text"), " ")))
+      .withColumn("jac",
+        size(array_intersect(col("t"), col("et"))).cast("double")
+          / size(array_union(col("t"), col("et"))))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_id"), col("eval_id"), col("jac"), col("band"))
+  }
+
   /** A near-duplicate match surfaced by [[nearDupStream]]: `doc_id` is
     * the arriving document, `matched_id` a previously-seen bucket-mate,
     * `n_equal_sigs` ∈ [4, 16] the matching MinHash components (÷16 ≈

@@ -222,4 +222,47 @@ class DocStreamSpec extends SparkSpec {
       assert(m5.length == 3 && m5.forall(i => i >= 0L && i <= 4L), s"got $m5")
     } finally q.stop()
   }
+
+  test("deconScreenStream: streamed matches over any batch split equal the offline q133 relation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val evalDocs = docs.filter(col("source") === "src0")
+      .select("doc_id", "text")
+    // the offline yardstick: q133's verified match relation on the
+    // full corpus (per-doc verdicts are batch-independent, so the
+    // streamed screen must reproduce it EXACTLY, not approximately)
+    val offline = graft.operators.PipelineQueries
+      .fuzzyDeconMatches(docs, 0.8,
+        graft.operators.PipelineQueries.LshBands,
+        graft.operators.PipelineQueries.LshRows)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(offline.nonEmpty)
+    val train = docs.filter(col("source") =!= "src0")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.deconScreenStream(
+        input.toDS().toDF("doc_id", "text"), evalDocs)
+      .writeStream.format("memory").queryName("deconscreen")
+      .outputMode("append").start()
+    try {
+      // three arbitrary batch splits of the train corpus
+      (0 until 3).foreach { b =>
+        input.addData(train.filter(_._1 % 3 == b): _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("deconscreen").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      // per-band emission dedupes to the offline distinct pair set,
+      // with the identical verified jaccard on every emission
+      assert(got.toMap === offline)
+      got.groupBy(_._1).foreach { case (pair, vs) =>
+        assert(vs.map(_._2).distinct.length === 1, s"jac varies for $pair")
+      }
+    } finally q.stop()
+  }
 }
