@@ -535,7 +535,28 @@ object AnnQueries {
     val index = embeddings.join(evIds, Seq("vec_id"), "left_anti")
     val queries = embeddings.join(broadcast(evIds), Seq("vec_id"), "left_semi")
     val planes = planesFor(index.count())
-    val build = withNorms(index).join(signatures(index, planes), Seq("vec_id"))
+    embedDecontaminateIndexed(signatures(index, planes), index, planes,
+      queries, tauScaled, probeFlips, signatures)
+  }
+
+  /** [[embedDecontaminate]] against a PREBUILT `(sig, vecs)` index at
+    * its frozen `planes` — the form a maintained
+    * [[graft.streaming.AnnStream]] store serves directly
+    * ([[graft.streaming.AnnStream.deconProbe]]): the store's corpus is
+    * never re-signed or reshuffled; an eval suite costs only its own
+    * multiprobe candidate volume. ID CONTRACT: eval query ids must be
+    * DISJOINT from stored ids (a decon deployment excludes the eval
+    * suite from its corpus, as q135's source split does) — a colliding
+    * id would be scored like any candidate and could flag a stored
+    * vector against itself at cosine 10⁶. `signatures` must be the
+    * family the index was signed with. */
+  def embedDecontaminateIndexed(sig: DataFrame, vecs: DataFrame,
+                                planes: Int, queries: DataFrame,
+                                tauScaled: Long = 300000L,
+                                probeFlips: Int = 2,
+                                signatures: (DataFrame, Int) => DataFrame =
+                                  signSignatures): DataFrame = {
+    val build = withNorms(vecs).join(sig, Seq("vec_id"))
       .select(col("vec_id").as("idb"), col("v").as("vb"),
         col("norm").as("nb"), col("signature").as("bucket"))
     probeSide(withNorms(queries)
@@ -980,8 +1001,13 @@ object AnnQueries {
     * INDEX side's count, one-sided multiprobe via the mask relation,
     * τ filter on the scaled cosine, and the argmax rollup (max cosine,
     * ties to the smallest eval id). */
-  private def embedDeconOracleSql(tauScaled: Long, target: Int = 128): String =
-    s"""WITH $knnBaseSql,
+  /** The q135 chain up to the verified flag relation `f` (vec_id,
+    * eval_id, c ≥ τ) — factored so the q136 contamination report can
+    * splice the SAME semantic arm into its combined oracle (the
+    * knnBaseSql treatment: one definition, every dependent oracle). */
+  private[operators] def embedDeconFlagCtes(tauScaled: Long,
+                                            target: Int = 128): String =
+    s"""$knnBaseSql,
        |ev AS (SELECT doc_id AS vec_id FROM documents WHERE source = 'src0'),
        |${planeKnobSql(target, "WHERE vec_id NOT IN (SELECT vec_id FROM ev)")},
        |$derivedSigSql,
@@ -991,7 +1017,10 @@ object AnnQueries {
        |  FROM sg a CROSS JOIN mk JOIN sg b ON b.sig = xor(a.sig, mk.m)
        |  WHERE a.vec_id IN (SELECT vec_id FROM ev)
        |    AND b.vec_id NOT IN (SELECT vec_id FROM ev)),
-       |f AS (SELECT * FROM p WHERE c >= $tauScaled),
+       |f AS (SELECT * FROM p WHERE c >= $tauScaled)""".stripMargin
+
+  private def embedDeconOracleSql(tauScaled: Long, target: Int = 128): String =
+    s"""WITH ${embedDeconFlagCtes(tauScaled, target)},
        |agg AS (SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(c) AS mc
        |        FROM f GROUP BY vec_id),
        |best AS (SELECT f.vec_id, MIN(f.eval_id) AS best_eval_id

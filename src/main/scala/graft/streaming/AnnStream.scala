@@ -158,6 +158,20 @@ object AnnStream {
     AnnQueries.knnProbeLsh(index.sig, index.vecs, index.planes,
       queries, k, probeFlips)
 
+  /** Embedding-space decontamination against the maintained index —
+    * q135's store-backed face ([[AnnQueries.embedDecontaminateIndexed]]
+    * at the frozen planes): which STORED vectors sit at scaled cosine
+    * ≥ `tauScaled` of any eval query. The store is never re-signed; an
+    * eval suite costs its own multiprobe candidate volume, so a
+    * deployment re-screens its whole maintained corpus against a new
+    * benchmark release as one probe pass. ID CONTRACT: eval ids must
+    * be disjoint from stored ids (exclude the suite from the corpus —
+    * the q135 source split — or number it outside the store's range). */
+  def deconProbe(index: StreamedAnnIndex, queries: DataFrame,
+                 tauScaled: Long = 300000L, probeFlips: Int = 2): DataFrame =
+    AnnQueries.embedDecontaminateIndexed(index.sig, index.vecs,
+      index.planes, queries, tauScaled, probeFlips)
+
   /** Compact the maintained ANN index: rebuild the base over
     * base ∪ deltas with planes RE-DERIVED from the current corpus
     * count — the occupancy re-freeze (a frozen plane count at a grown

@@ -329,4 +329,31 @@ class AnnStreamSpec extends SparkSpec {
     assert(got.exists(r => r.head == 901L && r(2) == 250L),
       "the witness vector survived the regression interleaving")
   }
+
+  test("deconProbe: store-backed decontamination == offline indexed build; planted twin flagged") {
+    val base = (0L until 60L).map(i => (i, member((i % 6).toInt, (i / 6).toInt)))
+    val b0 = (100L until 130L).map(i => (i, member((i % 10).toInt, (i / 10).toInt)))
+    val path = java.nio.file.Files.createTempDirectory("graft-ann-decon")
+      .resolve("ix").toString
+    AnnStream.initAnnIndexStore(vecsDF(base), path, Occ)
+    AnnStream.annIndexSink(path)(vecsDF(b0), 0L)
+    val ix = AnnStream.loadStreamedAnnIndex(spark, path)
+    // eval suite ids are DISJOINT from stored ids (the deconProbe
+    // contract); 900 is a scaled copy of stored vector 15 = member(3, 2)
+    // — identical direction, cosine exactly 1 — 901 points elsewhere
+    val eval = vecsDF(Seq((900L, member(3, 2).map(_ * 2f)),
+      (901L, member(5, 1))))
+    val got = AnnStream.deconProbe(ix, eval, tauScaled = 900000L)
+      .collect().map(_.toSeq.toList: Seq[Any]).toSeq
+    val all = vecsDF(base ++ b0)
+    val offline = AnnQueries.embedDecontaminateIndexed(
+        AnnQueries.signSignatures(all, ix.planes), all, ix.planes,
+        eval, tauScaled = 900000L)
+      .collect().map(_.toSeq.toList: Seq[Any]).toSeq
+    // the store serves the decon screen exactly as an offline build
+    // over the same vectors at the frozen planes would
+    assert(got.nonEmpty && got == offline)
+    assert(got.exists(r => r.head == 15L && r(2) == 900L &&
+      r(3) == 1000000L), "the planted parallel stored vector is flagged")
+  }
 }
