@@ -484,6 +484,45 @@ object PipelineQueries {
       .orderedResult(col("source"))
   }
 
+  /** Layered contamination report (q136) — the decontamination
+    * family's capstone, the table a data team actually reviews before
+    * a training run: per training SOURCE, how many documents each
+    * scrub layer flags — exact 8-gram overlap (the q61/q111 arm, via
+    * the bloom-prefiltered path), fuzzy token-Jaccard ≥ 0.8 (the q133
+    * LSH rung), embedding cosine ≥ 0.3 (the q135 probe-only rung,
+    * vectors tied to docs by the shared id namespace) — plus the union
+    * (`n_any`). The three layers see DIFFERENT leakage (verbatim spans
+    * / paraphrase / translation), so the per-layer deltas are the
+    * report's content: a source where n_semantic ≫ n_exact is leaking
+    * translations the gram scrub cannot catch. Each arm is the
+    * registered construction itself (the fuzzy match relation rides
+    * the q133/q134 shared-relation cache), so the report's cost in a
+    * registry pass is three flag joins and a per-source rollup. */
+  def contaminationReport(documents: org.apache.spark.sql.DataFrame,
+                          embeddings: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val ex = bloomDecontaminate(documents)
+      .select(col("doc_id")).withColumn("xe", lit(1))
+    val fz = fuzzyDeconMatches(documents, 0.8, LshBands, LshRows)
+      .select(col("doc_id")).distinct().withColumn("xf", lit(1))
+    val sem = AnnQueries.embedDecontaminate(embeddings, documents,
+        signatures = AnnQueries.signSignaturesPortable)
+      .select(col("vec_id").as("doc_id")).withColumn("xs", lit(1))
+    documents.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"))
+      .join(ex, Seq("doc_id"), "left")
+      .join(fz, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("xe"), lit(0))).cast("long").as("n_exact"),
+        sum(coalesce(col("xf"), lit(0))).cast("long").as("n_fuzzy"),
+        sum(coalesce(col("xs"), lit(0))).cast("long").as("n_semantic"),
+        sum(when(col("xe").isNotNull || col("xf").isNotNull
+          || col("xs").isNotNull, 1).otherwise(0)).cast("long").as("n_any"))
+      .orderedResult(col("source"))
+  }
+
   /** Per-source triangle census of the duplicate graph (q110):
     * edges / wedges / triangles per source — the clustering-structure
     * diagnostic that separates chain-like duplication (scrape drift:
@@ -1029,6 +1068,57 @@ object PipelineQueries {
              |FROM exact x JOIN toks tk ON tk.doc_id = x.doc_id
              |LEFT JOIN lsh h ON h.doc_id = x.doc_id
              |GROUP BY tk.source ORDER BY tk.source""".stripMargin)),
+
+    // ── layered contamination report: per training source, the doc
+    //    counts each scrub layer flags — exact 8-gram (q61 arm), fuzzy
+    //    token-Jaccard (q133 arm), embedding cosine (q135 arm) — and
+    //    their union; all three arms re-derived in ONE DuckDB query
+    //    (gram chain renamed gg/gev to clear the band chain's names) ──
+    "q136_contamination_report" -> QueryDef(
+      (s, d) => contaminationReport(Tables.documents(s, d),
+        Tables.embeddings(s, d)),
+      Some(s"""WITH ${DedupQueries.minhashBandedTokensCtes(LshBands, LshRows)},
+             |src AS (SELECT doc_id, source FROM documents),
+             |cand AS (SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_id
+             |  FROM bands t JOIN bands e
+             |    ON t.band = e.band AND t.s0 = e.s0 AND t.s1 = e.s1
+             |   AND t.s2 = e.s2 AND t.s3 = e.s3
+             |  JOIN src st ON st.doc_id = t.doc_id
+             |  JOIN src se ON se.doc_id = e.doc_id
+             |  WHERE st.source <> 'src0' AND se.source = 'src0'),
+             |toks AS (SELECT doc_id,
+             |    list_distinct(string_split(text, ' ')) AS t FROM documents),
+             |fz AS (SELECT DISTINCT c.doc_id FROM cand c
+             |  JOIN toks a ON a.doc_id = c.doc_id
+             |  JOIN toks b ON b.doc_id = c.eval_id
+             |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |      / len(list_distinct(a.t || b.t)) >= 0.8),
+             |gg AS (SELECT doc_id, source,
+             |    list_distinct(list_transform(generate_series(1, length(text) - 7),
+             |      i -> (${(0 until 8).map(DedupQueries.gramHashSql).mkString(" + ")})
+             |           % 1000000007)) AS gs
+             |  FROM documents),
+             |gev AS (SELECT DISTINCT unnest(gs) AS gr FROM gg WHERE source = 'src0'),
+             |ex AS (SELECT DISTINCT t.doc_id FROM
+             |  (SELECT doc_id, unnest(gs) AS gr FROM gg WHERE source <> 'src0') t
+             |  JOIN gev ON t.gr = gev.gr),
+             |${AnnQueries.embedDeconFlagCtes(300000L)},
+             |sem AS (SELECT DISTINCT vec_id AS doc_id FROM f)
+             |SELECT s.source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_exact,
+             |  CAST(SUM(CASE WHEN fz.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_fuzzy,
+             |  CAST(SUM(CASE WHEN sem.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_semantic,
+             |  CAST(SUM(CASE WHEN ex.doc_id IS NOT NULL OR fz.doc_id IS NOT NULL
+             |    OR sem.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_any
+             |FROM src s
+             |LEFT JOIN ex ON ex.doc_id = s.doc_id
+             |LEFT JOIN fz ON fz.doc_id = s.doc_id
+             |LEFT JOIN sem ON sem.doc_id = s.doc_id
+             |WHERE s.source <> 'src0'
+             |GROUP BY s.source ORDER BY s.source""".stripMargin)),
 
     // ── per-source triangle census of the duplicate graph: degree-
     //    ordered wedge join (π-orientation bounds per-key fan-out by

@@ -635,4 +635,32 @@ class PipelineQueriesSpec extends SparkSpec {
         r.getDouble(5), r.getDouble(6)) === e, s"source ${r.getString(0)}")
     }
   }
+
+  test("q136 contamination report composes exactly the three registered arms") {
+    val d = "/root/testdata/sf0.001"
+    def ids(q: String, c: Int = 0) = PipelineQueries.registry
+      .getOrElse(q, AnnQueries.registry(q)).build(spark, d)
+      .collect().map(_.getLong(c)).toSet
+    val ex = ids("q111_bloom_decontaminate")
+    val fz = ids("q133_fuzzy_decontaminate")
+    val sem = ids("q135_embed_decontaminate")
+    val meta = graft.sources.Tables.documents(spark, d)
+      .filter(col("source") =!= "src0").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val expected = meta.groupBy(_._2).map { case (src, ds) =>
+      val dd = ds.map(_._1)
+      src -> (dd.length.toLong, dd.count(ex).toLong, dd.count(fz).toLong,
+        dd.count(sem).toLong,
+        dd.count(i => ex(i) || fz(i) || sem(i)).toLong)
+    }
+    val got = PipelineQueries.registry("q136_contamination_report")
+      .build(spark, d).collect()
+    assert(got.map(_.getString(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) === expected(r.getString(0)), s"source ${r.getString(0)}")
+    }
+    // the layers genuinely differ on this corpus — the report's point
+    assert(got.map(_.getLong(3)).sum < got.map(_.getLong(2)).sum)
+  }
 }
