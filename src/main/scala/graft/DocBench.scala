@@ -99,6 +99,17 @@ object DocBench {
         shingleLen = 8)
         .count()
     }
+    // streaming fuzzy-decon screen at ingest-path scale: the whole
+    // corpus arrives against a broadcast 500-doc eval suite (the first
+    // 500 corpus texts re-numbered as eval docs, so they and their
+    // near-dup cluster mates must flag). The screen is stateless and
+    // shuffle-free, so this static-frame run IS the per-batch cost
+    // shape a foreachBatch trigger pays.
+    time("fuzzy-decon screen: corpus vs broadcast 500-doc eval suite") {
+      val eval = docs.filter(col("doc_id") < 500)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      graft.streaming.DocStream.deconScreenStream(docs, eval).count()
+    }
     // ONE GIANT SOURCE: the stratum shape of a real training mix (one
     // source holds ~99% of the corpus). The r5 window formulations
     // serialize the giant stratum through a single task; the r6

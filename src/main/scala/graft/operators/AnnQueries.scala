@@ -529,15 +529,57 @@ object AnnQueries {
   def embedDecontaminate(embeddings: DataFrame, documents: DataFrame,
                          tauScaled: Long = 300000L, probeFlips: Int = 2,
                          signatures: (DataFrame, Int) => DataFrame =
-                           signSignatures): DataFrame = {
+                           signSignatures): DataFrame =
+    deconRollup(embedDeconFlags(embeddings, documents, tauScaled,
+      probeFlips, signatures))
+
+  private def embedDeconFlags(embeddings: DataFrame, documents: DataFrame,
+                              tauScaled: Long, probeFlips: Int,
+                              signatures: (DataFrame, Int) => DataFrame)
+  : DataFrame = {
     val evIds = documents.filter(col("source") === "src0")
       .select(col("doc_id").as("vec_id"))
-    val index = embeddings.join(evIds, Seq("vec_id"), "left_anti")
+    // both splits broadcast the dimension-sized eval id set — without
+    // the hint the anti-join can plan as a sort-merge that shuffles the
+    // whole corpus (r10 review)
+    val index = embeddings.join(broadcast(evIds), Seq("vec_id"), "left_anti")
     val queries = embeddings.join(broadcast(evIds), Seq("vec_id"), "left_semi")
     val planes = planesFor(index.count())
-    embedDecontaminateIndexed(signatures(index, planes), index, planes,
+    indexedDeconFlags(signatures(index, planes), index, planes,
       queries, tauScaled, probeFlips, signatures)
   }
+
+  /** The verified q135 flag relation (vec_id, eval_id, c ≥ τ) at the
+    * REGISTERED configuration (portable signatures), shared through the
+    * registry relation cache — q135 and the q136 report consume the
+    * identical relation, so the corpus is signed and probed once per
+    * registry pass (the q133/q134 fuzzyDeconMatches discipline; the
+    * memo key is a join of both input lineages so a different corpus
+    * or eval split can never hit the cache). */
+  private[operators] def embedDeconFlagsShared(embeddings: DataFrame,
+                                               documents: DataFrame,
+                                               tauScaled: Long = 300000L,
+                                               probeFlips: Int = 2)
+  : DataFrame =
+    DedupQueries.memoSharedRelation("embdecon",
+      embeddings.select(col("vec_id"))
+        .join(documents.select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id")),
+      tauScaled.toInt, probeFlips) {
+      embedDeconFlags(embeddings, documents, tauScaled, probeFlips,
+        signSignaturesPortable)
+    }
+
+  /** Per-train-vector rollup of a decon flag relation: hit count, the
+    * closest eval vector (ties to the smallest eval id), its cosine. */
+  private def deconRollup(flags: DataFrame): DataFrame =
+    flags
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(struct(col("c").as("c"), (-col("eval_id")).as("negid"))).as("m"))
+      .select(col("vec_id"), col("n_eval_hits"),
+        (-col("m.negid")).as("best_eval_id"), col("m.c").as("best_cos_scaled"))
+      .orderedOutput(col("vec_id"))
 
   /** [[embedDecontaminate]] against a PREBUILT `(sig, vecs)` index at
     * its frozen `planes` — the form a maintained
@@ -555,7 +597,15 @@ object AnnQueries {
                                 tauScaled: Long = 300000L,
                                 probeFlips: Int = 2,
                                 signatures: (DataFrame, Int) => DataFrame =
-                                  signSignatures): DataFrame = {
+                                  signSignatures): DataFrame =
+    deconRollup(indexedDeconFlags(sig, vecs, planes, queries, tauScaled,
+      probeFlips, signatures))
+
+  private def indexedDeconFlags(sig: DataFrame, vecs: DataFrame,
+                                planes: Int, queries: DataFrame,
+                                tauScaled: Long, probeFlips: Int,
+                                signatures: (DataFrame, Int) => DataFrame)
+  : DataFrame = {
     val build = withNorms(vecs).join(sig, Seq("vec_id"))
       .select(col("vec_id").as("idb"), col("v").as("vb"),
         col("norm").as("nb"), col("signature").as("bucket"))
@@ -567,12 +617,6 @@ object AnnQueries {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
           .cast("long").as("c"))
       .filter(col("c") >= tauScaled)
-      .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_eval_hits"),
-        max(struct(col("c").as("c"), (-col("eval_id")).as("negid"))).as("m"))
-      .select(col("vec_id"), col("n_eval_hits"),
-        (-col("m.negid")).as("best_eval_id"), col("m.c").as("best_cos_scaled"))
-      .orderedOutput(col("vec_id"))
   }
 
   /** SemDeDup (Abbas et al. 2023) — semantic deduplication by k-means
@@ -991,16 +1035,11 @@ object AnnQueries {
     //    the one-sided masks and the per-train rollup all re-derived
     //    in DuckDB ──
     "q135_embed_decontaminate" -> QueryDef(
-      (s, d) => embedDecontaminate(Tables.embeddings(s, d),
-        Tables.documents(s, d), signatures = signSignaturesPortable),
+      (s, d) => deconRollup(embedDeconFlagsShared(Tables.embeddings(s, d),
+        Tables.documents(s, d))),
       Some(embedDeconOracleSql(tauScaled = 300000L)))
   )
 
-  /** DuckDB twin of the registered embedding decontamination (q135):
-    * the eval split from the documents table, planes derived from the
-    * INDEX side's count, one-sided multiprobe via the mask relation,
-    * τ filter on the scaled cosine, and the argmax rollup (max cosine,
-    * ties to the smallest eval id). */
   /** The q135 chain up to the verified flag relation `f` (vec_id,
     * eval_id, c ≥ τ) — factored so the q136 contamination report can
     * splice the SAME semantic arm into its combined oracle (the
@@ -1019,6 +1058,11 @@ object AnnQueries {
        |    AND b.vec_id NOT IN (SELECT vec_id FROM ev)),
        |f AS (SELECT * FROM p WHERE c >= $tauScaled)""".stripMargin
 
+  /** DuckDB twin of the registered embedding decontamination (q135):
+    * the eval split from the documents table, planes derived from the
+    * INDEX side's count, one-sided multiprobe via the mask relation,
+    * τ filter on the scaled cosine, and the argmax rollup (max cosine,
+    * ties to the smallest eval id). */
   private def embedDeconOracleSql(tauScaled: Long, target: Int = 128): String =
     s"""WITH ${embedDeconFlagCtes(tauScaled, target)},
        |agg AS (SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(c) AS mc

@@ -561,34 +561,56 @@ object DedupQueries {
 
   /** [[minhashBanded]] over the TOKEN set instead of char shingles —
     * the banding that serves token-Jaccard cluster recovery (q128/
-    * q132). Same 16 affine permutations; the band LAYOUT is a knob:
-    * `bands` × `rowsPerBand` ≤ 16 signatures, band b keyed by sigs
-    * [rowsPerBand·b, rowsPerBand·(b+1)) (unused key slots pinned 0 so
-    * the bucket schema stays 4-wide). Per-pair collision = 1−(1−sʳ)ᵇ:
-    * 4×4 fires at 0.88 for s = 0.8; 8×2 at 0.9997 — the high-recall
-    * operating point the q132 certificate measured (PERF r10). */
+    * q132) and the decontamination rung (q133/q134/q136). Up to 32
+    * affine permutations; the band LAYOUT is a knob: `bands` ×
+    * `rowsPerBand` ≤ 32 signatures with `rowsPerBand` ≤ 4, band b
+    * keyed by sigs [rowsPerBand·b, rowsPerBand·(b+1)) (unused key
+    * slots pinned 0 so the bucket schema stays 4-wide). Per-pair
+    * collision = 1−(1−sʳ)ᵇ: 4×4 fires at 0.88 for s = 0.8; the
+    * REGISTERED 8×4 (32 permutations) at 0.985 — the q132 sweep's
+    * frontier point (PERF r10). Computed PER ROW ([[withTokenBands]])
+    * — no explode + doc-keyed aggregate, so banding a corpus costs no
+    * shuffle at all. */
   private[graft] def minhashBandedTokens(docs: DataFrame,
                                              bands: Int = 4,
-                                             rowsPerBand: Int = 4): DataFrame = {
+                                             rowsPerBand: Int = 4): DataFrame =
+    withTokenBands(docs, bands, rowsPerBand, Seq("doc_id"))
+
+  /** THE per-row token-minhash banding — the single definition of the
+    * hash chain (compiled [[graft.functions.TokenHashArray]] → 32
+    * affine permutations → per-band min) and the band-slot layout,
+    * consumed by [[minhashBandedTokens]] (offline q128/q132/q133) AND
+    * [[graft.streaming.DocStream.deconScreenStream]] (r10 review: a
+    * third inlined copy of the layout would drift silently — the
+    * streamed screen's exact-equality pin depends on byte-identical
+    * banding). `carry` columns ride along (the screen keeps `text` for
+    * the verify); per-row signature min equals the exploded groupBy
+    * min over the same token hashes, so the rewrite is plan-shape
+    * only. The token-hash pass sits behind a CollapseBarrier so the
+    * 32 per-permutation mins read one materialized array instead of
+    * re-inlining one compiled pass each. */
+  private[graft] def withTokenBands(docs: DataFrame, bands: Int,
+                                    rowsPerBand: Int,
+                                    carry: Seq[String]): DataFrame = {
     val numSigs = bands * rowsPerBand
     require(numSigs <= 32 && rowsPerBand <= 4,
       "32 permutations, 4-wide bucket schema")
-    val toks = docs
-      .select(col("doc_id"), explode(array_distinct(
-        graft.functions.TokenHashArray(col("text")))).as("g"))
-    val sigs = toks.groupBy("doc_id")
-      .agg(min((col("g") * minhashA(0) + minhashB(0)) % MinhashP).as("sig0"),
-        (1 until numSigs).map(k =>
-          min((col("g") * minhashA(k) + minhashB(k)) % MinhashP).as(s"sig$k")): _*)
+    val sigd = docs
+      .withColumn("__th", graft.functions.CollapseBarrier(
+        graft.functions.TokenHashArray(col("text"))))
+      .withColumn("sig", array((0 until numSigs).map(k =>
+        array_min(transform(col("__th"),
+          g => (g * minhashA(k) + minhashB(k)) % MinhashP))): _*))
     def sig(b: Int, j: Int): Column =
-      if (j < rowsPerBand) col(s"sig${rowsPerBand * b + j}") else lit(0L)
+      if (j < rowsPerBand) col("sig")(rowsPerBand * b + j) else lit(0L)
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"), sig(b, 0).as("s0"), sig(b, 1).as("s1"),
         sig(b, 2).as("s2"), sig(b, 3).as("s3")))
-    sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.s0").as("s0"),
-        col("b.s1").as("s1"), col("b.s2").as("s2"), col("b.s3").as("s3"))
+    sigd
+      .select(carry.map(col) :+ explode(array(bandStructs: _*)).as("b"): _*)
+      .select(carry.map(col) ++ Seq(col("b.band").as("band"),
+        col("b.s0").as("s0"), col("b.s1").as("s1"), col("b.s2").as("s2"),
+        col("b.s3").as("s3")): _*)
   }
 
   /** [[minhashBandedCtes]]'s token-set twin (ends in `bands`), same

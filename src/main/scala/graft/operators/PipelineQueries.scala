@@ -505,9 +505,8 @@ object PipelineQueries {
       .select(col("doc_id")).withColumn("xe", lit(1))
     val fz = fuzzyDeconMatches(documents, 0.8, LshBands, LshRows)
       .select(col("doc_id")).distinct().withColumn("xf", lit(1))
-    val sem = AnnQueries.embedDecontaminate(embeddings, documents,
-        signatures = AnnQueries.signSignaturesPortable)
-      .select(col("vec_id").as("doc_id")).withColumn("xs", lit(1))
+    val sem = AnnQueries.embedDeconFlagsShared(embeddings, documents)
+      .select(col("vec_id").as("doc_id")).distinct().withColumn("xs", lit(1))
     documents.filter(col("source") =!= "src0")
       .select(col("doc_id"), col("source"))
       .join(ex, Seq("doc_id"), "left")

@@ -883,26 +883,17 @@ object DocStream {
                         threshold: Double = 0.8): DataFrame = {
     import graft.operators.{DedupQueries, PipelineQueries}
     val (nb, rpb) = (PipelineQueries.LshBands, PipelineQueries.LshRows)
-    val sig = array((0 until nb * rpb).map(k => array_min(transform(
-      graft.functions.TokenHashArray(col("text")),
-      g => (g * DedupQueries.minhashA(k) + DedupQueries.minhashB(k))
-        % DedupQueries.MinhashP))): _*)
-    def sg(b: Int, j: Int) =
-      if (j < rpb) col("sig")(rpb * b + j) else lit(0L)
-    val bandStructs = (0 until nb).map(b => struct(lit(b).as("band"),
-      sg(b, 0).as("s0"), sg(b, 1).as("s1"), sg(b, 2).as("s2"),
-      sg(b, 3).as("s3")))
     val evB = broadcast(DedupQueries.minhashBandedTokens(
       evalDocs.select(col("doc_id"), col("text")), nb, rpb)
       .withColumnRenamed("doc_id", "eval_id"))
     val evToks = broadcast(evalDocs.select(col("doc_id").as("eval_id"),
       array_distinct(split(col("text"), " ")).as("et")))
-    docs.select(col("doc_id"), col("text"), sig.as("sig"))
-      .select(col("doc_id"), col("text"),
-        explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("text"), col("b.band").as("band"),
-        col("b.s0").as("s0"), col("b.s1").as("s1"), col("b.s2").as("s2"),
-        col("b.s3").as("s3"))
+    // the arriving side bands through the SAME one definition of the
+    // hash chain + layout the offline q133 path uses (withTokenBands —
+    // the exact-equality pin depends on byte-identical banding),
+    // carrying text through for the verify
+    DedupQueries.withTokenBands(docs.select(col("doc_id"), col("text")),
+        nb, rpb, Seq("doc_id", "text"))
       .join(evB, Seq("band", "s0", "s1", "s2", "s3"))
       .join(evToks, Seq("eval_id"))
       .withColumn("t", array_distinct(split(col("text"), " ")))
