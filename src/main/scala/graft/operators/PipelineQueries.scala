@@ -484,6 +484,83 @@ object PipelineQueries {
       .orderedResult(col("source"))
   }
 
+  /** Cross-corpus near-duplicate scrub (q137) — the cross-SNAPSHOT
+    * dedup step of a crawl pipeline (drop new-snapshot documents
+    * near-duplicating the previous snapshot): for every document of
+    * the NEW corpus (double-digit sources, src10+), its token-Jaccard
+    * ≥ t near-duplicates in the PREVIOUS corpus (single-digit sources
+    * src1..src9; src0 stays the decon family's eval suite). This
+    * completes the dedup matrix: within-corpus clustering (q128),
+    * incremental probe (q80), corpus-vs-small-suite (q133) — and here
+    * corpus-vs-CORPUS, where unlike q133 NEITHER side is
+    * dimension-sized, so nothing broadcasts: candidates come from the
+    * banded SHUFFLE equi-join of the two sides' token-minhash bands
+    * (cross-side predicate only — within-snapshot pairs never form),
+    * with the q30 heavy-bucket treatment: bucket keys hot across both
+    * sides (≥ `heavyBucketThreshold` members — a degenerate shared
+    * boilerplate text) route through [[Salting.saltedJoin]], which
+    * splits the b·c per-bucket fan-out across `salt` tasks with an
+    * IDENTICAL result set; everything else takes the plain join. Every
+    * candidate is exact-verified before reporting (the family
+    * invariant: LSH generates, never decides). Output per contaminated
+    * new doc: match count, best previous-snapshot match (highest
+    * Jaccard, ties to the smallest id) and its score. */
+  def crossCorpusNearDups(documents: org.apache.spark.sql.DataFrame,
+                          threshold: Double = 0.8,
+                          bands: Int = LshBands,
+                          rowsPerBand: Int = LshRows,
+                          heavyBucketThreshold: Int = 4096,
+                          salt: Int = 16): org.apache.spark.sql.DataFrame = {
+    val bandKey = Seq("band", "s0", "s1", "s2", "s3")
+    val isOld = (length(col("source")) <= lit(4)) && (col("source") =!= "src0")
+    val isNew = length(col("source")) > lit(4)
+    val oldB = DedupQueries.minhashBandedTokens(
+      documents.filter(isOld).select(col("doc_id"), col("text")),
+      bands, rowsPerBand).withColumnRenamed("doc_id", "old_id")
+    val newB = DedupQueries.minhashBandedTokens(
+      documents.filter(isNew).select(col("doc_id"), col("text")),
+      bands, rowsPerBand)
+    // heavy buckets are few by definition: a broadcastable key list,
+    // counted over BOTH sides so a bucket is wholly light or wholly
+    // heavy on each
+    val heavy = oldB.select(bandKey.map(col): _*)
+      .unionByName(newB.select(bandKey.map(col): _*))
+      .groupBy(bandKey.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= heavyBucketThreshold)
+      .select(bandKey.map(col) :+ lit(true).as("__heavy"): _*)
+    val oldF = oldB.join(broadcast(heavy), bandKey, "left")
+    val newF = newB.join(broadcast(heavy), bandKey, "left")
+    def side(df: org.apache.spark.sql.DataFrame, idCol: String,
+             heavyOnly: Boolean) =
+      (if (heavyOnly) df.filter(col("__heavy").isNotNull)
+       else df.filter(col("__heavy").isNull))
+        .select(bandKey.map(col) :+ col(idCol): _*)
+    val light = side(newF, "doc_id", heavyOnly = false)
+      .join(side(oldF, "old_id", heavyOnly = false), bandKey)
+    val heavyPairs = Salting.saltedJoin(
+      side(newF, "doc_id", heavyOnly = true),
+      side(oldF, "old_id", heavyOnly = true),
+      bandKey, scatterCols = Seq(col("doc_id")), salt = salt)
+    val cand = light.unionByName(heavyPairs)
+      .select(col("doc_id"), col("old_id")).distinct()
+    val toks = documents.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("t"))
+    cand.join(toks, Seq("doc_id"))
+      .join(toks.select(col("doc_id").as("old_id"), col("t").as("ot")),
+        Seq("old_id"))
+      .withColumn("jac",
+        size(array_intersect(col("t"), col("ot"))).cast("double")
+          / size(array_union(col("t"), col("ot"))))
+      .filter(col("jac") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_old_matches"),
+        max(struct(col("jac").as("jac"), (-col("old_id")).as("negid"))).as("m"))
+      .select(col("doc_id"), col("n_old_matches"),
+        (-col("m.negid")).as("best_old_id"), col("m.jac").as("best_jac"))
+      .orderedOutput(col("doc_id"))
+  }
+
   /** Layered contamination report (q136) — the decontamination
     * family's capstone, the table a data team actually reviews before
     * a training run: per training SOURCE, how many documents each
@@ -1067,6 +1144,43 @@ object PipelineQueries {
              |FROM exact x JOIN toks tk ON tk.doc_id = x.doc_id
              |LEFT JOIN lsh h ON h.doc_id = x.doc_id
              |GROUP BY tk.source ORDER BY tk.source""".stripMargin)),
+
+    // ── cross-corpus near-dup scrub: new-snapshot docs (src10+)
+    //    near-duplicating the previous snapshot (src1..src9) at
+    //    token-Jaccard ≥ 0.8 — banded shuffle join (neither side
+    //    broadcasts), heavy buckets salted with an identical result
+    //    set, exact verify; re-derived in DuckDB from the same band
+    //    CTEs ──
+    "q137_cross_corpus_neardup" -> QueryDef(
+      (s, d) => crossCorpusNearDups(Tables.documents(s, d)),
+      Some(s"""WITH ${DedupQueries.minhashBandedTokensCtes(LshBands, LshRows)},
+             |src AS (SELECT doc_id, source FROM documents),
+             |cand AS (SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS old_id
+             |  FROM bands n JOIN bands o
+             |    ON n.band = o.band AND n.s0 = o.s0 AND n.s1 = o.s1
+             |   AND n.s2 = o.s2 AND n.s3 = o.s3
+             |  JOIN src sn ON sn.doc_id = n.doc_id
+             |  JOIN src so ON so.doc_id = o.doc_id
+             |  WHERE length(sn.source) > 4 AND length(so.source) <= 4
+             |    AND so.source <> 'src0'),
+             |toks AS (SELECT doc_id,
+             |    list_distinct(string_split(text, ' ')) AS t FROM documents),
+             |ver AS (SELECT c.doc_id, c.old_id,
+             |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |      / len(list_distinct(a.t || b.t)) AS jac
+             |  FROM cand c JOIN toks a ON a.doc_id = c.doc_id
+             |  JOIN toks b ON b.doc_id = c.old_id
+             |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |      / len(list_distinct(a.t || b.t)) >= 0.8),
+             |agg AS (SELECT doc_id, COUNT(*) AS n_old_matches,
+             |    MAX(jac) AS mj FROM ver GROUP BY doc_id),
+             |best AS (SELECT v.doc_id, MIN(v.old_id) AS best_old_id
+             |  FROM ver v JOIN agg g ON g.doc_id = v.doc_id AND v.jac = g.mj
+             |  GROUP BY v.doc_id)
+             |SELECT g.doc_id, g.n_old_matches, b.best_old_id,
+             |  g.mj AS best_jac
+             |FROM agg g JOIN best b ON b.doc_id = g.doc_id
+             |ORDER BY g.doc_id""".stripMargin)),
 
     // ── layered contamination report: per training source, the doc
     //    counts each scrub layer flags — exact 8-gram (q61 arm), fuzzy

@@ -663,4 +663,38 @@ class PipelineQueriesSpec extends SparkSpec {
     // the layers genuinely differ on this corpus — the report's point
     assert(got.map(_.getLong(3)).sum < got.map(_.getLong(2)).sum)
   }
+
+  test("q137 cross-corpus scrub: brute-subset exactness; salted path result-identical") {
+    val d = "/root/testdata/sf0.001"
+    val toks = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(col("text"), " ")).as("tk"))
+    val old = toks.filter(length(col("source")) <= 4 &&
+        col("source") =!= "src0")
+      .select(col("doc_id").as("old_id"), col("tk").as("ot"))
+    val brute = toks.filter(length(col("source")) > 4).crossJoin(old)
+      .withColumn("jac",
+        size(array_intersect(col("tk"), col("ot"))).cast("double")
+          / size(array_union(col("tk"), col("ot"))))
+      .filter(col("jac") >= 0.8)
+      .select(col("doc_id"), col("old_id"), col("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val byDoc = brute.keySet.groupBy(_._1)
+    val out = PipelineQueries.registry("q137_cross_corpus_neardup")
+      .build(spark, d).collect()
+    assert(out.nonEmpty, "the corpus plants cross-source near-dups")
+    out.foreach { r =>
+      val (id, n, bid, bjac) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(byDoc.contains(id) && brute.contains((id, bid)))
+      assert(bjac == brute((id, bid)) && bjac >= 0.8)
+      assert(n <= byDoc(id).size.toLong)
+    }
+    // forcing EVERY bucket through the salted path changes nothing —
+    // salting is a physical repartition, never a result change
+    val docs = graft.sources.Tables.documents(spark, d)
+    val salted = PipelineQueries.crossCorpusNearDups(docs,
+      heavyBucketThreshold = 1).collect().map(_.toSeq.toList).toSeq
+    assert(salted == out.map(_.toSeq.toList).toSeq)
+  }
 }
