@@ -533,17 +533,24 @@ object AnnQueries {
     deconRollup(embedDeconFlags(embeddings, documents, tauScaled,
       probeFlips, signatures))
 
+  /** The eval/train split of the decon family: eval = vectors of src0
+    * documents, index = the rest. Both splits broadcast the
+    * dimension-sized eval id set — without the hint the anti-join can
+    * plan as a sort-merge that shuffles the whole corpus (r10
+    * review). */
+  private def deconSplit(embeddings: DataFrame, documents: DataFrame)
+  : (DataFrame, DataFrame) = {
+    val evIds = documents.filter(col("source") === "src0")
+      .select(col("doc_id").as("vec_id"))
+    (embeddings.join(broadcast(evIds), Seq("vec_id"), "left_anti"),
+      embeddings.join(broadcast(evIds), Seq("vec_id"), "left_semi"))
+  }
+
   private def embedDeconFlags(embeddings: DataFrame, documents: DataFrame,
                               tauScaled: Long, probeFlips: Int,
                               signatures: (DataFrame, Int) => DataFrame)
   : DataFrame = {
-    val evIds = documents.filter(col("source") === "src0")
-      .select(col("doc_id").as("vec_id"))
-    // both splits broadcast the dimension-sized eval id set — without
-    // the hint the anti-join can plan as a sort-merge that shuffles the
-    // whole corpus (r10 review)
-    val index = embeddings.join(broadcast(evIds), Seq("vec_id"), "left_anti")
-    val queries = embeddings.join(broadcast(evIds), Seq("vec_id"), "left_semi")
+    val (index, queries) = deconSplit(embeddings, documents)
     val planes = planesFor(index.count())
     indexedDeconFlags(signatures(index, planes), index, planes,
       queries, tauScaled, probeFlips, signatures)
@@ -555,31 +562,35 @@ object AnnQueries {
     * identical relation, so the corpus is signed and probed once per
     * registry pass (the q133/q134 fuzzyDeconMatches discipline; the
     * memo key is a join of both input lineages so a different corpus
-    * or eval split can never hit the cache). */
+    * or eval split can never hit the cache, and τ/flips/planes ride
+    * the integer key slots — exact, no Long truncation). The planes
+    * COUNT job runs BEFORE the memo call so the shared-cache lock is
+    * never held across a Spark job (r10 review; a cache hit pays one
+    * redundant count — the plan-construction-only contract every other
+    * memoized build keeps). */
   private[operators] def embedDeconFlagsShared(embeddings: DataFrame,
                                                documents: DataFrame,
                                                tauScaled: Long = 300000L,
                                                probeFlips: Int = 2)
-  : DataFrame =
+  : DataFrame = {
+    val (index, queries) = deconSplit(embeddings, documents)
+    val planes = planesFor(index.count())
     DedupQueries.memoSharedRelation("embdecon",
       embeddings.select(col("vec_id"))
         .join(documents.select(col("doc_id"), col("source")),
           col("vec_id") === col("doc_id")),
-      tauScaled.toInt, probeFlips) {
-      embedDeconFlags(embeddings, documents, tauScaled, probeFlips,
-        signSignaturesPortable)
+      math.toIntExact(tauScaled), probeFlips * 1024 + planes) {
+      indexedDeconFlags(signSignaturesPortable(index, planes), index,
+        planes, queries, tauScaled, probeFlips, signSignaturesPortable)
     }
+  }
 
   /** Per-train-vector rollup of a decon flag relation: hit count, the
-    * closest eval vector (ties to the smallest eval id), its cosine. */
+    * closest eval vector (ties to the smallest eval id), its cosine —
+    * the family's one [[QueryDef.bestMatchRollup]] definition. */
   private def deconRollup(flags: DataFrame): DataFrame =
-    flags
-      .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_eval_hits"),
-        max(struct(col("c").as("c"), (-col("eval_id")).as("negid"))).as("m"))
-      .select(col("vec_id"), col("n_eval_hits"),
-        (-col("m.negid")).as("best_eval_id"), col("m.c").as("best_cos_scaled"))
-      .orderedOutput(col("vec_id"))
+    QueryDef.bestMatchRollup(flags, "vec_id", "eval_id", "c",
+      "n_eval_hits", "best_eval_id", "best_cos_scaled")
 
   /** [[embedDecontaminate]] against a PREBUILT `(sig, vecs)` index at
     * its frozen `planes` — the form a maintained

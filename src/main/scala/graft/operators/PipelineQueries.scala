@@ -396,13 +396,10 @@ object PipelineQueries {
                          bands: Int = LshBands,
                          rowsPerBand: Int = LshRows)
   : org.apache.spark.sql.DataFrame =
-    fuzzyDeconMatches(documents, threshold, bands, rowsPerBand)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_eval_matches"),
-        max(struct(col("jac").as("jac"), (-col("eval_id")).as("negid"))).as("m"))
-      .select(col("doc_id"), col("n_eval_matches"),
-        (-col("m.negid")).as("best_eval_id"), col("m.jac").as("best_jac"))
-      .orderedOutput(col("doc_id"))
+    QueryDef.bestMatchRollup(
+      fuzzyDeconMatches(documents, threshold, bands, rowsPerBand),
+      "doc_id", "eval_id", "jac",
+      "n_eval_matches", "best_eval_id", "best_jac")
 
   /** The verified (train doc, eval doc, jac ≥ t) match relation of
     * q133/q134 — shared through the registry relation cache (the
@@ -514,12 +511,16 @@ object PipelineQueries {
     val bandKey = Seq("band", "s0", "s1", "s2", "s3")
     val isOld = (length(col("source")) <= lit(4)) && (col("source") =!= "src0")
     val isNew = length(col("source")) > lit(4)
-    val oldB = DedupQueries.minhashBandedTokens(
+    // banding the two corpora is the dominant pass, and each banded
+    // relation feeds TWO consumers (the heavy-bucket count and the
+    // filtered joins) — materialize each once (r10 review: the raw
+    // lineage re-ran the signing per consumer)
+    val oldB = Checkpoints.truncate(DedupQueries.minhashBandedTokens(
       documents.filter(isOld).select(col("doc_id"), col("text")),
-      bands, rowsPerBand).withColumnRenamed("doc_id", "old_id")
-    val newB = DedupQueries.minhashBandedTokens(
+      bands, rowsPerBand).withColumnRenamed("doc_id", "old_id"))
+    val newB = Checkpoints.truncate(DedupQueries.minhashBandedTokens(
       documents.filter(isNew).select(col("doc_id"), col("text")),
-      bands, rowsPerBand)
+      bands, rowsPerBand))
     // heavy buckets are few by definition: a broadcastable key list,
     // counted over BOTH sides so a bucket is wholly light or wholly
     // heavy on each
@@ -546,19 +547,16 @@ object PipelineQueries {
       .select(col("doc_id"), col("old_id")).distinct()
     val toks = documents.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("t"))
-    cand.join(toks, Seq("doc_id"))
-      .join(toks.select(col("doc_id").as("old_id"), col("t").as("ot")),
-        Seq("old_id"))
-      .withColumn("jac",
-        size(array_intersect(col("t"), col("ot"))).cast("double")
-          / size(array_union(col("t"), col("ot"))))
-      .filter(col("jac") >= threshold)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_old_matches"),
-        max(struct(col("jac").as("jac"), (-col("old_id")).as("negid"))).as("m"))
-      .select(col("doc_id"), col("n_old_matches"),
-        (-col("m.negid")).as("best_old_id"), col("m.jac").as("best_jac"))
-      .orderedOutput(col("doc_id"))
+    QueryDef.bestMatchRollup(
+      cand.join(toks, Seq("doc_id"))
+        .join(toks.select(col("doc_id").as("old_id"), col("t").as("ot")),
+          Seq("old_id"))
+        .withColumn("jac",
+          size(array_intersect(col("t"), col("ot"))).cast("double")
+            / size(array_union(col("t"), col("ot"))))
+        .filter(col("jac") >= threshold),
+      "doc_id", "old_id", "jac",
+      "n_old_matches", "best_old_id", "best_jac")
   }
 
   /** Layered contamination report (q136) — the decontamination

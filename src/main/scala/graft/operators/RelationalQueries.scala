@@ -36,6 +36,25 @@ object QueryDef {
       df.repartition(1).sortWithinPartitions(cols: _*)
     def orderedOutput(cols: Column*): DataFrame = df.orderBy(cols: _*)
   }
+
+  /** THE best-match rollup of the similarity/decon family (q133/q135/
+    * q137 and AnnStream.deconProbe): per `keyCol`, the match count and
+    * the best match by (highest `scoreCol`, ties to the SMALLEST
+    * `matchCol` id — `max(struct(score, -id))`, exactly the MIN(id)-at-
+    * MAX(score) the oracles compute). One definition so a tie-break
+    * change reaches every consumer (r10 review: three inlined copies
+    * had appeared). Map-side combinable; ordered per-key output. */
+  private[graft] def bestMatchRollup(matches: DataFrame, keyCol: String,
+                                     matchCol: String, scoreCol: String,
+                                     nName: String, bestName: String,
+                                     scoreName: String): DataFrame =
+    matches
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as(nName),
+        max(struct(col(scoreCol).as("s"), (-col(matchCol)).as("negid"))).as("m"))
+      .select(col(keyCol), col(nName),
+        (-col("m.negid")).as(bestName), col("m.s").as(scoreName))
+      .orderedOutput(col(keyCol))
 }
 
 /** Relational operator battery over the driver's synthetic tables.
