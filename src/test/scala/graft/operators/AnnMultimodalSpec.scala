@@ -485,4 +485,23 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(got.nonEmpty, "the corpus plants embedding-space contamination")
     assert(got === brute)
   }
+
+  test("embedDeconFlagsShared key contract: distinct taus distinct, huge taus fail loudly") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val docs = Tables.documents(spark, d)
+    // two taus must resolve to two DIFFERENT cached relations
+    val loose = AnnQueries.embedDeconFlagsShared(e, docs,
+      tauScaled = 300000L).count()
+    val tight = AnnQueries.embedDeconFlagsShared(e, docs,
+      tauScaled = 450000L).count()
+    assert(loose > 0 && tight < loose,
+      "a tighter tau yields strictly fewer flags — no cache collision")
+    // a tau past Int range fails loudly instead of truncating into a
+    // colliding cache key (the r10 second-review contract)
+    intercept[ArithmeticException] {
+      AnnQueries.embedDeconFlagsShared(e, docs,
+        tauScaled = 300000L + (1L << 32)).count()
+    }
+  }
 }
