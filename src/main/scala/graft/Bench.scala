@@ -67,6 +67,16 @@ object Bench {
     // MEDIAN and a "spread" map carries [min, max]; PERF claims compare
     // medians.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // persisted-store init OUTSIDE the timed loop (r10 verdict task #3):
+    // the probe-only faces (q138) measure the per-query-batch cost of a
+    // deployment that wrote its index once per corpus snapshot; the
+    // one-time build is not part of any query's price. Idempotent —
+    // a pre-existing store costs one marker read.
+    val tInit = System.nanoTime()
+    try SparkEntry.initStores(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] store init failed: ${e.getMessage}") }
+    System.err.println(f"[bench] store init ${(System.nanoTime() - tInit) / 1e9}%.1f s")
     val ordered = picked.toSeq.sortBy(_._1)
     val samples: Map[String, Seq[Double]] =
       (1 to reps).flatMap(_ => ordered.map { case (n, fn) => n -> timeOnce(fn) })
@@ -115,6 +125,16 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // r10 verdict task #4: the driver's tail window truncated the full
+    // per-query line three rounds running, leaving BENCH_rN.json with
+    // "parsed": null. Emit a LAST compact line (≤1.5 KB regardless of
+    // registry size) that always json-loads standalone: total, sf,
+    // reps, the committed full-map pointer and its md5 so the tail is
+    // verifiably tied to the complete map.
+    val mapMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"full_map_file":"$outPath","full_map_md5":"$mapMd5"}""")
     spark.stop()
   }
 }

@@ -624,6 +624,11 @@ object AnnQueries {
         .join(signatures(queries, planes), Seq("vec_id")),
         planes, probeFlips)
       .join(build, Seq("bucket"))
+      // enforce the documented id contract (eval ids disjoint from
+      // stored ids) instead of trusting it: a colliding id would
+      // otherwise self-flag a stored vector at cosine 10⁶ and skew
+      // the rollup's best-match (r10 advice)
+      .filter(col("ida") =!= col("idb"))
       .select(col("idb").as("vec_id"), col("ida").as("eval_id"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
           .cast("long").as("c"))

@@ -1091,6 +1091,33 @@ object CurationQueries {
       (s, d) => bm25TopK(Tables.documents(s, d), dfPruneFactor = DerivedPrune),
       Some(s"""WITH ${bm25RankedCtes(DerivedPrune)}
              |SELECT query_id, rk AS rank, doc_id, score FROM lexr
+             |WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // ── PROBE-ONLY BM25 (r10 verdict task #3 — the q130 discipline
+    //    for retrieval): score the q129 query batch against a
+    //    PERSISTED index (DocStream.initBm25Store writes the streamed
+    //    store layout once per corpus snapshot — idempotent, keyed by
+    //    corpus identity; loadBm25Index reads it back), so the
+    //    per-run cost is the batch's own posting volume — broadcast
+    //    term set over token-clustered postings — never a corpus
+    //    rebuild. q126/q129 stay registered as the build faces.
+    //    Results are identical to q129 by construction (the persisted
+    //    relations ARE buildBm25Index's, spec-pinned), so the oracle
+    //    is q129's verbatim: the DuckDB gate certifies that probing
+    //    the store loses nothing vs rebuilding. ──
+    "q138_bm25_probe" -> QueryDef(
+      (s, d) => {
+        val store = graft.streaming.DocStream.initBm25Store(s, d)
+        val index = graft.streaming.DocStream.loadBm25Index(s, store)
+        // same dimension-sized totals read as bm25TopK's derived knob
+        val factor = dfPruneFactorFor(
+          index.totals.select(col("n_docs")).head().getLong(0))
+        val qdocs = Tables.documents(s, d).filter(col("doc_id") % 29 === 0)
+        bm25ScoreIndexed(index,
+          bm25QueryTerms(index, qdocs, dfPruneFactor = factor), k = 5)
+      },
+      Some(s"""WITH ${bm25RankedCtes(DerivedPrune)}
+             |SELECT query_id, rk AS rank, doc_id, score FROM lexr
              |WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 

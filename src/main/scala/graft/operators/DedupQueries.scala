@@ -598,6 +598,13 @@ object DedupQueries {
     val sigd = docs
       .withColumn("__th", graft.functions.CollapseBarrier(
         graft.functions.TokenHashArray(col("text"))))
+      // TokenHashArray never returns an empty array (empty text hashes
+      // to one zero-segment), but a NULL text would yield a NULL __th
+      // and thus band rows with NULL signature slots — null keys never
+      // equi-join, but they would flow into heavy-bucket counting and
+      // any bucket-statistics consumer (r10 advice). Drop them here so
+      // banded relations never carry null-signature rows.
+      .filter(size(col("__th")) > 0)
       .withColumn("sig", array((0 until numSigs).map(k =>
         array_min(transform(col("__th"),
           g => (g * minhashA(k) + minhashB(k)) % MinhashP))): _*))
@@ -1483,7 +1490,8 @@ object DedupQueries {
   def prefixProbeJoin(index: PrefixIndex, probeArrays: DataFrame,
                       threshold: Double,
                       heavyListThreshold: Int = 4096,
-                      salt: Int = 16): DataFrame = {
+                      salt: Int = 16,
+                      batchProbe: Boolean = false): DataFrame = {
     val prb = probeArrays.withColumn("n", size(col("sh")))
     val prefixLen = (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast("int")
     // probe prefixes under the INDEX's frozen element order (f = 0 for
@@ -1526,9 +1534,17 @@ object DedupQueries {
           least(col("n_i") - col("p_i"), col("n_p") - col("p_p"))
             .cast("double")) * (1.0 + threshold) + 1e-9 >=
         (col("n_i") + col("n_p")).cast("double") * threshold)
+    // batchProbe (the streaming-sink shape, r10 verdict task #1): the
+    // probe side is one micro-batch — BOUNDED by rate×trigger, so its
+    // prefix relation and the candidate set BROADCAST, and the
+    // corpus-scale index relations are only ever SCANNED map-side,
+    // never shuffled. Without it (the offline q80/q84 shape) the probe
+    // side can be corpus-sized and the shuffle plans below are right.
+    def probeSized(df: DataFrame): DataFrame =
+      if (batchProbe) broadcast(df) else df
     val lightC = pruned(
-      pF.filter(col("__heavy").isNull).drop("__heavy")
-        .join(iF.filter(col("__heavy").isNull).drop("__heavy"),
+      iF.filter(col("__heavy").isNull).drop("__heavy")
+        .join(probeSized(pF.filter(col("__heavy").isNull).drop("__heavy")),
           Seq("source", "s")))
       .select(col("id_index"), col("id_probe"))
     // salted path: SCATTER the index side (the corpus-scale one — its
@@ -1552,11 +1568,23 @@ object DedupQueries {
     // is bounded by shuffle parallelism), and the parquet-backed
     // index's size estimate defeats auto-broadcast. The batch side is
     // left to AQE: small batches broadcast, huge ones shuffle.
-    cands
-      .join(index.arrays.select(col("doc_id").as("id_index"),
-        col("sh").as("s_i")).hint("shuffle_hash"), Seq("id_index"))
-      .join(probeArrays.select(col("doc_id").as("id_probe"),
-        col("sh").as("s_p")), Seq("id_probe"))
+    val verified =
+      if (batchProbe)
+        // candidates are bounded by the batch's own collision volume:
+        // broadcast them against the index arrays (map-side scan — the
+        // per-batch cost must never shuffle the corpus), then the
+        // batch arrays (also bounded) broadcast too
+        index.arrays.select(col("doc_id").as("id_index"),
+            col("sh").as("s_i"))
+          .join(broadcast(cands), Seq("id_index"))
+          .join(broadcast(probeArrays.select(col("doc_id").as("id_probe"),
+            col("sh").as("s_p"))), Seq("id_probe"))
+      else cands
+        .join(index.arrays.select(col("doc_id").as("id_index"),
+          col("sh").as("s_i")).hint("shuffle_hash"), Seq("id_index"))
+        .join(probeArrays.select(col("doc_id").as("id_probe"),
+          col("sh").as("s_p")), Seq("id_probe"))
+    verified
       .withColumn("inter", graft.functions.CollapseBarrier(
         size(array_intersect(col("s_i"), col("s_p")))))
       .withColumn("jac", col("inter").cast("double") /

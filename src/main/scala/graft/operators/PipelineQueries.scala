@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -507,10 +508,21 @@ object PipelineQueries {
                           bands: Int = LshBands,
                           rowsPerBand: Int = LshRows,
                           heavyBucketThreshold: Int = 4096,
-                          salt: Int = 16): org.apache.spark.sql.DataFrame = {
+                          salt: Int = 16,
+                          // the snapshot split is an explicit caller
+                          // contract (like the decon family's src0 eval
+                          // contract), not an inferred heuristic: a
+                          // source matching neither predicate is OUT OF
+                          // SCOPE by contract, never silently misrouted
+                          // (r10 advice). Defaults encode the testdata
+                          // layout: src1..src9 = previous snapshot,
+                          // src10+ = new snapshot, src0 = eval suite.
+                          isOld: Column =
+                            (length(col("source")) <= lit(4)) &&
+                              (col("source") =!= "src0"),
+                          isNew: Column = length(col("source")) > lit(4))
+  : org.apache.spark.sql.DataFrame = {
     val bandKey = Seq("band", "s0", "s1", "s2", "s3")
-    val isOld = (length(col("source")) <= lit(4)) && (col("source") =!= "src0")
-    val isNew = length(col("source")) > lit(4)
     // banding the two corpora is the dominant pass, and each banded
     // relation feeds TWO consumers (the heavy-bucket count and the
     // filtered joins) — materialize each once (r10 review: the raw

@@ -506,6 +506,42 @@ object DocStream {
     * paths. The markers make a generation-count grace trivial: old
     * snapshots are keyed (`through=`/`basev=`), so retirement may
     * simply lag one compaction behind the flip. */
+  /** Offline init of the streamed BM25 store (r10 verdict task #3) —
+    * the registry face of the persisted-index deployment: write the
+    * corpus as ONE committed batch in the [[bm25IndexSink]] layout,
+    * compact it (token-clustered tfsnap, folded df/totals snapshots),
+    * and mark the store ready. Idempotent and crash-safe: the ready
+    * marker short-circuits re-init to one marker read; a crash
+    * mid-init replays through the sink's own watermark/skip guards
+    * (batch 0 overwrites its partitions, compaction against an
+    * already-compacted store only finishes retirement). The store is
+    * keyed by the corpus file's (path, length, mtime) so a regenerated
+    * corpus can never probe a stale index. Returns the store path for
+    * [[loadBm25Index]]. A probe query against the result is
+    * bm25ScoreIndexed — identical relations to an offline build
+    * (spec-pinned), but the per-query-batch cost is probe-shaped: no
+    * corpus aggregation, just the broadcast term set against the
+    * token-clustered postings. */
+  def initBm25Store(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                    storeRoot: String = sys.env.getOrElse(
+                      "SPARK_GRAFT_STORE_DIR", "spark-warehouse/stores"))
+  : String = {
+    val src = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val st = fsOf(spark, sfDir).getFileStatus(src)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${src.toString}|${st.getLen}|${st.getModificationTime}"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val path = s"$storeRoot/bm25/$key"
+    if (readLongMarker(spark, path, "_store_ready").isEmpty) {
+      bm25IndexSink(path)(
+        graft.sources.Tables.documents(spark, sfDir), 0L)
+      compactBm25Index(spark, path)
+      writeLongMarker(spark, path, "_store_ready", 1L)
+    }
+    path
+  }
+
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
                     path: String): graft.operators.CurationQueries.Bm25Index = {
     // ONE marker read per load: snapshot choice and delta floor must
@@ -685,6 +721,75 @@ object DocStream {
     idx.arrays.write.mode("overwrite").parquet(s"$path/basev=$v/arrays")
   }
 
+  // ── the entry-element bloom face (r10 verdict task #1): a compact,
+  // persisted Bloom filter over xxhash64 of the index's DISTINCT entry
+  // elements. The sink's lossless pre-screen probes it per batch row;
+  // soundness invariant: the persisted bloom is a SUPERSET of the
+  // on-disk entry elements (updates land before the entries commit,
+  // compaction's order re-freeze deletes it for lazy rebuild) ──
+
+  private[streaming] val ElementBloomFile = "_element_bloom"
+
+  /** Read the persisted element bloom, or build one from the loaded
+    * index's entry-element set (freq rows with nf > 0 — exactly the
+    * elements that appear in entries, one vocabulary-sized pass) and
+    * persist it. Sized with 4× headroom over the current element count
+    * so per-batch driver-side puts keep the FPP honest between
+    * compactions; outgrowing it only degrades FPP (extra exact work,
+    * never a miss). */
+  private[streaming] def loadOrBuildElementBloom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idx: graft.operators.DedupQueries.PrefixIndex): Array[Byte] = {
+    val fs = fsOf(spark, path)
+    val f = new org.apache.hadoop.fs.Path(s"$path/$ElementBloomFile")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toByteArray
+      } finally in.close()
+    } else {
+      val ev = idx.freq.filter(col("nf") > 0)
+        .select(xxhash64(col("s")).as("h")).distinct()
+      val bloom = ev.stat.bloomFilter("h",
+        math.max(4L * ev.count(), 1L << 16), 0.03)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      val bytes = bos.toByteArray
+      writeElementBloom(spark, path, bytes)
+      bytes
+    }
+  }
+
+  /** Fold `newHashes` (the batch's accepted entry-element xxhash64s —
+    * batch-dimension-sized, collected) into the bloom and persist it
+    * crash-atomically (temp + rename, the marker discipline). */
+  private[streaming] def mergeElementBloom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      bytes: Array[Byte], newHashes: Array[Long]): Unit = {
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    newHashes.foreach(bloom.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    writeElementBloom(spark, path, bos.toByteArray)
+  }
+
+  private def writeElementBloom(spark: org.apache.spark.sql.SparkSession,
+                                path: String, bytes: Array[Byte]): Unit = {
+    val fs = fsOf(spark, path)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/$ElementBloomFile")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.$ElementBloomFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Compact the stream-maintained dedup index — the
     * [[compactBm25Index]] discipline applied to the prefix store, with
     * one improvement the dedup semantics buy for free: instead of
@@ -714,6 +819,14 @@ object DocStream {
   def compactPrefixIndexStore(spark: org.apache.spark.sql.SparkSession,
                               path: String, threshold: Double): Unit = {
     import graft.operators.{Checkpoints, DedupQueries}
+    // the re-freeze REBUILDS entries under today's frequency order, so
+    // the entry-element set changes — the persisted element bloom is no
+    // longer a guaranteed superset. Delete it FIRST (a crash anywhere
+    // in the compaction then leaves no bloom, and the next batch
+    // lazily rebuilds one from whichever base is current; a bloom
+    // rebuild is one vocabulary-sized pass at compaction cadence)
+    fsOf(spark, path).delete(
+      new org.apache.hadoop.fs.Path(s"$path/$ElementBloomFile"), false)
     // commit point = arrays, the sink's LAST write (see the skeleton's
     // crash-ordering scaladoc)
     compactVersionedBase(spark, path,
@@ -808,16 +921,49 @@ object DocStream {
     * quiet-boundary contract holds with no manual compaction call. */
   def prefixIndexSink(path: String, threshold: Double,
                       heavyListThreshold: Int = 4096, salt: Int = 16,
-                      autoCompactEvery: Int = 0)
+                      autoCompactEvery: Int = 0,
+                      bloomScreen: Boolean = true)
   : (DataFrame, Long) => Unit = (batch, batchId) => {
     graft.operators.Checkpoints.releasingScoped {
       import graft.operators.DedupQueries
       val spark = batch.sparkSession
       val idx = loadStreamedPrefixIndex(spark, path, Some(batchId))
       val arrs = DedupQueries.tokenArrays(batch)
-      val dups = DedupQueries.prefixProbeJoin(idx, arrs, threshold,
-          heavyListThreshold, salt)
-        .select(col("id_probe").as("doc_id")).distinct()
+      // r10 verdict task #1 — the q111 bloom discipline applied to the
+      // q80 probe: a LOSSLESS pre-screen on the index's entry-element
+      // set. By the prefix-filter theorem a true pair (Jaccard ≥ t)
+      // shares an element of the INDEX doc's prefix — i.e. an entry
+      // element — so a batch doc NONE of whose elements might be in
+      // the entry-element bloom cannot match anything and skips the
+      // exact probe entirely (bloom false positives only admit extra
+      // docs to the exact path; false negatives are impossible, so the
+      // accepted set is IDENTICAL — PrefixStreamSpec pins it). The
+      // screen's selectivity is workload-dependent: disjoint-content
+      // streams (the deployment case for novel data) screen out almost
+      // everything; closed-vocabulary streams survive en masse and pay
+      // only the per-row bloom probe. The probe itself runs in
+      // batchProbe shape: probe prefixes and candidates broadcast, the
+      // corpus-scale index relations are scanned map-side, never
+      // shuffled per batch.
+      val bloomBytes =
+        if (bloomScreen) Some(loadOrBuildElementBloom(spark, path, idx))
+        else None
+      val screened = bloomBytes.map { bytes =>
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.graft.ColumnBridge
+        graft.operators.Checkpoints.truncate(arrs.filter(
+          exists(col("sh"), e => ColumnBridge.column(BloomFilterMightContain(
+            Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+            ColumnBridge.expression(xxhash64(e)))))))
+      }.getOrElse(arrs)
+      val dups =
+        if (bloomBytes.isDefined && screened.isEmpty)
+          // short-circuit: nothing survived the screen — no index scan
+          // at all this batch
+          arrs.select(col("doc_id")).limit(0)
+        else DedupQueries.prefixProbeJoin(idx, screened, threshold,
+            heavyListThreshold, salt, batchProbe = true)
+          .select(col("id_probe").as("doc_id")).distinct()
       // materialized once: the probe-verification join (the batch's
       // dominant cost) feeds two independent actions below — the
       // entries/freqd writes via entriesDelta AND the arrays write —
@@ -841,6 +987,17 @@ object DocStream {
       // materialized once: the parquet write and the nf aggregate both
       // consume it; the scoped release retires the checkpoint after
       val ed = graft.operators.Checkpoints.truncate(entriesDelta)
+      // bloom update BEFORE the entries commit: the screen is sound
+      // only while the persisted bloom is a SUPERSET of the on-disk
+      // entry elements, so the new elements must land first (a crash
+      // in between leaves extra bloom bits — harmless; the replay
+      // re-adds idempotently, bloom union is commutative)
+      bloomBytes.foreach { bytes =>
+        val newHashes = ed.select(xxhash64(col("s")).as("h"))
+          .distinct().collect().map(_.getLong(0))
+        if (newHashes.nonEmpty)
+          mergeElementBloom(spark, path, bytes, newHashes)
+      }
       ed.write.mode("overwrite").parquet(s"$path/entries/batch_id=$batchId")
       ed.groupBy(col("source"), col("s"))
         .agg(count(lit(1)).as("nf")).withColumn("f", lit(0L))

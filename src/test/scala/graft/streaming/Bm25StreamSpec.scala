@@ -264,4 +264,59 @@ class Bm25StreamSpec extends SparkSpec {
     assert(relRows(got.df) == relRows(want.df))
     assert(relRows(got.totals) == relRows(want.totals))
   }
+
+  test("initBm25Store: probe face equals offline build, idempotent, " +
+       "keyed by corpus identity") {
+    import spark.implicits._
+    val vocab = (0 until 12).map(i => s"w$i")
+    val rnd = new scala.util.Random(41)
+    def doc(i: Long) = (i,
+      Seq.fill(5 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "), s"src${i % 3}")
+    val sfDir = java.nio.file.Files.createTempDirectory("graft-bm25-sf")
+    val storeRoot = sfDir.resolve("stores").toString
+    def writeCorpus(docs: Seq[(Long, String, String)]): Unit =
+      docs.toDF("doc_id", "text", "source").coalesce(1)
+        .write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    val corpus = (0L until 60L).map(doc)
+    writeCorpus(corpus)
+
+    val path = DocStream.initBm25Store(spark, sfDir.toString, storeRoot)
+    // init leaves a COMPACTED store: one token-clustered snapshot, no
+    // per-batch deltas to fold at load
+    assert(DocStream.compactedThrough(spark, path).contains(0L))
+    val ix = DocStream.loadBm25Index(spark, path)
+    val offline = CurationQueries.buildBm25Index(
+      corpus.toDF("doc_id", "text", "source"))
+    assert(relRows(ix.tf) == relRows(offline.tf), "persisted tf equal")
+    assert(relRows(ix.df) == relRows(offline.df))
+    assert(relRows(ix.totals) == relRows(offline.totals))
+
+    // probing the store scores identically to the offline index
+    val queries = Seq((1000L, "w1 w2 w3"), (1001L, "w7 w8")).toDF("doc_id", "text")
+    def score(i: CurationQueries.Bm25Index) = CurationQueries
+      .bm25ScoreIndexed(i, CurationQueries.bm25QueryTerms(i, queries))
+      .collect().map(_.toSeq).toSeq
+    assert(score(ix).nonEmpty && score(ix) == score(offline))
+
+    // idempotent: a second init short-circuits on the ready marker —
+    // same path, snapshot untouched (mtime unchanged)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val snap = new org.apache.hadoop.fs.Path(s"$path/tfsnap/through=0")
+    val mtime = fs.getFileStatus(snap).getModificationTime
+    assert(DocStream.initBm25Store(spark, sfDir.toString, storeRoot) == path)
+    assert(fs.getFileStatus(snap).getModificationTime == mtime,
+      "re-init must not rewrite the snapshot")
+
+    // staleness guard: a REGENERATED corpus (different content → new
+    // file identity) keys a DIFFERENT store, so a probe can never read
+    // an index built from the old corpus
+    Thread.sleep(1100) // local-fs mtime granularity is one second
+    writeCorpus((0L until 70L).map(doc))
+    val path2 = DocStream.initBm25Store(spark, sfDir.toString, storeRoot)
+    assert(path2 != path, "regenerated corpus must key a fresh store")
+    assert(DocStream.loadBm25Index(spark, path2).totals
+      .collect()(0).getLong(0) == 70L, "fresh store indexes the new corpus")
+  }
 }

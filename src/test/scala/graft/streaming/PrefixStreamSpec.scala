@@ -153,6 +153,81 @@ class PrefixStreamSpec extends SparkSpec {
       "post-compaction accepts keep participating in the probe")
   }
 
+  test("bloom screen: screened == unscreened accepted sets, bloom survives " +
+       "replay and is invalidated by compaction") {
+    import spark.implicits._
+    def doc(id: Long, tokens: Seq[String]) = (id, tokens.mkString(" "))
+    def cluster(tag: String) = (0 until 8).map(j => s"$tag$j")
+    val base = (0L until 30L).map(i =>
+      doc(i, cluster(s"b${i / 3}_") :+ s"n$i"))
+    // batch 0: all-novel vocabulary (the screen's short-circuit case —
+    // zero survivors, everything accepted with NO index scan)
+    val b0 = (0 until 6).map(i => doc(100L + i, cluster(s"f${i}_") :+ s"m$i"))
+    // batch 1: base near-dups (must survive the screen and be
+    // REJECTED), near-dups of batch-0 ACCEPTS (proves the bloom folds
+    // per-batch deltas in — their elements were unseen at base build),
+    // partially-overlapping non-dups (screen survivors the exact
+    // verify must still ACCEPT), and more novel docs
+    val b1 = Seq(
+      doc(200L, cluster("b2_") :+ "p0"),
+      doc(201L, cluster("f3_") :+ "p1"),
+      doc(202L, cluster("b4_").take(3) ++ cluster("x0_") :+ "p2"),
+      doc(203L, cluster("y0_") :+ "p3"))
+    val batches = Seq(b0, b1)
+    val want = acceptedTruth(base, batches)
+    assert(want == Set(100L, 101L, 102L, 103L, 104L, 105L, 202L, 203L),
+      "fixture sanity")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prefix-bloom")
+    val pOn = tmp.resolve("on").toString
+    val pOff = tmp.resolve("off").toString
+    Seq(pOn, pOff).foreach(p =>
+      DocStream.initPrefixIndexStore(base.toDF("doc_id", "text"), p, T))
+    val sinkOn = DocStream.prefixIndexSink(pOn, T)
+    val sinkOff = DocStream.prefixIndexSink(pOff, T, bloomScreen = false)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      sinkOn(b.toDF("doc_id", "text"), i.toLong)
+      sinkOff(b.toDF("doc_id", "text"), i.toLong)
+    }
+    def stored(p: String) = DocStream.loadStreamedPrefixIndex(spark, p)
+      .arrays.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stored(pOn) == stored(pOff),
+      "the screen must not change the accepted set (lossless by the " +
+        "prefix-filter theorem: bloom false negatives are impossible)")
+    assert(stored(pOn) == base.map(_._1).toSet ++ want)
+    // attribution parity between the two stores on a mixed probe
+    val probe = (Seq(doc(900L, cluster("f3_") :+ "q0"),
+      doc(901L, cluster("y0_") :+ "q1"),
+      doc(902L, cluster("zz_") :+ "q2"))).toDF("doc_id", "text")
+    assert(probePairs(DocStream.loadStreamedPrefixIndex(spark, pOn), probe)
+      == probePairs(DocStream.loadStreamedPrefixIndex(spark, pOff), probe))
+
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val bloomPath = new org.apache.hadoop.fs.Path(
+      s"$pOn/${DocStream.ElementBloomFile}")
+    assert(fs.exists(bloomPath), "the element bloom is persisted")
+
+    // replay with the screen on: unchanged store (the bloom's extra
+    // idempotent puts are harmless)
+    sinkOn(b1.toDF("doc_id", "text"), 1L)
+    assert(stored(pOn) == base.map(_._1).toSet ++ want, "replay unchanged")
+
+    // compaction re-freezes the element order → the bloom is no longer
+    // a guaranteed superset and must be invalidated...
+    DocStream.compactPrefixIndexStore(spark, pOn, T)
+    assert(!fs.exists(bloomPath), "compaction deletes the stale bloom")
+    // ...and the next batch lazily rebuilds it from the new base and
+    // still rejects/accepts exactly like the unscreened store
+    val b2 = Seq(doc(300L, cluster("f1_") :+ "r0"),  // dup of a b0 accept
+      doc(301L, cluster("w0_") :+ "r1"))             // novel
+    sinkOn(b2.toDF("doc_id", "text"), 2L)
+    sinkOff(b2.toDF("doc_id", "text"), 2L)
+    assert(fs.exists(bloomPath), "lazy rebuild after invalidation")
+    assert(stored(pOn) == stored(pOff), "post-compaction parity")
+    assert(stored(pOn).contains(301L) && !stored(pOn).contains(300L))
+  }
+
   test("autoCompactEvery re-freezes the base mid-stream with no manual call") {
     import spark.implicits._
     def doc(id: Long, tokens: Seq[String]) = (id, tokens.mkString(" "))

@@ -30,6 +30,16 @@ scores (q32/q34/q65/q72 families) shift on copies > 0 — the organic
 probe is for the SIMILARITY battery, where content identity is the
 variable under test.
 
+With --fix-source NAME (r10 verdict task #2): deployment-shape scaling
+for the decontamination family. The organic probe scales EVERY source,
+including the eval suite (src0) — so suite-vs-train queries (q61, q111,
+q133-q136) measure a quadratic both-sides-grow protocol no deployment
+runs (a real eval suite is fixed while the train corpus grows). This
+mode keeps NAME's documents (and their embeddings, via the
+vec_id == doc_id contract) in copy 0 ONLY: copies > 0 carry the other
+sources, so the suite stays bit-identical to the source dir while the
+train side scales Nx.
+
 Dev tooling only (scale probes) — NOT part of the shipped library and
 NOT a replacement for the driver's testdata.
 """
@@ -63,8 +73,14 @@ def rotate_text(text: str, rot: int) -> str:
     return text.translate(table)
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--organic"]
-    organic = "--organic" in sys.argv
+    argv = sys.argv[1:]
+    fix_source = None
+    if "--fix-source" in argv:
+        k = argv.index("--fix-source")
+        fix_source = argv[k + 1]
+        argv = argv[:k] + argv[k + 2:]
+    args = [a for a in argv if a != "--organic"]
+    organic = "--organic" in argv
     src, out = args[0], args[1]
     copies = int(args[2]) if len(args) > 2 else 10
     os.makedirs(out, exist_ok=True)
@@ -100,8 +116,18 @@ def main():
         write_sharded(t, lambda i, base=base, keys=keys: shifted(base, i, keys))
 
     docs = pq.read_table(f"{src}/documents.parquet")
+    # --fix-source: the fixed suite rides copy 0 only; copies > 0 drop
+    # its documents (and, below, their embeddings) so the suite stays
+    # bit-identical while the train side scales
+    fixed_ids = set()
+    if fix_source is not None:
+        mask = pc.equal(docs.column("source"), pa.scalar(fix_source))
+        fixed_ids = set(docs.filter(mask).column("doc_id").to_pylist())
+        docs_scaling = docs.filter(pc.invert(mask))
+    def scaling_base(i):
+        return docs if (fix_source is None or i == 0) else docs_scaling
     def doc_copy_organic(i):
-        t = shifted(docs, i, ["doc_id"])
+        t = shifted(scaling_base(i), i, ["doc_id"])
         if i > 0:
             # 3i mod 26 is distinct for i in [0, 9) x3 steps -> disjoint
             # alphabets for up to 26/gcd(3,26) = 26 copies
@@ -115,7 +141,7 @@ def main():
     def doc_copy(i):
         if organic:
             return doc_copy_organic(i)
-        t = shifted(docs, i, ["doc_id"])
+        t = shifted(scaling_base(i), i, ["doc_id"])
         if i > 0:
             marker = f"c{i} "
             text = pc.binary_join_element_wise(
@@ -131,8 +157,15 @@ def main():
 
     emb = pq.read_table(f"{src}/embeddings.parquet")
     etype = emb.schema.field("embedding").type
+    if fixed_ids:
+        emb_mask = pc.is_in(emb.column("vec_id"),
+                            value_set=pa.array(sorted(fixed_ids),
+                                               type=emb.schema.field("vec_id").type))
+        emb_scaling = emb.filter(pc.invert(emb_mask))
+    def emb_base(i):
+        return emb if (not fixed_ids or i == 0) else emb_scaling
     def emb_copy_organic(i):
-        t = shifted(emb, i, ["vec_id"])
+        t = shifted(emb_base(i), i, ["vec_id"])
         if i > 0:
             flat = t.column("embedding").combine_chunks()
             dims = len(flat[0])
@@ -153,7 +186,7 @@ def main():
     def emb_copy(i):
         if organic:
             return emb_copy_organic(i)
-        t = shifted(emb, i, ["vec_id"])
+        t = shifted(emb_base(i), i, ["vec_id"])
         if i > 0:
             flat = t.column("embedding").combine_chunks()
             vals = pc.add(flat.values, pa.scalar(0.01 * i, flat.values.type))
@@ -162,7 +195,8 @@ def main():
             t = t.set_column(ei, t.schema.field("embedding"), newcol.cast(etype))
         return t
     write_sharded("embeddings", emb_copy)
-    print(f"wrote {copies}x of {src} to {out}")
+    print(f"wrote {copies}x of {src} to {out}"
+          + (f" (fixed suite: {fix_source})" if fix_source else ""))
 
 if __name__ == "__main__":
     main()
