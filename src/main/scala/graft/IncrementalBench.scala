@@ -142,20 +142,48 @@ object IncrementalBench {
       graft.streaming.DocStream.initPrefixIndexStore(existing, dir, 0.8)
       println(f"[inc-bench] stream init: base E=$ne built+written in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
-      val sink = graft.streaming.DocStream.prefixIndexSink(dir, 0.8)
-      (0 until streamBatches).foreach { k =>
-        val batch = spark.range(nIn)
-          .select((col("id") + 60000000L + k * 1000000L).as("doc_id"),
-            when(col("id") % 5 === 4, // base near-dup: rejected
-              textFor(col("id") % 1000, col("id") % 1000 + 2000000L))
-              .otherwise( // fresh per-batch namespace: accepted
-                textFor(col("id") + 8000000L + k * 1000000L,
-                  lit(null).cast("long")))
-              .as("text"))
-        val tb = System.nanoTime()
-        sink(batch, k.toLong)
-        println(f"[inc-bench] stream batch $k%2d: " +
-          f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+      // SPARK_GRAFT_BLOOM_SCREEN=0 turns the sink's lossless bloom
+      // pre-screen off (r10 verdict task #1); =ab INTERLEAVES screened
+      // and unscreened sinks over twin stores fed identical batches —
+      // the only drift-proof comparison on this throttling VM (see
+      // PERF.md's variance protocol)
+      val screenMode = sys.env.getOrElse("SPARK_GRAFT_BLOOM_SCREEN", "1")
+      def batchFor(k: Int) = spark.range(nIn)
+        .select((col("id") + 60000000L + k * 1000000L).as("doc_id"),
+          when(col("id") % 5 === 4, // base near-dup: rejected
+            textFor(col("id") % 1000, col("id") % 1000 + 2000000L))
+            .otherwise( // fresh per-batch namespace: accepted
+              textFor(col("id") + 8000000L + k * 1000000L,
+                lit(null).cast("long")))
+            .as("text"))
+      if (screenMode == "ab") {
+        val dirB = dir + "-b"
+        graft.streaming.DocStream.initPrefixIndexStore(existing, dirB, 0.8)
+        val sinks = Seq(
+          "screen=on " ->
+            graft.streaming.DocStream.prefixIndexSink(dir, 0.8),
+          "screen=off" ->
+            graft.streaming.DocStream.prefixIndexSink(dirB, 0.8,
+              bloomScreen = false))
+        (0 until streamBatches).foreach { k =>
+          val batch = batchFor(k)
+          sinks.foreach { case (name, sink) =>
+            val tb = System.nanoTime()
+            sink(batch, k.toLong)
+            println(f"[inc-bench] stream batch $k%2d $name: " +
+              f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+          }
+        }
+      } else {
+        val sink = graft.streaming.DocStream.prefixIndexSink(dir, 0.8,
+          bloomScreen = screenMode != "0")
+        (0 until streamBatches).foreach { k =>
+          val batch = batchFor(k)
+          val tb = System.nanoTime()
+          sink(batch, k.toLong)
+          println(f"[inc-bench] stream batch $k%2d: " +
+            f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+        }
       }
     }
     spark.stop()

@@ -1514,17 +1514,6 @@ object DedupQueries {
     // must never include a corpus-scale aggregate (build time owns
     // that; see [[buildPrefixIndex]])
     val idxPrefix = index.entries
-    val heavyKeys = index.freq
-      .filter(col("nf") >= heavyListThreshold)
-      .select(col("source"), col("s"))
-      .unionByName(prbPrefix.groupBy(col("source"), col("s"))
-        .agg(count(lit(1)).as("__np"))
-        .filter(col("__np") >= heavyListThreshold)
-        .select(col("source"), col("s")))
-      .distinct()
-      .select(col("source"), col("s"), lit(true).as("__heavy"))
-    val iF = idxPrefix.join(broadcast(heavyKeys), Seq("source", "s"), "left")
-    val pF = prbPrefix.join(broadcast(heavyKeys), Seq("source", "s"), "left")
     // length + PPJoin positional filters, epsilon-slack (see
     // prefixSimilarityJoin — verification decides boundary pairs)
     def pruned(df: DataFrame): DataFrame = df
@@ -1538,24 +1527,44 @@ object DedupQueries {
     // probe side is one micro-batch — BOUNDED by rate×trigger, so its
     // prefix relation and the candidate set BROADCAST, and the
     // corpus-scale index relations are only ever SCANNED map-side,
-    // never shuffled. Without it (the offline q80/q84 shape) the probe
-    // side can be corpus-sized and the shuffle plans below are right.
-    def probeSized(df: DataFrame): DataFrame =
-      if (batchProbe) broadcast(df) else df
-    val lightC = pruned(
-      iF.filter(col("__heavy").isNull).drop("__heavy")
-        .join(probeSized(pF.filter(col("__heavy").isNull).drop("__heavy")),
-          Seq("source", "s")))
-      .select(col("id_index"), col("id_probe"))
-    // salted path: SCATTER the index side (the corpus-scale one — its
-    // hot lists spread over `salt` tasks), REPLICATE the batch side
-    // (replicating the small relation is the cheap direction)
-    val heavyC = pruned(Salting.saltedJoin(
-        iF.filter(col("__heavy").isNotNull).drop("__heavy"),
-        pF.filter(col("__heavy").isNotNull).drop("__heavy"),
-        Seq("source", "s"), scatterCols = Seq(col("id_index")), salt = salt))
-      .select(col("id_index"), col("id_probe"))
-    val cands = lightC.unionByName(heavyC).distinct()
+    // never shuffled. A broadcast join has no per-key task walls
+    // (nothing partitions by the join key), so the heavy-key salting
+    // below is POINTLESS here — skip its aggregate and its branch
+    // outright; the plain join is the same result set by definition
+    // (the two paths partition the element space). Without batchProbe
+    // (the offline q80/q84 shape) the probe side can be corpus-sized
+    // and the shuffle + salting plans are right.
+    val cands =
+      if (batchProbe)
+        pruned(idxPrefix.join(broadcast(prbPrefix), Seq("source", "s")))
+          .select(col("id_index"), col("id_probe")).distinct()
+      else {
+        val heavyKeys = index.freq
+          .filter(col("nf") >= heavyListThreshold)
+          .select(col("source"), col("s"))
+          .unionByName(prbPrefix.groupBy(col("source"), col("s"))
+            .agg(count(lit(1)).as("__np"))
+            .filter(col("__np") >= heavyListThreshold)
+            .select(col("source"), col("s")))
+          .distinct()
+          .select(col("source"), col("s"), lit(true).as("__heavy"))
+        val iF = idxPrefix.join(broadcast(heavyKeys), Seq("source", "s"), "left")
+        val pF = prbPrefix.join(broadcast(heavyKeys), Seq("source", "s"), "left")
+        val lightC = pruned(
+          pF.filter(col("__heavy").isNull).drop("__heavy")
+            .join(iF.filter(col("__heavy").isNull).drop("__heavy"),
+              Seq("source", "s")))
+          .select(col("id_index"), col("id_probe"))
+        // salted path: SCATTER the index side (the corpus-scale one — its
+        // hot lists spread over `salt` tasks), REPLICATE the batch side
+        // (replicating the small relation is the cheap direction)
+        val heavyC = pruned(Salting.saltedJoin(
+            iF.filter(col("__heavy").isNotNull).drop("__heavy"),
+            pF.filter(col("__heavy").isNotNull).drop("__heavy"),
+            Seq("source", "s"), scatterCols = Seq(col("id_index")), salt = salt))
+          .select(col("id_index"), col("id_probe"))
+        lightC.unionByName(heavyC).distinct()
+      }
     // verification: each candidate touches both full arrays ONCE
     // (CollapseBarrier — see charShingleAllPairs' inlining trap);
     // |union| = n_i + n_p − inter for distinct arrays. Join ORDER and

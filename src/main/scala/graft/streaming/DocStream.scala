@@ -548,14 +548,18 @@ object DocStream {
     // come from the same observation, or a compaction advancing the
     // marker mid-load would double-count deltas into the new snapshot
     val floor = compactedThrough(spark, path).getOrElse(-1L)
-    def folded(deltaSub: String, snapSub: String): DataFrame = {
+    // (snapshotOnly, relation): when a compacted store has no deltas
+    // past the watermark, the snapshot is already aggregated and the
+    // callers below skip their fold — no per-load shuffle for a no-op
+    def folded(deltaSub: String, snapSub: String): (Boolean, DataFrame) = {
       val snap =
         if (floor < 0) None
         else Some(spark.read.parquet(s"$path/$snapSub/through=$floor"))
-      val parts = snap.toSeq ++ deltasAfter(spark, s"$path/$deltaSub", floor)
+      val deltas = deltasAfter(spark, s"$path/$deltaSub", floor)
         .map(_.drop("batch_id")).toSeq
+      val parts = snap.toSeq ++ deltas
       require(parts.nonEmpty, s"no $deltaSub deltas or snapshot under $path")
-      parts.reduce(_.unionByName(_))
+      (snap.isDefined && deltas.isEmpty, parts.reduce(_.unionByName(_)))
     }
     val tfSnap = tfSnapAt(spark, path, floor)
     val tfParts = tfSnap.toSeq ++
@@ -563,14 +567,16 @@ object DocStream {
         if (tfSnap.isDefined) floor else Long.MinValue)
         .map(_._2.toString)
     require(tfParts.nonEmpty, s"no tf postings under $path")
+    val (dfOnly, dfRel) = folded("dfd", "dfsnap")
+    val (totOnly, totRel) = folded("tot", "totsnap")
     graft.operators.CurationQueries.Bm25Index(
       spark.read.parquet(tfParts: _*)
         .select(col("doc_id"), col("dl"), col("token"), col("tf")),
-      folded("dfd", "dfsnap")
-        .groupBy(col("token")).agg(sum(col("df")).as("df")),
-      folded("tot", "totsnap")
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("s_tokens")).as("s_tokens")))
+      if (dfOnly) dfRel
+      else dfRel.groupBy(col("token")).agg(sum(col("df")).as("df")),
+      if (totOnly) totRel
+      else totRel.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("s_tokens")).as("s_tokens")))
   }
 
   /** The consolidated-postings snapshot path at watermark `floor`, if
@@ -712,6 +718,12 @@ object DocStream {
         DedupQueries.tokenArrays(docs), threshold), path, 0L)
       writeLongMarker(docs.sparkSession, path, "_base_version", 0L)
     }
+    // eager element bloom: the first micro-batch must not pay the
+    // screen's vocabulary pass (first-trigger latency is part of the
+    // composed session's floor, r10 task #1)
+    buildElementBloom(docs.sparkSession, path,
+      loadStreamedPrefixIndex(docs.sparkSession, path))
+    ()
   }
 
   private def writeBase(idx: graft.operators.DedupQueries.PrefixIndex,
@@ -751,17 +763,26 @@ object DocStream {
         while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
         bos.toByteArray
       } finally in.close()
-    } else {
-      val ev = idx.freq.filter(col("nf") > 0)
-        .select(xxhash64(col("s")).as("h")).distinct()
-      val bloom = ev.stat.bloomFilter("h",
-        math.max(4L * ev.count(), 1L << 16), 0.03)
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      val bytes = bos.toByteArray
-      writeElementBloom(spark, path, bytes)
-      bytes
-    }
+    } else buildElementBloom(spark, path, idx)
+  }
+
+  /** Build + persist the element bloom from the index's entry-element
+    * set (one vocabulary-sized pass). Called off the batch path where
+    * possible — at store init and after each compaction re-freeze — so
+    * a batch only ever pays it when recovering from a crash between
+    * the two. */
+  private[streaming] def buildElementBloom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idx: graft.operators.DedupQueries.PrefixIndex): Array[Byte] = {
+    val ev = idx.freq.filter(col("nf") > 0)
+      .select(xxhash64(col("s")).as("h")).distinct()
+    val bloom = ev.stat.bloomFilter("h",
+      math.max(4L * ev.count(), 1L << 16), 0.03)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bytes = bos.toByteArray
+    writeElementBloom(spark, path, bytes)
+    bytes
   }
 
   /** Fold `newHashes` (the batch's accepted entry-element xxhash64s —
@@ -819,14 +840,6 @@ object DocStream {
   def compactPrefixIndexStore(spark: org.apache.spark.sql.SparkSession,
                               path: String, threshold: Double): Unit = {
     import graft.operators.{Checkpoints, DedupQueries}
-    // the re-freeze REBUILDS entries under today's frequency order, so
-    // the entry-element set changes — the persisted element bloom is no
-    // longer a guaranteed superset. Delete it FIRST (a crash anywhere
-    // in the compaction then leaves no bloom, and the next batch
-    // lazily rebuilds one from whichever base is current; a bloom
-    // rebuild is one vocabulary-sized pass at compaction cadence)
-    fsOf(spark, path).delete(
-      new org.apache.hadoop.fs.Path(s"$path/$ElementBloomFile"), false)
     // commit point = arrays, the sink's LAST write (see the skeleton's
     // crash-ordering scaladoc)
     compactVersionedBase(spark, path,
@@ -844,6 +857,13 @@ object DocStream {
           .map { case (_, p) => spark.read.parquet(p.toString)
             .select(col("doc_id"), col("sh")) }
           .foldLeft(base)(_.unionByName(_))
+        // the re-freeze changes the entry-element set, so the persisted
+        // element bloom stops being a guaranteed superset: delete it
+        // BEFORE the base-version flip (a crash anywhere after leaves
+        // no bloom; the rebuild below — or a batch's lazy build — then
+        // derives one from whichever base is current)
+        fsOf(spark, path).delete(
+          new org.apache.hadoop.fs.Path(s"$path/$ElementBloomFile"), false)
         // the streamed store is single-block (the sink probes through
         // tokenArrays' source = "all" convention), so the rebuild
         // re-attaches that block key
@@ -852,6 +872,13 @@ object DocStream {
           threshold), path, v + 1)
       }
     }
+    // re-derive the bloom off the batch path (compaction cadence owns
+    // this pass); idle compactions (nothing folded) keep their valid
+    // bloom and skip the rebuild
+    if (!fsOf(spark, path).exists(
+        new org.apache.hadoop.fs.Path(s"$path/$ElementBloomFile")))
+      buildElementBloom(spark, path, loadStreamedPrefixIndex(spark, path))
+    ()
   }
 
   /** Load the stream-maintained dedup index: base relations unioned
@@ -876,10 +903,20 @@ object DocStream {
       deltasAfter(spark, s"$path/$sub", floor, excludeBatch)
         .map(d => rel.unionByName(d.drop("batch_id")))
         .getOrElse(rel)
+    // freq fold ONLY when deltas exist: the base freq is already
+    // aggregated, so the compacted steady state (every batch right
+    // after a re-freeze) must not pay a vocabulary-sized shuffle per
+    // consumer per load for a no-op fold
+    val freq = deltasAfter(spark, s"$path/freqd", floor, excludeBatch) match {
+      case None => spark.read.parquet(s"$base/freq")
+      case Some(d) =>
+        spark.read.parquet(s"$base/freq")
+          .unionByName(d.drop("batch_id"))
+          .groupBy(col("source"), col("s"))
+          .agg(sum(col("f")).as("f"), sum(col("nf")).as("nf"))
+    }
     graft.operators.DedupQueries.PrefixIndex(
-      withDeltas(spark.read.parquet(s"$base/freq"), "freqd")
-        .groupBy(col("source"), col("s"))
-        .agg(sum(col("f")).as("f"), sum(col("nf")).as("nf")),
+      freq,
       withDeltas(spark.read.parquet(s"$base/entries"), "entries"),
       withDeltas(spark.read.parquet(s"$base/arrays"), "arrays"))
   }

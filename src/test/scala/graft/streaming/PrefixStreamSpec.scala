@@ -213,17 +213,21 @@ class PrefixStreamSpec extends SparkSpec {
     sinkOn(b1.toDF("doc_id", "text"), 1L)
     assert(stored(pOn) == base.map(_._1).toSet ++ want, "replay unchanged")
 
-    // compaction re-freezes the element order → the bloom is no longer
-    // a guaranteed superset and must be invalidated...
+    // compaction re-freezes the element order → the stale bloom is no
+    // longer a guaranteed superset: it is deleted before the base flip
+    // and re-derived from the NEW base off the batch path
+    val mtimeBefore = fs.getFileStatus(bloomPath).getModificationTime
+    Thread.sleep(1100) // local-fs mtime granularity is one second
     DocStream.compactPrefixIndexStore(spark, pOn, T)
-    assert(!fs.exists(bloomPath), "compaction deletes the stale bloom")
-    // ...and the next batch lazily rebuilds it from the new base and
-    // still rejects/accepts exactly like the unscreened store
+    assert(fs.exists(bloomPath) &&
+      fs.getFileStatus(bloomPath).getModificationTime != mtimeBefore,
+      "compaction replaces the stale bloom with one from the new base")
+    // and the screened store still rejects/accepts exactly like the
+    // unscreened one on post-compaction batches
     val b2 = Seq(doc(300L, cluster("f1_") :+ "r0"),  // dup of a b0 accept
       doc(301L, cluster("w0_") :+ "r1"))             // novel
     sinkOn(b2.toDF("doc_id", "text"), 2L)
     sinkOff(b2.toDF("doc_id", "text"), 2L)
-    assert(fs.exists(bloomPath), "lazy rebuild after invalidation")
     assert(stored(pOn) == stored(pOff), "post-compaction parity")
     assert(stored(pOn).contains(301L) && !stored(pOn).contains(300L))
   }
