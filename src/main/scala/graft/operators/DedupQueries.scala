@@ -1496,9 +1496,13 @@ object DedupQueries {
     val prefixLen = (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast("int")
     // probe prefixes under the INDEX's frozen element order (f = 0 for
     // unseen elements); the index side is already materialized, so only
-    // the probe explode→rank pipeline runs per batch — truncate it once
-    // for its three consumers (heavy count, light join, salted join)
-    val prbPrefix = Checkpoints.truncate(
+    // the probe explode→rank pipeline runs per batch. Truncated for the
+    // OFFLINE shape's three consumers (heavy count, light join, salted
+    // join); in batchProbe mode there is exactly ONE consumer (the
+    // broadcast below), and a streaming sink's scarce resource is
+    // driver JOB COUNT — a checkpoint job per batch for a single-use
+    // relation is pure scheduler pressure (r10 task #1)
+    val prbPrefixRaw =
       prb.select(col("source"), col("doc_id"), col("n"),
           explode(col("sh")).as("s"))
         .join(index.freq, Seq("source", "s"), "left")
@@ -1507,7 +1511,9 @@ object DedupQueries {
           Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))))
         .filter(col("rk") <= prefixLen)
         .select(col("source"), col("s"), col("doc_id").as("id_probe"),
-          col("n").as("n_p"), col("rk").as("p_p")))
+          col("n").as("n_p"), col("rk").as("p_p"))
+    val prbPrefix =
+      if (batchProbe) prbPrefixRaw else Checkpoints.truncate(prbPrefixRaw)
     // entries are consumed twice (both join paths) but NOT aggregated
     // or truncated here: heavy keys come from the index's PRECOMPUTED
     // nf statistics plus a batch-sized probe count — the per-batch cost

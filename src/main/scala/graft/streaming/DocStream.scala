@@ -985,13 +985,17 @@ object DocStream {
       val bloomBytes =
         if (bloomScreen) Some(loadOrBuildElementBloom(spark, path, idx))
         else None
+      // NOT checkpointed: the screen is a cheap map over the batch
+      // (tokenize + bloom probes) and its consumers re-derive it for
+      // less than a checkpoint job costs — per-batch driver job count
+      // is the composed session's scarce resource
       val screened = bloomBytes.map { bytes =>
         import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
         import org.apache.spark.sql.graft.ColumnBridge
-        graft.operators.Checkpoints.truncate(arrs.filter(
+        arrs.filter(
           exists(col("sh"), e => ColumnBridge.column(BloomFilterMightContain(
             Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
-            ColumnBridge.expression(xxhash64(e)))))))
+            ColumnBridge.expression(xxhash64(e))))))
       }.getOrElse(arrs)
       val dups =
         if (bloomBytes.isDefined && screened.isEmpty)
