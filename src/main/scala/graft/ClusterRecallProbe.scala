@@ -31,16 +31,23 @@ object ClusterRecallProbe {
     // the PERF r10 sweep: same-16-perm splits (4×4 / 5×3 / 8×2 / 16×1
     // — recall FALLS as band keys shorten: coarser buckets break the
     // chains) then constant-width widenings (6×4 / 8×4 — the axis that
-    // helps; 8×4 is the registered frontier point)
-    Seq((4, 4), (5, 3), (8, 2), (16, 1), (6, 4), (8, 4)).foreach { case (b, r) =>
+    // helps; 8×4 is the registered frontier point). r11 adds the
+    // chain-reach axis at the frontier layout (hops 1 vs 2 — the r10
+    // verdict task-#5 experiment; SPARK_GRAFT_SWEEP=hops runs only it).
+    val sweep: Seq[(Int, Int, Int)] =
+      if (sys.env.get("SPARK_GRAFT_SWEEP").contains("hops"))
+        Seq((8, 4, 3), (8, 4, 4), (8, 4, 5))
+      else Seq((4, 4, 1), (5, 3, 1), (8, 2, 1), (16, 1, 1), (6, 4, 1),
+        (8, 4, 1), (8, 4, 2))
+    sweep.foreach { case (b, r, h) =>
       val t0 = System.nanoTime()
       val stats = graft.operators.PipelineQueries
-        .lshClusterStats(docs, bands = b, rowsPerBand = r)
+        .lshClusterStats(docs, bands = b, rowsPerBand = r, chainHops = h)
         .agg(sum(col("n_docs")), sum(col("total_tokens"))).collect()
       val rungWall = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       val rec = graft.operators.PipelineQueries
-        .lshClusterRecall(docs, bands = b, rowsPerBand = r)
+        .lshClusterRecall(docs, bands = b, rowsPerBand = r, chainHops = h)
         .agg(sum(col("n_docs")).as("docs"),
           sum(col("n_recovered")).as("rec"),
           sum(col("total_tokens")).as("tt"),
@@ -49,7 +56,8 @@ object ClusterRecallProbe {
       val certWall = (System.nanoTime() - t1) / 1e9
       val (nd, nr) = (rec.getLong(0), rec.getLong(1))
       val (tt, rt) = (rec.getLong(2), rec.getLong(3))
-      println(f"[cluster-recall] ${b}%2dx$r: doc_recall=${nr.toDouble / nd}%.4f " +
+      println(f"[cluster-recall] ${b}%2dx$r hops=$h: " +
+        f"doc_recall=${nr.toDouble / nd}%.4f " +
         f"token_recall=${rt.toDouble / tt}%.4f " +
         f"rung_wall=$rungWall%.1f s cert_wall=$certWall%.1f s " +
         s"(clustered_docs=${stats.head.getLong(0)})")

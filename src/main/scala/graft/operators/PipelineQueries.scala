@@ -786,12 +786,36 @@ object PipelineQueries {
   private[graft] final val LshBands = 8
   private[graft] final val LshRows = 4
 
+  /** The REGISTERED chain reach: candidates between bucket members up
+    * to `ChainHops` apart in doc_id order — 1 was r10's rung (doc
+    * recall 0.833); the r10 verdict task-#5 sweep measured 2→0.873,
+    * 3→0.8995, 4→0.9162, 5→0.9268 at sf0.1 with FLAT rung wall
+    * (~5.7 s warm at every reach). 4 is the accepted point: past the
+    * ≥0.90 bar with margin rather than on the razor edge, volume still
+    * ≤ 4(n−1) per bucket — linear, never C(n,2). One definition drives
+    * the Spark default AND the oracle CTE ([[chainCandCte]]). */
+  private[graft] final val ChainHops = 4
+
+  /** The q128/q132 candidate CTE (`cand`), derived from [[ChainHops]]
+    * so the registered reach and the DuckDB oracle cannot diverge. */
+  private def chainCandCte: String = {
+    val hops = (1 to ChainHops).map(h =>
+      s"""SELECT lag(doc_id, $h) OVER (
+         |               PARTITION BY band, s0, s1, s2, s3
+         |               ORDER BY doc_id) AS id1,
+         |             doc_id AS id2
+         |           FROM bands""".stripMargin).mkString("\n  UNION ALL ")
+    s"""cand AS (SELECT DISTINCT id1, id2 FROM (
+       |  $hops) WHERE id1 IS NOT NULL)""".stripMargin
+  }
+
   def lshClusterStats(documents: org.apache.spark.sql.DataFrame,
                       threshold: Double = 0.8,
                       bands: Int = LshBands,
-                      rowsPerBand: Int = LshRows): org.apache.spark.sql.DataFrame =
-    clusterRollup(lshDupComponents(documents, threshold, bands, rowsPerBand),
-      documents)
+                      rowsPerBand: Int = LshRows,
+                      chainHops: Int = ChainHops): org.apache.spark.sql.DataFrame =
+    clusterRollup(lshDupComponents(documents, threshold, bands, rowsPerBand,
+      chainHops), documents)
 
   /** (id, component) over the LSH chain-edge set — q128's assignment,
     * shared with the q132 recall certificate (the verified chain edges
@@ -799,12 +823,13 @@ object PipelineQueries {
   private def lshDupComponents(documents: org.apache.spark.sql.DataFrame,
                                threshold: Double,
                                bands: Int = LshBands,
-                               rowsPerBand: Int = LshRows)
+                               rowsPerBand: Int = LshRows,
+                               chainHops: Int = ChainHops)
   : org.apache.spark.sql.DataFrame = {
     val verified = DedupQueries.memoSharedRelation("lshchain",
       documents, math.round(threshold * 1000000).toInt,
-      bands * 100 + rowsPerBand)(
-      lshChainEdges(documents, threshold, bands, rowsPerBand))
+      bands * 10000 + rowsPerBand * 100 + chainHops)(
+      lshChainEdges(documents, threshold, bands, rowsPerBand, chainHops))
     ConnectedComponents.components(
       documents.select(col("doc_id").as("id")), verified)
   }
@@ -824,7 +849,8 @@ object PipelineQueries {
     * self-join anywhere. */
   private def lshChainEdges(documents: org.apache.spark.sql.DataFrame,
                             threshold: Double,
-                            bands: Int = LshBands, rowsPerBand: Int = LshRows)
+                            bands: Int = LshBands, rowsPerBand: Int = LshRows,
+                            chainHops: Int = ChainHops)
   : org.apache.spark.sql.DataFrame = {
     val bandKey = Seq("band", "s0", "s1", "s2", "s3")
     // TOKEN-set minhash banding (r10): the estimator must speak the
@@ -834,11 +860,18 @@ object PipelineQueries {
     val banded = DedupQueries.minhashBandedTokens(
       documents.select(col("doc_id"), col("text")), bands, rowsPerBand)
     val w = Window.partitionBy(bandKey.map(col): _*).orderBy(col("doc_id"))
-    val chainCand = banded
-      .withColumn("nxt", lead(col("doc_id"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      // bucket-ordered ⇒ id1 < id2 by construction
-      .select(col("doc_id").as("id1"), col("nxt").as("id2")).distinct()
+    // hop-h candidates: bucket members h apart in doc_id order. hops=1
+    // is the plain chain; hops=2 (r10 verdict task #5) adds each
+    // member's next-but-one mate, so ONE chain link whose consecutive
+    // pair happens to fall below t (an interleaved satellite) no longer
+    // severs the cluster — the measured residual of the r10 rung.
+    // Volume stays ≤ hops·(n−1) per bucket: linear, never C(n,2).
+    val chainCand = (1 to chainHops).map(h => banded
+        .withColumn("nxt", lead(col("doc_id"), h).over(w))
+        .filter(col("nxt").isNotNull)
+        // bucket-ordered ⇒ id1 < id2 by construction
+        .select(col("doc_id").as("id1"), col("nxt").as("id2")))
+      .reduce(_.unionByName(_)).distinct()
     val toks = documents.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("t"))
     chainCand
@@ -878,9 +911,11 @@ object PipelineQueries {
   def lshClusterRecall(documents: org.apache.spark.sql.DataFrame,
                        threshold: Double = 0.8,
                        bands: Int = LshBands,
-                       rowsPerBand: Int = LshRows): org.apache.spark.sql.DataFrame = {
+                       rowsPerBand: Int = LshRows,
+                       chainHops: Int = ChainHops): org.apache.spark.sql.DataFrame = {
     val exact = exactDupComponents(documents, threshold, 512)
-    val lsh = lshDupComponents(documents, threshold, bands, rowsPerBand)
+    val lsh = lshDupComponents(documents, threshold, bands, rowsPerBand,
+      chainHops)
     // docs the LSH rung recovered: members of ≥2-doc LSH components.
     // The size relation is component-keyed (≪ docs) — broadcastable
     val lshSizes = lsh.groupBy(col("component"))
@@ -982,12 +1017,7 @@ object PipelineQueries {
     "q128_lsh_cluster_stats" -> QueryDef(
       (s, d) => lshClusterStats(Tables.documents(s, d)),
       Some(s"""WITH RECURSIVE ${DedupQueries.minhashBandedTokensCtes(LshBands, LshRows)},
-             |cand AS (SELECT DISTINCT id1, id2 FROM (
-             |           SELECT lag(doc_id) OVER (
-             |               PARTITION BY band, s0, s1, s2, s3
-             |               ORDER BY doc_id) AS id1,
-             |             doc_id AS id2
-             |           FROM bands) WHERE id1 IS NOT NULL),
+             |$chainCandCte,
              |toks AS (SELECT doc_id,
              |    list_distinct(string_split(text, ' ')) AS t FROM documents),
              |ver AS (SELECT c.id1 AS u, c.id2 AS v FROM cand c
@@ -1019,12 +1049,7 @@ object PipelineQueries {
     "q132_lsh_cluster_recall" -> QueryDef(
       (s, d) => lshClusterRecall(Tables.documents(s, d)),
       Some(s"""WITH RECURSIVE ${DedupQueries.minhashBandedTokensCtes(LshBands, LshRows)},
-             |cand AS (SELECT DISTINCT id1, id2 FROM (
-             |           SELECT lag(doc_id) OVER (
-             |               PARTITION BY band, s0, s1, s2, s3
-             |               ORDER BY doc_id) AS id1,
-             |             doc_id AS id2
-             |           FROM bands) WHERE id1 IS NOT NULL),
+             |$chainCandCte,
              |toks AS (SELECT doc_id,
              |    list_distinct(string_split(text, ' ')) AS t FROM documents),
              |xpairs AS (

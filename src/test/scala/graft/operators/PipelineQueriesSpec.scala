@@ -484,9 +484,11 @@ class PipelineQueriesSpec extends SparkSpec {
     val toks = docs.select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
     val chainCands = banded.groupBy(_._1).values.flatMap { rows =>
-      rows.map(_._2).distinct.sorted.toSeq.sliding(2).collect {
-        case Seq(a, b) => (a, b)
-      }
+      val ms = rows.map(_._2).distinct.sorted.toSeq
+      for {
+        h <- 1 to PipelineQueries.ChainHops
+        i <- 0 until math.max(ms.length - h, 0)
+      } yield (ms(i), ms(i + h))
     }.toSeq.distinct
     val verified = chainCands.filter { case (a, b) =>
       val (ta, tb) = (toks(a), toks(b))
