@@ -92,12 +92,17 @@ object GtfsPipeline {
     * multisets (makeCurve emits sorted distinct values skipping a leading
     * exact 0.0; simplify/average/capPoints preserve end points; averaged
     * sample sizes use the reference's integer division). */
-  private val boardSkeletonSql = {
+  /** The ladder-resolution CTE block shared by the q82 board skeleton
+    * and the q42s prediction skeleton: structural variant keys, W1
+    * gap-fill, per-(variant, stop, event) general-curve availability
+    * (the >=20 / >=2-emitted-points integer surrogate of makeCurve),
+    * and the default-grid cascade with its integer-div sample
+    * averaging. Assumes $goldenRecordsCte and $monitorScheduleCtes are
+    * already in scope. */
+  private val ladderCtes = {
     val leafInstant =
       "(CAST(r.trip_start_date AS TIMESTAMP) + INTERVAL (COALESCE(s.arr_secs, s.dep_secs)) SECOND)"
-    s"""WITH $goldenRecordsCte,
-       |$monitorScheduleCtes,
-       |vkeys AS (SELECT s.trip_id, t.route_id || '|' || string_agg(s.stop_id, ',' ORDER BY s.stop_index) AS vkey
+    s"""vkeys AS (SELECT s.trip_id, t.route_id || '|' || string_agg(s.stop_id, ',' ORDER BY s.stop_index) AS vkey
        |  FROM st s JOIN tr t ON t.trip_id = s.trip_id
        |  GROUP BY s.trip_id, t.route_id),
        |vehicles AS (SELECT DISTINCT trip_id, trip_start_date FROM recs),
@@ -155,7 +160,13 @@ object GtfsPipeline {
        |    MIN(minx) AS pool_minx, MAX(maxx) AS pool_maxx
        |  FROM leaves GROUP BY 1, 2),
        |globavg AS (SELECT CAST(SUM(n) // COUNT(*) AS INT) AS g_n,
-       |    MIN(minx) AS g_minx, MAX(maxx) AS g_maxx FROM leaves),
+       |    MIN(minx) AS g_minx, MAX(maxx) AS g_maxx FROM leaves)""".stripMargin
+  }
+
+  private val boardSkeletonSql = {
+    s"""WITH $goldenRecordsCte,
+       |$monitorScheduleCtes,
+       |$ladderCtes,
        |board AS (
        |  SELECT b.route_id, b.trip_id, b.trip_start_date, b.stop_sequence, b.stop_id,
        |    b.stop_index, b.stop_count,
@@ -214,6 +225,109 @@ object GtfsPipeline {
        |  ON d.ref >= a.ref - 259200 AND d.ref <= a.ref + 518400
        |WHERE a.trip_id <> d.trip_id
        |ORDER BY arrival_trip, departure_trip""".stripMargin
+
+  /** The q42s oracle (r10 verdict stretch #8): the scheduled-prediction
+    * LADDER resolved for EVERY request row — both event types, all
+    * stops, the full 2-day horizon — to its integer facts (precision
+    * code + sample size). Scheduled requests carry no realtime basis,
+    * so the ladder is exactly the board's (SemiSpecific general curve,
+    * else the default-grid cascade), event-generic instead of pinned to
+    * departures; see [[ladderCtes]]. Curve bytes stay with the golden
+    * pins (GtfsGoldenPinSpec). */
+  private val predictionSkeletonSql =
+    s"""WITH $goldenRecordsCte,
+       |$monitorScheduleCtes,
+       |$ladderCtes,
+       |reqs AS (
+       |  SELECT r.route_id, r.trip_id, r.trip_start_date, r.stop_sequence,
+       |    r.stop_index, r.stop_count, e.event_type,
+       |    CAST(r.trip_start_date AS TIMESTAMP) + INTERVAL (e.secs) SECOND AS event_instant
+       |  FROM runs r,
+       |  LATERAL (SELECT unnest([1, 2]) AS event_type,
+       |           unnest([r.arr_secs, r.dep_secs]) AS secs) e),
+       |reqs2 AS (SELECT r.*, ${slotCaseSql("r.event_instant")} AS slot,
+       |    ${sectionCaseSql("r.stop_index", "r.stop_count")} AS sec
+       |  FROM reqs r),
+       |resolved AS (
+       |  SELECT b.route_id, b.trip_id, b.trip_start_date, b.stop_sequence,
+       |    b.event_type,
+       |    CAST(CASE WHEN g.gen_n IS NOT NULL THEN 2
+       |         WHEN c.cell_n IS NOT NULL THEN 3
+       |         WHEN p.pool_n IS NOT NULL THEN 4
+       |         ELSE 5 END AS INT) AS precision_type,
+       |    CAST(COALESCE(g.gen_n, c.cell_n, p.pool_n, gl.g_n) AS INT) AS sample_size
+       |  FROM reqs2 b
+       |  JOIN rts rt2 ON rt2.route_id = b.route_id
+       |  JOIN vkeys v ON v.trip_id = b.trip_id
+       |  LEFT JOIN gen g ON g.vkey = v.vkey AND g.stop_index = b.stop_index
+       |    AND g.event_type = b.event_type
+       |  LEFT JOIN cellavg c ON c.route_type = rt2.route_type
+       |    AND c.route_section = b.sec AND c.time_slot_id = b.slot
+       |    AND c.event_type = b.event_type
+       |  LEFT JOIN poolavg p ON p.route_type = rt2.route_type
+       |    AND p.event_type = b.event_type
+       |  CROSS JOIN globavg gl)
+       |SELECT route_id, trip_id, trip_start_date, stop_sequence, event_type,
+       |  precision_type, sample_size
+       |FROM resolved
+       |ORDER BY trip_start_date, trip_id, stop_sequence, event_type""".stripMargin
+
+  /** The q41s oracle (r10 verdict stretch #8): the q53 pair-stream facts
+    * RE-KEYED by the structural route variant — the ordered stop list,
+    * i.e. the injective PREIMAGE of the xxhash64 route_variant, which IS
+    * SQL-derivable where the hash is not. Verifies that q41's curve-set
+    * group universe (variant attribution + F9 >20 gate + Default-slot
+    * duplication + exact integer delay sums) is right; the adaptive
+    * sample_size and curve bytes stay with the golden pins. */
+  private val curvesetSkeletonSql =
+    s"""WITH $goldenRecordsCte,
+       |st AS (SELECT trip_id, CAST(stop_sequence AS INT) AS stop_sequence,
+       |    stop_id,
+       |    ROW_NUMBER() OVER (PARTITION BY trip_id ORDER BY CAST(stop_sequence AS INT)) - 1 AS stop_index,
+       |    CAST(split_part(arrival_time,':',1) AS INT)*3600 + CAST(split_part(arrival_time,':',2) AS INT)*60
+       |      + CAST(split_part(arrival_time,':',3) AS INT) AS arr_secs,
+       |    CAST(split_part(departure_time,':',1) AS INT)*3600 + CAST(split_part(departure_time,':',2) AS INT)*60
+       |      + CAST(split_part(departure_time,':',3) AS INT) AS dep_secs
+       |  FROM read_csv_auto('$fixtureDir/gtfs_tiny/stop_times.txt', header=true)),
+       |tr AS (SELECT * FROM read_csv_auto('$fixtureDir/gtfs_tiny/trips.txt', header=true)),
+       |vkeys AS (SELECT s.trip_id, t.route_id || '|' || string_agg(s.stop_id, ',' ORDER BY s.stop_index) AS vkey
+       |  FROM st s JOIN tr t ON t.trip_id = s.trip_id
+       |  GROUP BY s.trip_id, t.route_id),
+       |vehicles AS (SELECT DISTINCT trip_id, trip_start_date FROM recs),
+       |filled AS (SELECT g.trip_id, g.trip_start_date, s.stop_index,
+       |    last_value(r.delay_arrival IGNORE NULLS) OVER w AS da,
+       |    last_value(r.delay_departure IGNORE NULLS) OVER w AS dd,
+       |    CAST(g.trip_start_date AS TIMESTAMP) + INTERVAL (s.dep_secs) SECOND AS dep_instant
+       |  FROM (SELECT v.trip_id, v.trip_start_date FROM vehicles v) g
+       |  JOIN st s ON s.trip_id = g.trip_id
+       |  LEFT JOIN recs r ON r.trip_id = g.trip_id AND r.trip_start_date = g.trip_start_date
+       |    AND r.stop_sequence = s.stop_sequence
+       |  WINDOW w AS (PARTITION BY g.trip_id, g.trip_start_date ORDER BY s.stop_index
+       |               ROWS UNBOUNDED PRECEDING)),
+       |starts AS (SELECT trip_id, trip_start_date, stop_index AS start_idx,
+       |    (dd//12)*12 AS start_delay, ${slotCaseSql("dep_instant")} AS slot
+       |  FROM filled WHERE dd IS NOT NULL AND abs(dd) < 3000),
+       |ends AS (
+       |  SELECT trip_id, trip_start_date, stop_index AS end_idx, 1 AS event_type,
+       |    (da//12)*12 AS end_delay FROM filled WHERE da IS NOT NULL AND abs(da) < 3000
+       |  UNION ALL SELECT trip_id, trip_start_date, stop_index, 2,
+       |    (dd//12)*12 FROM filled WHERE dd IS NOT NULL AND abs(dd) < 3000),
+       |pairs AS (
+       |  SELECT t.route_id, v.vkey, s.start_idx, e.end_idx,
+       |    sl.slot AS time_slot_id, e.event_type, s.start_delay, e.end_delay
+       |  FROM starts s
+       |  JOIN ends e ON e.trip_id = s.trip_id AND e.trip_start_date = s.trip_start_date
+       |    AND e.end_idx > s.start_idx
+       |  JOIN tr t ON t.trip_id = s.trip_id
+       |  JOIN vkeys v ON v.trip_id = s.trip_id,
+       |  LATERAL (SELECT unnest([s.slot, ${graft.model.TimeSlot.Default.id}]) AS slot) sl)
+       |SELECT route_id, vkey, start_idx AS start_stop_index,
+       |  end_idx AS end_stop_index, time_slot_id, event_type,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(SUM(start_delay) AS BIGINT) AS sum_start_delay,
+       |  CAST(SUM(end_delay) AS BIGINT) AS sum_end_delay
+       |FROM pairs GROUP BY 1,2,3,4,5,6 HAVING COUNT(*) > 20
+       |ORDER BY 1,2,3,4,5,6""".stripMargin
 
   val registry: Map[String, QueryDef] = Map(
     // §3.1 ingest: feeds -> records (J1/J2/F4/W2). Oracle: the pipeline
@@ -319,6 +433,52 @@ object GtfsPipeline {
           .orderBy("trip_start_date", "trip_id", "stop_sequence", "event_type")
       },
       None),
+
+    // q41's INTEGER-FACT skeleton (r10 verdict stretch #8, the q82/q83
+    // pattern): the curve-set group universe — variant attribution, F9
+    // >20 gate, Default-slot duplication, exact integer delay sums —
+    // re-keyed by the STRUCTURAL route variant (the ordered stop list,
+    // the injective preimage of the xxhash64 route_variant) so DuckDB
+    // can re-derive it. The adaptive sample_size and curve bytes stay
+    // with GtfsGoldenPinSpec.
+    "q41s_curveset_skeleton" -> QueryDef(
+      (s, _) => {
+        DelayAnalysis.stopPairRows(fixtureProjected(s))
+          .groupBy(col("route_id"), col("route_variant"),
+            col("start_idx").as("start_stop_index"),
+            col("end_idx").as("end_stop_index"),
+            col("time_slot_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("start_delay").cast("long")).as("sum_start_delay"),
+            sum(col("end_delay").cast("long")).as("sum_end_delay"))
+          .filter(col("n_pairs") > 20)
+          .join(variantKeys(s), Seq("route_id", "route_variant"))
+          .select(col("route_id"), col("vkey"), col("start_stop_index"),
+            col("end_stop_index"), col("time_slot_id"), col("event_type"),
+            col("n_pairs"), col("sum_start_delay"), col("sum_end_delay"))
+          .orderBy("route_id", "vkey", "start_stop_index",
+            "end_stop_index", "time_slot_id", "event_type")
+      },
+      Some(curvesetSkeletonSql)),
+
+    // q42's INTEGER-FACT skeleton (r10 verdict stretch #8): every
+    // scheduled-prediction row's ladder resolution — precision code +
+    // sample size per (trip, date, stop, event) — re-derived in DuckDB
+    // over the GTFS CSVs + the golden records arithmetic (the q82
+    // board resolution, event-generic and unfiltered). With this the
+    // whole GTFS pipeline's relational skeleton sits in the DuckDB
+    // gate; only curve BYTES remain golden-pinned.
+    "q42s_prediction_skeleton" -> QueryDef(
+      (s, _) => {
+        val (_, preds) = fixturePredictions(s)
+        preds
+          .select(col("route_id"), col("trip_id"), col("trip_start_date"),
+            col("stop_sequence"), col("event_type"), col("precision_type"),
+            col("sample_size"))
+          .orderBy("trip_start_date", "trip_id", "stop_sequence",
+            "event_type")
+      },
+      Some(predictionSkeletonSql)),
 
     // §3.3 scheduled-prediction REQUEST generation over a horizon that
     // crosses a weekend AND the 2024-03-18 calendar exception (wk removed,
@@ -512,6 +672,28 @@ object GtfsPipeline {
 
   private def fixtureSchedule(s: SparkSession): GtfsStatic.Schedule =
     GtfsStatic.read(s, s"$fixtureDir/gtfs_tiny")
+
+  /** (route_id, route_variant, vkey): the xxhash64 variant key joined to
+    * its injective STRUCTURAL preimage (route_id | ordered stop list) —
+    * the bridge that lets integer-fact skeletons keyed by variant be
+    * hash-compared in DuckDB (which cannot reproduce xxhash64). */
+  private def variantKeys(s: SparkSession): DataFrame = {
+    val schedule = fixtureSchedule(s)
+    val stops = schedule.stopTimes
+      .select(col("trip_id"),
+        struct(col("stop_sequence").cast("int").as("seq"),
+          col("stop_id").as("sid")).as("s"))
+      .groupBy("trip_id")
+      .agg(array_sort(collect_list(col("s"))).as("ss"))
+      .select(col("trip_id"),
+        concat_ws(",", transform(col("ss"), _.getField("sid"))).as("stops"))
+    GtfsStatic.routeVariants(schedule.trips, schedule.stopTimes)
+      .join(stops, Seq("trip_id"))
+      .join(schedule.trips.select(col("trip_id"), col("route_id")), Seq("trip_id"))
+      .select(col("route_id"), col("route_variant"),
+        concat(col("route_id"), lit("|"), col("stops")).as("vkey"))
+      .distinct()
+  }
 
   private def fixtureRecords(s: SparkSession): DataFrame =
     checkpointed(s, "records")(records(s))
