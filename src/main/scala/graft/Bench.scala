@@ -104,10 +104,18 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // second pass with the count() action rounds r1-r4 used: count-driven
     // aggregation lets Catalyst prune projections and final sorts, so this
-    // measures LESS work — reported alongside for cross-round
-    // comparability only (see PERF.md "Bench honesty fix"); skipped under
-    // the reps protocol (medians of the real action are the comparison)
-    val countTotal = if (reps > 1) -1.0 else picked.toSeq.sortBy(_._1).map { case (_, fn) =>
+    // measures LESS work — it was reported alongside for cross-round
+    // comparability only (see PERF.md "Bench honesty fix"). r11
+    // measurement fix (OPTIMIZATION_r11.md): the pass DOUBLES the wall
+    // clock of a reps=1 run (the driver's protocol: 483 s of metric,
+    // ~340 s of count pass in r10) while contributing nothing to the
+    // reported metric — the r1-r4 numbers it existed to compare against
+    // are seven rounds stale. Now opt-in via SPARK_GRAFT_COUNT_PASS=1;
+    // the JSON key stays (-1.0 when skipped) so the line schema is
+    // unchanged.
+    val countPass = sys.env.get("SPARK_GRAFT_COUNT_PASS").contains("1")
+    val countTotal = if (reps > 1 || !countPass) -1.0
+    else picked.toSeq.sortBy(_._1).map { case (_, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9

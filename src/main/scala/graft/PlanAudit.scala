@@ -58,7 +58,19 @@ object PlanAudit {
         Seq(im.relation.cachedPlan)
       case _ => Nil
     }
-    p.children ++ subs ++ cached
+    // AQE wrappers have NO children (the plan lives in executedPlan) —
+    // without this hook a cached relation planned under AQE is a wall:
+    // the r11 shared kNN relations hid their triangle-cover markers
+    // behind InMemoryTableScan → AdaptiveSparkPlanExec, and the audit
+    // could not see inside any adaptive cached subtree. Descending the
+    // current executedPlan (the initial plan pre-execution) restores
+    // full-tree coverage.
+    val adaptive = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case _ => Nil
+    }
+    p.children ++ subs ++ cached ++ adaptive
   }
 
   private def allNodes(plan: SparkPlan): Seq[SparkPlan] =

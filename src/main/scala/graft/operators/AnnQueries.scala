@@ -321,16 +321,23 @@ object AnnQueries {
 
   /** Shared ranked tail of the kNN joins: per-endpoint bounded TopK over
     * `(vec_id, c, nb)` scored candidates → (vec_id, rk, nb_id,
-    * cos_scaled), deterministically ordered. */
-  private def rankedNeighbours(scored: DataFrame, k: Int): DataFrame = {
+    * cos_scaled), deterministically ordered. The UNORDERED form exists
+    * for intermediates (r11): a memoized/persisted relation must not
+    * freeze a global sort into its cached plan (the edge relations'
+    * `sorted = false` discipline) — consumers that join over it would
+    * trip the mid-pipeline-global-sort audit, and inline Catalyst
+    * sort elimination cannot reach a cached plan. */
+  private def rankedNeighboursUnordered(scored: DataFrame, k: Int): DataFrame = {
     val topk = graft.functions.TopK.longPairUdaf(k)
     scored.groupBy(col("vec_id"))
       .agg(topk(col("c"), col("nb")).as("top"))
       .select(col("vec_id"), posexplode(col("top")).as(Seq("i", "e")))
       .select(col("vec_id"), (col("i") + 1).as("rk"),
         col("e._2").as("nb_id"), col("e._1").as("cos_scaled"))
-      .orderedOutput(col("vec_id"), col("rk"))
   }
+
+  private def rankedNeighbours(scored: DataFrame, k: Int): DataFrame =
+    rankedNeighboursUnordered(scored, k).orderedOutput(col("vec_id"), col("rk"))
 
   /** Triangle-blocked scored pairs over a normed relation (shared by
     * [[knnJoin]] and [[semDeDup]]): every unordered within-group pair
@@ -354,14 +361,28 @@ object AnnQueries {
       .select(col("ida"), col("idb"), col("c"))
   }
 
-  def knnJoin(embeddings: DataFrame, k: Int = 3, blocks: Int = 8): DataFrame = {
-    val pairs = scoredPairs(withNorms(embeddings), Seq.empty, blocks)
-    rankedNeighbours(pairs.select(explode(array(
-        struct(col("ida").as("vec_id"), col("idb").as("nb"), col("c")),
-        struct(col("idb").as("vec_id"), col("ida").as("nb"), col("c")))).as("m"))
-      .select(col("m.vec_id").as("vec_id"), col("m.c").as("c"),
-        col("m.nb").as("nb")), k)
-  }
+  def knnJoin(embeddings: DataFrame, k: Int = 3, blocks: Int = 8): DataFrame =
+    knnJoinUnorderedShared(embeddings, k, blocks)
+      .orderedOutput(col("vec_id"), col("rk"))
+
+  /** [[knnJoin]] without the ordered tail, through the registry
+    * shared-relation cache (r11): q92 and the q106 recall report
+    * consume the IDENTICAL exact kNN relation — the all-pairs scoring
+    * is the dominant cost of both, and a cold registry pass ran it
+    * twice. Keyed by the embeddings plan + (k, blocks); the ordered
+    * tail stays OUTSIDE the memo so the persisted plan carries no
+    * global sort (see [[rankedNeighboursUnordered]]). */
+  private[operators] def knnJoinUnorderedShared(embeddings: DataFrame,
+                                                k: Int = 3,
+                                                blocks: Int = 8): DataFrame =
+    DedupQueries.memoSharedRelation("knnexact", embeddings, k, blocks) {
+      val pairs = scoredPairs(withNorms(embeddings), Seq.empty, blocks)
+      rankedNeighboursUnordered(pairs.select(explode(array(
+          struct(col("ida").as("vec_id"), col("idb").as("nb"), col("c")),
+          struct(col("idb").as("vec_id"), col("ida").as("nb"), col("c")))).as("m"))
+        .select(col("m.vec_id").as("vec_id"), col("m.c").as("c"),
+          col("m.nb").as("nb")), k)
+    }
 
   /** The LSH-bucketed kNN join — [[knnJoin]]'s scale path: candidates are
     * bucket-mates under sign-LSH signatures with hamming-1 multiprobe on
@@ -393,13 +414,35 @@ object AnnQueries {
   def knnJoinLsh(embeddings: DataFrame, k: Int = 3, planes: Int = 8,
                  signatures: (DataFrame, Int) => DataFrame = signSignatures,
                  probeFlips: Int = 1)
-  : DataFrame = {
+  : DataFrame =
+    knnJoinLshUnordered(embeddings, k, planes, signatures, probeFlips)
+      .orderedOutput(col("vec_id"), col("rk"))
+
+  private def knnJoinLshUnordered(embeddings: DataFrame, k: Int, planes: Int,
+                                  signatures: (DataFrame, Int) => DataFrame,
+                                  probeFlips: Int): DataFrame = {
     val e = withNorms(embeddings)
       .join(signatures(embeddings, planes), Seq("vec_id"))
-    probeRank(probeSide(e, planes, probeFlips),
+    probeRankUnordered(probeSide(e, planes, probeFlips),
       e.select(col("vec_id").as("idb"), col("v").as("vb"),
         col("norm").as("nb"), col("signature").as("bucket")), k)
   }
+
+  /** [[knnJoinLsh]] at the PORTABLE signature family without the
+    * ordered tail, through the registry shared-relation cache (r11):
+    * q93 and the q106 recall report consume the IDENTICAL approximate
+    * join at the derived (planes, flips = 2) configuration — a cold
+    * registry pass signed and bucket-joined the corpus twice. The
+    * memo key carries (k, planes, flips); the signature FAMILY is part
+    * of the kind string, so a default-family caller can never hit a
+    * portable entry. */
+  private[operators] def knnJoinLshPortableShared(embeddings: DataFrame,
+                                                  k: Int, planes: Int,
+                                                  probeFlips: Int): DataFrame =
+    DedupQueries.memoSharedRelation("knnlshport", embeddings,
+      k * 1000 + planes, probeFlips)(
+      knnJoinLshUnordered(embeddings, k, planes, signSignaturesPortable,
+        probeFlips))
 
   /** Multiprobe-explode a signed+normed relation into the probe side of
     * a bucket join: one row per (vector, hamming ≤ `flips` mask). */
@@ -415,7 +458,11 @@ object AnnQueries {
     * class) reaches every caller. */
   private def probeRank(probe: DataFrame, build: DataFrame, k: Int)
   : DataFrame =
-    rankedNeighbours(probe.join(build, Seq("bucket"))
+    probeRankUnordered(probe, build, k).orderedOutput(col("vec_id"), col("rk"))
+
+  private def probeRankUnordered(probe: DataFrame, build: DataFrame, k: Int)
+  : DataFrame =
+    rankedNeighboursUnordered(probe.join(build, Seq("bucket"))
       .filter(col("ida") =!= col("idb"))
       .select(col("ida").as("vec_id"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
@@ -721,10 +768,12 @@ object AnnQueries {
     * recall = n_hit / n_exact — one IEEE division of exact BIGINTs. */
   def knnRecall(embeddings: DataFrame, k: Int = 3, planes: Int = 8,
                 blocks: Int = 8, probeFlips: Int = 1): DataFrame = {
-    val exact = knnJoin(embeddings, k, blocks)
+    // both arms ride the registry shared-relation cache (r11): q92 and
+    // q93 consume the identical relations, so the recall report costs
+    // its own join + rollup, never a second all-pairs or LSH pass
+    val exact = knnJoinUnorderedShared(embeddings, k, blocks)
       .select(col("vec_id"), col("nb_id"))
-    val approx = knnJoinLsh(embeddings, k, planes, signSignaturesPortable,
-      probeFlips)
+    val approx = knnJoinLshPortableShared(embeddings, k, planes, probeFlips)
       .select(col("vec_id"), col("nb_id"), lit(1).as("hit"))
     // ONE pass over the (expensive) exact side: the left join marks hits
     // — approx rows are unique per (vec_id, nb_id), so no fan-out — and
@@ -971,8 +1020,10 @@ object AnnQueries {
     "q93_knn_join_lsh" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        knnJoinLsh(e, planes = planesFor(e.count()),
-          signatures = signSignaturesPortable, probeFlips = 2)
+        // shared with q106's approximate arm (r11) — identical derived
+        // configuration, one signing + bucket join per registry pass
+        knnJoinLshPortableShared(e, k = 3, planes = planesFor(e.count()),
+          probeFlips = 2).orderedOutput(col("vec_id"), col("rk"))
       },
       Some(knnLshDerivedOracleSql(k = 3))),
     // PROBE-ONLY kNN against a prebuilt index (the q80 incremental

@@ -459,6 +459,40 @@ object AssemblyQueries {
     (table.result().toDF("step", "l", "r", "merged", "cnt"), cur)
   }
 
+  // ── bpeTrain memo (r11): q89 (merge table) and q90 (encoded stream)
+  // each ran the FULL 8-round driver loop — 8 aggregate+argmax collects
+  // and 8 checkpointed rewrites, twice per registry pass. One slot
+  // suffices (one corpus per run); keyed like the shared-relation
+  // cache: session identity + canonicalized input plan + merge count,
+  // hits confirmed by sameResult. The cached pair holds the driver-
+  // local merge table and the final checkpointed relation — both
+  // exactly what a second bpeTrain call would rebuild. ──
+  private case class BpeEntry(
+    session: Int,
+    plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    merges: Int, result: (DataFrame, DataFrame))
+  private val bpeCache =
+    new java.util.concurrent.atomic.AtomicReference[Option[BpeEntry]](None)
+
+  /** [[bpeTrain]] through a single-slot memo — q89/q90 share one
+    * training run per (input, merges); results are the identical
+    * DataFrames a direct call returns. */
+  private def bpeTrainShared(documents: DataFrame, merges: Int)
+  : (DataFrame, DataFrame) = bpeCache.synchronized {
+    val plan = documents.queryExecution.analyzed
+    val sid = System.identityHashCode(documents.sparkSession)
+    bpeCache.get() match {
+      case Some(e) if e.session == sid && e.merges == merges &&
+        e.plan.sameResult(plan) &&
+        (e.result._2.sparkSession eq documents.sparkSession) =>
+        e.result
+      case _ =>
+        val built = bpeTrain(documents, merges)
+        bpeCache.set(Some(BpeEntry(sid, plan, merges, built)))
+        built
+    }
+  }
+
   /** Generates the unrolled DuckDB twin of [[bpeTrain]]: t0 → (p1 → m1 →
     * t1) → … — the q52 pattern. `select` picks the final projection over
     * the m/t chain. */
@@ -496,7 +530,7 @@ object AssemblyQueries {
     //    symbol, count at selection time); the whole iterative loop
     //    re-derived in DuckDB via unrolled CTEs ──
     "q89_bpe_merges" -> QueryDef(
-      (s, d) => bpeTrain(Tables.documents(s, d), merges = 8)._1
+      (s, d) => bpeTrainShared(Tables.documents(s, d), merges = 8)._1
         .orderedResult(col("step")),
       Some(bpeOracleSql(8,
         (1 to 8).map(i =>
@@ -506,7 +540,7 @@ object AssemblyQueries {
     // ── BPE encoding under the trained table: per-doc symbol count +
     //    md5 of the encoded stream ──
     "q90_bpe_encode" -> QueryDef(
-      (s, d) => bpeTrain(Tables.documents(s, d), merges = 8)._2
+      (s, d) => bpeTrainShared(Tables.documents(s, d), merges = 8)._2
         .select(col("doc_id"), size(split(col("s"), " ")).as("n_syms"),
           md5(col("s")).as("encoded_md5"))
         .orderedOutput(col("doc_id")),

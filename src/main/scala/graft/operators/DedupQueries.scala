@@ -1059,7 +1059,15 @@ object DedupQueries {
   // and deliberately NOT a reliable checkpoint, so releaseOneShots
   // can't delete a relation the cache still hands out). Bounded to a
   // few entries; clearSharedPairCache() frees them. ──
-  private val MaxSharedPairEntries = 8
+  // r11: raised 8 → 24 — the shared-relation program now covers the
+  // BM25 index (3 relations), the exact/LSH kNN joins, the tiered edge
+  // relation (base + per-threshold filtered views) and the r10 set
+  // (tfpair, xclust, lshchain, fdecon, embdecon); a full registry pass
+  // holds ~14 live entries, and an 8-entry LRU would evict relations
+  // (e.g. xclust) that later queries (q132) still reuse — eviction
+  // thrash, the opposite of the cache's point. Exposed for the spec so
+  // the eviction test fills to the REAL bound.
+  private[operators] val MaxSharedPairEntries = 24
   private final case class SharedEntry(
     plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
     df: DataFrame,
@@ -1200,6 +1208,57 @@ object DedupQueries {
                                            (build: => DataFrame): DataFrame =
     memoShared(kind, input, a, b)(build)
 
+  /** The base threshold of the TIERED shared edge relation
+    * ([[tokenPrefixEdgesAtLeast]]) — the lowest threshold any registry
+    * consumer asks for (q96/q99 at 0.4). */
+  private[graft] val EdgeBaseThreshold = 0.4
+
+  /** Tiered shared token-Jaccard edge relation (r11 — guide §2.4,
+    * remove shuffles/passes outright): every registry consumer's
+    * threshold (0.4 q96/q99; 0.5 q57/q81/q110) derives from ONE base
+    * build at [[EdgeBaseThreshold]] by an exact `jac >= t` filter. Why
+    * this is result-identical to a direct build at `t`: the prefix
+    * theorem at the LOWER base threshold admits a superset of the
+    * candidates a build at `t` admits, verification computes the SAME
+    * float `jac` expression over the same arrays either way, and the
+    * direct build's output is exactly {pairs | jac >= t} — so the
+    * filtered base relation is the same row set bit-for-bit
+    * (spec-pinned in SharedPairCacheSpec). One registry pass now runs
+    * ONE exact similarity join where the r10 cold pass ran three
+    * (t=0.4 shared, t=0.5 shared, and q110's private t=0.5 build).
+    * The filtered view rides the memo too, so same-threshold consumers
+    * share one persisted relation. Thresholds at or below the base
+    * fall back to the plain per-threshold entry. */
+  def tokenPrefixEdgesAtLeast(documents: DataFrame, threshold: Double,
+                              heavyListThreshold: Int = 4096): DataFrame =
+    if (threshold <= EdgeBaseThreshold)
+      tokenPrefixJoinShared(documents, threshold, heavyListThreshold)
+    else {
+      val base = tokenPrefixJoinShared(documents, EdgeBaseThreshold,
+        heavyListThreshold)
+      memoShared("edgesf", documents,
+        math.round(threshold * 1000000).toInt, heavyListThreshold)(
+        base.filter(col("jac") >= threshold))
+    }
+
+  /** Component assignment over [[tokenPrefixEdgesAtLeast]]'s edge set,
+    * memoized (r11): q57 and q81 consume the IDENTICAL (id, component)
+    * relation over the t = 0.5 edges, and star contraction (several
+    * aggregate+join+checkpoint rounds) was the dominant cost of each —
+    * one run now serves both. Result identical to calling
+    * [[ConnectedComponents.components]] directly (deterministic
+    * min-label assignment). */
+  def tokenEdgeComponentsShared(documents: DataFrame, threshold: Double,
+                                heavyListThreshold: Int = 4096): DataFrame = {
+    val edges = tokenPrefixEdgesAtLeast(documents, threshold,
+        heavyListThreshold)
+      .select(col("id1").as("u"), col("id2").as("v"))
+    memoShared("tokcc", documents,
+      math.round(threshold * 1000000).toInt, heavyListThreshold)(
+      ConnectedComponents.components(
+        documents.select(col("doc_id").as("id")), edges))
+  }
+
   /** Drop every cached shared pair/edge relation (frees executor
     * storage and the checkpoint directories the entries own, INCLUDING
     * dirs whose deletion earlier evictions deferred — see
@@ -1334,51 +1393,46 @@ object DedupQueries {
     // candidates, which verification rejects. The jac >= t overlap bound
     // is used in product form (ub·(1+t) >= t·(na+nb)): no ceil, no
     // division, one rounding per side.
-    def survives(na: Int, pa: Int, nb: Int, pb: Int): Boolean = {
-      val eps = 1e-9
-      val ub = 1.0 + math.min(na - pa, nb - pb)
-      math.min(na, nb) + eps >= math.max(na, nb) * threshold &&
-        ub * (1.0 + threshold) + eps >= threshold * (na + nb)
+    // Both filters as NATIVE column predicates (r11, guide §4.1 /
+    // "eliminate Scala closures in the hot path"): the r10 shape ran a
+    // Scala pair-generator UDF over collect_list buffers on the light
+    // path and a per-pair survives() UDF on the heavy path — every
+    // candidate occurrence paid Row decoding and boxed tuple
+    // allocation outside codegen. The arithmetic below is the SAME
+    // IEEE double chain the Scala closure evaluated (int min/max →
+    // double multiply/add in the same order), so the surviving
+    // candidate set is bit-identical; it now runs inside whole-stage
+    // codegen on both paths.
+    def survivesNative(n1: Column, p1: Column, n2: Column, p2: Column): Column = {
+      val eps = lit(1e-9)
+      val ub = lit(1.0) + least(n1 - p1, n2 - p2).cast("double")
+      (least(n1, n2).cast("double") + eps >=
+        greatest(n1, n2).cast("double") * lit(threshold)) &&
+        (ub * lit(1.0 + threshold) + eps >=
+          lit(threshold) * (n1 + n2).cast("double"))
     }
-    // LIGHT lists: candidate pairs per POSTING LIST (the Vernica et al.
-    // reducer): group the prefix index by (source, shingle) and emit
-    // filtered pairs group-locally. Task input bounded by
-    // heavyListThreshold.
-    val pairGen = udf((docs: Seq[org.apache.spark.sql.Row]) => {
-      val arr = docs.map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
-      val out = Seq.newBuilder[(Long, Long)]
-      var i = 0
-      while (i < arr.length) {
-        var j = i + 1
-        while (j < arr.length) {
-          val (a, na, pa) = arr(i)
-          val (b, nb, pb) = arr(j)
-          if (a != b && survives(na, pa, nb, pb))
-            out += (if (a < b) (a, b) else (b, a))
-          j += 1
-        }
-        i += 1
-      }
-      out.result()
-    }).asNondeterministic() // pure; collapse barrier
-    val lightCands = flagged.filter(col("__heavy").isNull)
-      .groupBy(col("source"), col("s"))
-      .agg(collect_list(struct(col("doc_id"), col("n"), col("rk"))).as("ds"))
-      .select(explode(pairGen(col("ds"))).as("p"))
-      .select(col("p._1").as("id1"), col("p._2").as("id2"))
+    def side(df: DataFrame, suffix: String): DataFrame =
+      df.select(col("source"), col("s"), col("doc_id").as(s"id$suffix"),
+        col("n").as(s"n$suffix"), col("rk").as(s"p$suffix"))
+    // LIGHT lists: candidate pairs per POSTING LIST via the plain
+    // self-equi-join on (source, element) — each key's quadratic
+    // emission still happens inside one task streaming over the
+    // joined group (input bounded by heavyListThreshold rows), but
+    // every pair flows through codegen instead of a Scala builder.
+    val light = flagged.filter(col("__heavy").isNull)
+    val lightCands = side(light, "1").join(side(light, "2"), Seq("source", "s"))
+      .filter(col("id1") < col("id2") &&
+        survivesNative(col("n1"), col("p1"), col("n2"), col("p2")))
+      .select(col("id1"), col("id2"))
     // HEAVY lists: scatter/replicate self-join — same pairs (id1 < id2
-    // keeps each unordered pair once; filters match pairGen), quadratic
-    // WORK spread over `salt` tasks instead of one
-    val survivesUdf = udf(survives _).asNondeterministic()
+    // keeps each unordered pair once; filters match the light path),
+    // quadratic WORK spread over `salt` tasks instead of one
     val heavy = flagged.filter(col("__heavy").isNotNull)
     val heavyCands = Salting.saltedJoin(
-      heavy.select(col("source"), col("s"), col("doc_id").as("id1"),
-        col("n").as("n1"), col("rk").as("p1")),
-      heavy.select(col("source"), col("s"), col("doc_id").as("id2"),
-        col("n").as("n2"), col("rk").as("p2")),
+      side(heavy, "1"), side(heavy, "2"),
       Seq("source", "s"), scatterCols = Seq(col("id1")), salt = salt)
       .filter(col("id1") < col("id2") &&
-        survivesUdf(col("n1"), col("p1"), col("n2"), col("p2")))
+        survivesNative(col("n1"), col("p1"), col("n2"), col("p2")))
       .select(col("id1"), col("id2"))
     val candidates = lightCands.unionByName(heavyCands).distinct()
     candidates

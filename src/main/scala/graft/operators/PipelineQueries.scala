@@ -223,11 +223,25 @@ object PipelineQueries {
     * skew beyond what the similarity threshold already bounds. */
   def pageRank(documents: org.apache.spark.sql.DataFrame, iterations: Int = 5,
                threshold: Double = 0.4): org.apache.spark.sql.DataFrame = {
-    // shared edge relation: q99 consumes the identical t=0.4 edge set
-    val pairs = DedupQueries.tokenPrefixJoinShared(documents, threshold)
-      .select(col("id1"), col("id2"))
-    pageRankOn(documents.select(col("doc_id")), pairs, iterations)
+    pageRankShared(documents, iterations, threshold)
       .orderedOutput(col("doc_id"))
+  }
+
+  /** The q96/q99 PageRank relation through the shared-relation cache
+    * (r11): both entries ran the full 5-iteration loop (each round a
+    * join + keyed sum + checkpoint) over the identical t = 0.4 edge
+    * set; one run serves both. UNORDERED (q99 joins over it; q96
+    * applies the ordered tail). The edge set itself is the TIERED base
+    * the 0.5 consumers (q57/q81/q110) filter from — one exact
+    * similarity join per registry pass. */
+  private def pageRankShared(documents: org.apache.spark.sql.DataFrame,
+                             iterations: Int, threshold: Double)
+  : org.apache.spark.sql.DataFrame = {
+    val pairs = DedupQueries.tokenPrefixEdgesAtLeast(documents, threshold)
+      .select(col("id1"), col("id2"))
+    DedupQueries.memoSharedRelation("prank", documents,
+      math.round(threshold * 1000000).toInt, iterations)(
+      pageRankOn(documents.select(col("doc_id")), pairs, iterations))
   }
 
   /** [[pageRank]]'s iteration over a caller-supplied undirected pair set
@@ -309,13 +323,14 @@ object PipelineQueries {
     // the shared (persisted) edge relation replaces the former
     // per-query checkpoint: q96 derives the identical t=0.4 edges, and
     // persist gives the same one-materialization property the cycle did
-    val pairs = DedupQueries.tokenPrefixJoinShared(documents, threshold)
+    val pairs = DedupQueries.tokenPrefixEdgesAtLeast(documents, threshold)
       .select(col("id1"), col("id2"))
     val nodes = documents.select(col("doc_id"))
     val comps = ConnectedComponents.components(
       nodes.select(col("doc_id").as("id")),
       pairs.select(col("id1").as("u"), col("id2").as("v")))
-    val pr = pageRankOn(nodes, pairs, iterations)
+    // shared with q96 (r11): identical iteration over identical edges
+    val pr = pageRankShared(documents, iterations, threshold)
     comps.join(pr, comps("id") === pr("doc_id"))
       .groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"),
@@ -647,9 +662,15 @@ object PipelineQueries {
     * CTE. */
   def triangleCensus(documents: org.apache.spark.sql.DataFrame,
                      threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
-    val pairs = Checkpoints.truncate(
-      DedupQueries.tokenPrefixJoin(documents, threshold, sorted = false)
-        .select(col("id1"), col("id2")))
+    // r11: the edge set rides the TIERED shared relation — identical
+    // rows to the former private t=0.5 build (filtered from the q96/q99
+    // base, SharedPairCacheSpec pins equality), and the memo's persist
+    // replaces the former per-query checkpoint for the four consumers
+    // (degree count, both spoke sides, closing join). A cold registry
+    // pass previously built this edge set from scratch HERE and then
+    // again for q57/q81 — one build now serves all five consumers.
+    val pairs = DedupQueries.tokenPrefixEdgesAtLeast(documents, threshold)
+      .select(col("id1"), col("id2"))
     val deg = pairs.select(col("id1").as("id"))
       .unionByName(pairs.select(col("id2").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -732,8 +753,14 @@ object PipelineQueries {
           documents.select(col("doc_id"), lit("all").as("source"), col("text")),
           threshold, heavyListThreshold, sorted = false))
       .select(col("id1").as("u"), col("id2").as("v"))
-    ConnectedComponents.components(
-      documents.select(col("doc_id").as("id")), edges)
+    // r11: the COMPONENT assignment rides the memo too — q125 and q132
+    // each ran the full star-contraction loop (every round = two keyed
+    // aggregations + joins + a checkpoint + a checksum action) over the
+    // identical edge set; one run now serves both.
+    DedupQueries.memoSharedRelation("xclustcc",
+      documents, math.round(threshold * 1000000).toInt, heavyListThreshold)(
+      ConnectedComponents.components(
+        documents.select(col("doc_id").as("id")), edges))
   }
 
   /** The shared per-cluster rollup of q125/q128: size, source span and
@@ -830,8 +857,13 @@ object PipelineQueries {
       documents, math.round(threshold * 1000000).toInt,
       bands * 10000 + rowsPerBand * 100 + chainHops)(
       lshChainEdges(documents, threshold, bands, rowsPerBand, chainHops))
-    ConnectedComponents.components(
-      documents.select(col("doc_id").as("id")), verified)
+    // r11: component assignment memoized like the edges — q128/q132
+    // shared the edge set but each re-ran star contraction over it
+    DedupQueries.memoSharedRelation("lshchaincc",
+      documents, math.round(threshold * 1000000).toInt,
+      bands * 10000 + rowsPerBand * 100 + chainHops)(
+      ConnectedComponents.components(
+        documents.select(col("doc_id").as("id")), verified))
   }
 
   /** CHAIN candidates within each LSH bucket — consecutive members by
@@ -1342,12 +1374,11 @@ object PipelineQueries {
     "q57_dup_components" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // shared unsorted edge relation (an intermediate — never the
-        // single-task sorted tail); q81 consumes the identical edges
-        val edges = DedupQueries.tokenPrefixJoinShared(docs, threshold = 0.5)
-          .select(col("id1").as("u"), col("id2").as("v"))
-        val comps = ConnectedComponents.components(
-          docs.select(col("doc_id").as("id")), edges)
+        // shared unsorted edge relation AND component assignment (r11):
+        // q81/q110 consume the identical edges (tiered from the q96/q99
+        // base build), and q81 consumes this exact components relation
+        val comps = DedupQueries.tokenEdgeComponentsShared(docs,
+          threshold = 0.5)
         val sizes = comps.groupBy(col("component"))
           .agg(count(lit(1)).as("cluster_size"))
         comps.join(sizes, Seq("component"))

@@ -18,34 +18,33 @@ import org.apache.spark.sql.functions._
   * and reduces k by the mass below. After the shift-0 round the bucket
   * IS the value. Seven aggregate passes cover the full 64-bit domain —
   * each embarrassingly parallel with map-side partial aggregation; no
-  * data shuffle, no per-group funnel, driver state is groups × 1. */
+  * data shuffle, no per-group funnel, driver state is groups × 1.
+  *
+  * r11 (guide §1.2 — fewer passes): callers that need SEVERAL ranks over
+  * the same data (q121's two terciles, q97's two quartiles) previously
+  * ran the whole refinement once per rank — 2 × (init + ~5 rounds) driver
+  * round-trips. [[kthSmallestRanks]] now refines ALL ranks jointly: one
+  * init pass, and per round ONE aggregate job that carries the rank
+  * index through the histogram key. Round 1's histogram is computed once
+  * WITHOUT the rank axis (every rank starts from the same empty prefix)
+  * and served to all ranks; later rounds join the per-(rank, group)
+  * prefix table (broadcast, dimension-sized) so each rank's rows are
+  * counted under its own prefix. The per-rank pick logic is unchanged,
+  * so results are identical to the sequential loop. */
 object Selection {
 
   /** The k-th smallest (1-based, k = kOfN(group count)) of `valueCol`
     * per `groupCol`. Returns (groupCol: string, valueCol: long) — one
     * row per group. */
   def kthSmallest(data: DataFrame, groupCol: String, valueCol: String,
-                  kOfN: Long => Long, shiftStep: Int = 10): DataFrame = {
-    // persist: every refinement round re-scans this 2-column projection
-    // (up to 7 map-side aggregate passes); at memory pressure the blocks
-    // spill instead of re-reading + re-projecting the source
-    val base = data.select(col(groupCol).cast("string").as("g"),
-      col(valueCol).cast("long").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      kthSmallestOn(base, groupCol, valueCol, kOfN, shiftStep)
-    } finally {
-      base.unpersist()
-    }
-  }
+                  kOfN: Long => Long, shiftStep: Int = 10): DataFrame =
+    kthSmallestRanks(data, groupCol, valueCol, Seq(kOfN), shiftStep).head
 
-  /** Several order statistics per group over ONE persisted projection:
-    * each function in `kOfNs` yields one (group, value) frame, all
-    * sharing the same cached 2-column base — the refinement passes
-    * re-scan memory, not the source. (q121 needs two tercile ranks;
-    * calling [[kthSmallest]] twice re-projects and re-persists the
-    * stacked relation for each.) Results are materialized before the
-    * base unpersists — each returned frame is a driver-literal. */
+  /** Several order statistics per group over ONE persisted projection
+    * and ONE jointly-refined histogram pass per round: each function in
+    * `kOfNs` yields one (group, value) frame. Results are materialized
+    * before the base unpersists — each returned frame is a
+    * driver-literal. */
   def kthSmallestRanks(data: DataFrame, groupCol: String, valueCol: String,
                        kOfNs: Seq[Long => Long],
                        shiftStep: Int = 10): Seq[DataFrame] = {
@@ -53,14 +52,15 @@ object Selection {
       col(valueCol).cast("long").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      kOfNs.map(k => kthSmallestOn(base, groupCol, valueCol, k, shiftStep))
+      kthSmallestJoint(base, groupCol, valueCol, kOfNs, shiftStep)
     } finally {
       base.unpersist()
     }
   }
 
-  private def kthSmallestOn(base: DataFrame, groupCol: String, valueCol: String,
-                            kOfN: Long => Long, shiftStep: Int): DataFrame = {
+  private def kthSmallestJoint(base: DataFrame, groupCol: String,
+                               valueCol: String, kOfNs: Seq[Long => Long],
+                               shiftStep: Int): Seq[DataFrame] = {
     val spark = base.sparkSession
     import spark.implicits._
     val init = base.groupBy(col("g"))
@@ -68,23 +68,29 @@ object Selection {
       .collect()
     // empty input: no groups, empty result — not an opaque empty.min crash
     if (init.isEmpty)
-      return Seq.empty[(String, Long)].toDF(groupCol, valueCol)
+      return kOfNs.map(_ => Seq.empty[(String, Long)].toDF(groupCol, valueCol))
     // misuse must fail HERE with a named group, not several distributed
     // passes later as an opaque 'selection invariant broken' (ADVICE r6);
     // a null group key would also NPE at getString below
+    val ranks = kOfNs.indices
     init.foreach { r =>
       require(!r.isNullAt(0),
         s"kthSmallest: null $groupCol group — filter or coalesce it first")
       val (g, n) = (r.getString(0), r.getLong(1))
-      val kk = kOfN(n)
-      require(kk >= 1 && kk <= n,
-        s"kthSmallest: kOfN($n) = $kk out of [1, $n] for group '$g'")
+      kOfNs.foreach { kOfN =>
+        val kk = kOfN(n)
+        require(kk >= 1 && kk <= n,
+          s"kthSmallest: kOfN($n) = $kk out of [1, $n] for group '$g'")
+      }
     }
-    var k: Map[String, Long] = init
-      .map(r => r.getString(0) -> kOfN(r.getLong(1))).toMap
+    // per-rank driver state: remaining k, fixed prefix, resolved value
+    val k = ranks.map(ri => scala.collection.mutable.Map(
+      init.map(r => r.getString(0) -> kOfNs(ri)(r.getLong(1))): _*)).toArray
+    val prefix = ranks.map(_ =>
+      scala.collection.mutable.Map.empty[String, Long]).toArray
+    val result = ranks.map(_ =>
+      scala.collection.mutable.Map.empty[String, Long]).toArray
     val (gmin, gmax) = (init.map(_.getLong(2)).min, init.map(_.getLong(3)).max)
-    // prefix(g) = the value's high bits fixed so far, at `prevShift`
-    var prefix: Map[String, Long] = Map.empty
     var prevShift = 64
     var shift = 64 - shiftStep
     // skip rounds whose shift can't split the data: when min and max
@@ -93,42 +99,60 @@ object Selection {
     // money-like domains this removes ~3 of the 7 passes
     while (shift > 0 && (gmin >> shift) == (gmax >> shift))
       shift -= shiftStep
-    var result: Map[String, Long] = Map.empty
-    while (result.size < k.size) {
+    def done: Boolean = ranks.forall(ri => result(ri).size == k(ri).size)
+    while (!done) {
       val cur = math.max(shift, 0)
-      val hist =
-        (if (prevShift >= 64) base
-         else {
-           val pre = prefix.toSeq.toDF("g", "p")
-           base.join(broadcast(pre), Seq("g"))
-             .filter(shiftright(col("v"), prevShift) === col("p"))
-         })
-          .groupBy(col("g"), shiftright(col("v"), cur).as("b"))
-          .agg(count(lit(1)).as("cnt"))
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-          .groupBy(_._1)
-      val chosen = k.keys.filterNot(result.contains).map { g =>
-        val byBucket = hist(g).map(t => t._2 -> t._3).sortBy(_._1)
-        var rem = k(g)
-        var pick = Option.empty[Long]
-        val it = byBucket.iterator
-        while (pick.isEmpty && it.hasNext) {
-          val (b, c) = it.next()
-          if (rem <= c) pick = Some(b) else rem -= c
+      // hist(ri)(g) = (bucket, count) rows for rank ri's prefix of g.
+      // Round 1 (no prefixes anywhere): one rank-free histogram serves
+      // every rank; later rounds key the ONE aggregate by the rank
+      // index riding the broadcast prefix table.
+      val hist: Int => Map[String, Array[(Long, Long)]] =
+        if (prevShift >= 64) {
+          val h = base
+            .groupBy(col("g"), shiftright(col("v"), cur).as("b"))
+            .agg(count(lit(1)).as("cnt"))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+            .groupBy(_._1)
+            .map { case (g, ts) => g -> ts.map(t => (t._2, t._3)).toArray }
+          _ => h
+        } else {
+          val pre = ranks.flatMap(ri =>
+            prefix(ri).toSeq.filterNot { case (g, _) => result(ri).contains(g) }
+              .map { case (g, p) => (ri, g, p) })
+            .toDF("ri", "g", "p")
+          val rows = base.join(broadcast(pre), Seq("g"))
+            .filter(shiftright(col("v"), prevShift) === col("p"))
+            .groupBy(col("ri"), col("g"), shiftright(col("v"), cur).as("b"))
+            .agg(count(lit(1)).as("cnt"))
+            .collect()
+            .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+            .groupBy(_._1)
+            .map { case (ri, ts) => ri -> ts.groupBy(_._2)
+              .map { case (g, us) => g -> us.map(u => (u._3, u._4)).toArray } }
+          ri => rows.getOrElse(ri, Map.empty)
         }
-        (g, pick.getOrElse(
-          throw new IllegalStateException(s"selection invariant broken: $g")), rem)
-      }
-      if (cur == 0) result = chosen.map(t => t._1 -> t._2).toMap
-      else {
-        prefix = chosen.map(t => t._1 -> t._2).toMap
-        k = chosen.map(t => t._1 -> t._3).toMap
+      ranks.foreach { ri =>
+        val h = hist(ri)
+        k(ri).keys.filterNot(result(ri).contains).foreach { g =>
+          val byBucket = h(g).sortBy(_._1)
+          var rem = k(ri)(g)
+          var pick = Option.empty[Long]
+          val it = byBucket.iterator
+          while (pick.isEmpty && it.hasNext) {
+            val (b, c) = it.next()
+            if (rem <= c) pick = Some(b) else rem -= c
+          }
+          val chosen = pick.getOrElse(
+            throw new IllegalStateException(s"selection invariant broken: $g"))
+          if (cur == 0) result(ri)(g) = chosen
+          else { prefix(ri)(g) = chosen; k(ri)(g) = rem }
+        }
       }
       prevShift = cur
       shift = cur - shiftStep
     }
-    result.toSeq.toDF(groupCol, valueCol)
+    ranks.map(ri => result(ri).toSeq.toDF(groupCol, valueCol))
   }
 
   /** Exact lower median per group: k = (n + 1) / 2. */

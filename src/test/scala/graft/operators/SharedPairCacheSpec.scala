@@ -67,12 +67,40 @@ class SharedPairCacheSpec extends SparkSpec {
     } finally DedupQueries.clearSharedPairCache()
   }
 
+  test("tiered edge relation: filtered base == direct build, memoized") {
+    DedupQueries.clearSharedPairCache()
+    try {
+      val docs = corpus(4)
+      val tiered = DedupQueries.tokenPrefixEdgesAtLeast(docs, threshold = 0.5)
+      val direct = DedupQueries.tokenPrefixJoin(docs, threshold = 0.5,
+        sorted = false)
+      assert(collectPairs(tiered).nonEmpty, "fixture must produce edges")
+      assert(collectPairs(tiered) === collectPairs(direct))
+      // the jac values themselves must match the direct build (the
+      // filter compares the same float expression)
+      def jacs(df: org.apache.spark.sql.DataFrame) =
+        df.select("id1", "id2", "jac").collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+      assert(jacs(tiered) === jacs(direct))
+      // memo hit: same threshold returns the same relation instance
+      assert(DedupQueries.tokenPrefixEdgesAtLeast(docs, threshold = 0.5)
+        eq tiered)
+      // the base entry is shared: asking for the base threshold hits
+      // the relation the tiered build derived from
+      val base = DedupQueries.tokenPrefixEdgesAtLeast(docs, threshold = 0.4)
+      assert(base eq DedupQueries.tokenPrefixJoinShared(docs, threshold = 0.4))
+    } finally DedupQueries.clearSharedPairCache()
+  }
+
   test("eviction retires only the least-recently-used entry") {
     DedupQueries.clearSharedPairCache()
     try {
       val docs = corpus(5)
-      // fill the cache to its bound (8 entries) with distinct knob keys
-      val ts = (1 to 8).map(i => 0.30 + i * 0.05)
+      // fill the cache to its bound with distinct knob keys (thresholds
+      // spread inside (0.3, 0.8) so every entry is a distinct ppm key)
+      val cap = DedupQueries.MaxSharedPairEntries
+      val ts = (1 to cap).map(i => 0.30 + i * 0.5 / (cap + 1))
       val entries = ts.map(t =>
         t -> DedupQueries.tokenPrefixJoinShared(docs, threshold = t)).toMap
       // touch the FIRST entry: access order moves it to the tail, so the
