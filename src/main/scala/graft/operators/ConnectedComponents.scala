@@ -30,13 +30,25 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** max→min orientation with self-loops dropped and duplicates merged —
-    * the canonical edge form both star operations preserve. */
+  /** max→min orientation with self-loops dropped — the canonical edge
+    * form both star operations preserve. Duplicate rows are NOT merged
+    * here (r11): every registry edge relation is a verified unique pair
+    * set (distinct candidates → per-pair verification), so the former
+    * round-0 `.distinct()` was one full shuffle of the LARGEST relation
+    * the operator ever touches (the q125 corpus-wide edge set is 2.9 M
+    * rows at sf0.1) for nothing. Correctness does not depend on it:
+    * both star operations are set-semantic — min-aggregates are
+    * duplicate-insensitive and each ends in its own `.distinct()` — so
+    * a caller that does pass duplicate edges converges to the identical
+    * forest, paying only extra round-1 rows (PipelineQueriesSpec's
+    * random-graph trials cover duplicated input edges). The fixpoint
+    * test is also safe: the round-0 checksum counts physical rows, so a
+    * dup-carrying input can never collide with its deduplicated
+    * round-1 successor. */
   private def orient(e: DataFrame): DataFrame =
     e.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct()
 
   /** Large-star: for every node u, connect each LARGER neighbor v to
     * m = min(Γ(u) ∪ {u}). Runs on the symmetrized adjacency; output stays
