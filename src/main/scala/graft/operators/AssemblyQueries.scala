@@ -474,6 +474,14 @@ object AssemblyQueries {
   private val bpeCache =
     new java.util.concurrent.atomic.AtomicReference[Option[BpeEntry]](None)
 
+  /** Drop the bpe memo slot. Wired into
+    * [[DedupQueries.clearSharedPairCache]] so the documented snapshot-
+    * boundary escape hatch (in-session corpus rewrites stale the
+    * plan-keyed hit) covers q89/q90 too (ADVICE r11); the slot's
+    * DataFrames are plain lineage (no persist), so dropping the
+    * reference is the whole release. */
+  private[operators] def clearBpeShared(): Unit = bpeCache.set(None)
+
   /** [[bpeTrain]] through a single-slot memo — q89/q90 share one
     * training run per (input, merges); results are the identical
     * DataFrames a direct call returns. */

@@ -44,7 +44,15 @@ object ConnectedComponents {
     * random-graph trials cover duplicated input edges). The fixpoint
     * test is also safe: the round-0 checksum counts physical rows, so a
     * dup-carrying input can never collide with its deduplicated
-    * round-1 successor. */
+    * round-1 successor. Note for SYMMETRIZED inputs ((a,b) and (b,a)
+    * both present — a common external edge representation, ADVICE r11):
+    * orient maps both to the same row, and identical rows cancel
+    * pairwise under the checksum's xor — the "edge set is distinct so
+    * xor never cancels" hardening below does not apply to round 0 of
+    * such an input. The COUNT component still separates round 0 (2k
+    * physical rows) from its deduplicated successor (k rows), so the
+    * fixpoint compare cannot fire early; only the xor's extra collision
+    * hardening is weakened, and only for that one round. */
   private def orient(e: DataFrame): DataFrame =
     e.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),

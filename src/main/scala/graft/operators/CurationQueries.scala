@@ -279,9 +279,16 @@ object CurationQueries {
     * contraction, see [[ConnectedComponents]]); the split itself is one
     * integer expression per row. */
   def leakageSafeSplit(docs: DataFrame, edges: DataFrame,
-                       testPerMille: Int = 100): DataFrame =
+                       testPerMille: Int = 100): DataFrame = {
+    // validate the knob BEFORE constructing the components relation:
+    // ConnectedComponents.components is EAGER (checkpoints + checksum
+    // actions inside star contraction), so an invalid knob would burn
+    // the full contraction before failing (ADVICE r11). The duplicate
+    // require in leakageSafeSplitOn stays for its other callers.
+    require(testPerMille >= 0 && testPerMille <= 1000)
     leakageSafeSplitOn(ConnectedComponents.components(
       docs.select(col("doc_id").as("id")), edges), testPerMille)
+  }
 
   /** [[leakageSafeSplit]] over a PRECOMPUTED component assignment —
     * the registry q81 passes the shared q57 components relation (r11)
@@ -531,14 +538,14 @@ object CurationQueries {
   def collocations(documents: DataFrame, minCount: Long = 10L,
                    k: Int = 20): DataFrame = {
     val tk = split(col("text"), " ")
-    val toks = documents.select(explode(tk).as("t"))
-    // shared GUARDED bigram builder (single-token docs contribute no
-    // bigrams on either engine — r7f review)
-    val bi = PipelineQueries.adjacentBigrams(documents)
-      .select(col("t1").as("w1"), col("t2").as("w2"))
-    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    // r12: unigram and bigram counts read the registry-shared
+    // aggregates (q72's LM tables are the identical relations — guide
+    // §1.2); the shared builder keeps the r7f single-token guard
+    val uni = PipelineQueries.unigramCountsShared(documents)
+      .select(col("t"), col("c").as("cu"))
     val totals = uni.agg(sum(col("cu")).cast("long").as("n_tok"))
-    val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val biCounts = PipelineQueries.bigramCountsShared(documents)
+      .select(col("t1").as("w1"), col("t2").as("w2"), col("c").as("c_xy"))
       .filter(col("c_xy") >= minCount)
     // n_bi = Σ max(size-1, 0) — one scalar scan of documents, not a
     // second tokenize+explode pass over the corpus (r7f review)

@@ -576,6 +576,25 @@ object DedupQueries {
                                              rowsPerBand: Int = 4): DataFrame =
     withTokenBands(docs, bands, rowsPerBand, Seq("doc_id"))
 
+  /** Registry-shared WHOLE-CORPUS banded-token relation (r12, guide
+    * §1.2 — don't compute things twice): (doc_id, source, band,
+    * s0..s3) over every document, through the shared-relation memo.
+    * Per-doc signatures are independent of every other row, so
+    * FILTERING this relation by a source predicate is bit-identical to
+    * banding the filtered slice — which is how one persisted banding
+    * pass (the corpus-scale TokenHashArray + 32-permutation sweep)
+    * serves consumers that previously each re-signed their own slice:
+    * the q128/q132 chain rung (all rows), the q133/q134/q136 decon
+    * rung (train + eval slices), and q137's old/new snapshot slices.
+    * Size: docs × `bands` rows of 7 scalar columns — far smaller than
+    * the corpus text it replaces re-scanning. */
+  private[operators] def minhashBandedTokensShared(documents: DataFrame,
+                                                   bands: Int,
+                                                   rowsPerBand: Int): DataFrame =
+    memoShared("mhband", documents, bands, rowsPerBand)(
+      withTokenBands(documents.select(col("doc_id"), col("source"),
+        col("text")), bands, rowsPerBand, Seq("doc_id", "source")))
+
   /** THE per-row token-minhash banding — the single definition of the
     * hash chain (compiled [[graft.functions.TokenHashArray]] → 32
     * affine permutations → per-band min) and the band-slot layout,
@@ -1062,11 +1081,25 @@ object DedupQueries {
   // r11: raised 8 → 24 — the shared-relation program now covers the
   // BM25 index (3 relations), the exact/LSH kNN joins, the tiered edge
   // relation (base + per-threshold filtered views) and the r10 set
-  // (tfpair, xclust, lshchain, fdecon, embdecon); a full registry pass
-  // holds ~14 live entries, and an 8-entry LRU would evict relations
-  // (e.g. xclust) that later queries (q132) still reuse — eviction
-  // thrash, the opposite of the cache's point. Exposed for the spec so
-  // the eviction test fills to the REAL bound.
+  // (tfpair, xclust, lshchain, fdecon, embdecon); r12 adds mhband (the
+  // corpus banding pass), bigcnt/unicnt (the n-gram count tables) —
+  // a full registry pass holds ~17 live entries, and an 8-entry LRU
+  // would evict relations (e.g. xclust) that later queries (q132)
+  // still reuse — eviction thrash, the opposite of the cache's point.
+  // Exposed for the spec so the eviction test fills to the REAL bound.
+  //
+  // AGGREGATE FOOTPRINT (ADVICE r11): the live set pins, for one
+  // registry pass, relations that are each SUBLINEAR in the corpus —
+  // pair/edge/component/count tables (pair-density- or vocabulary-
+  // sized) and the banding pass (docs × 8 rows of 7 scalars) — at
+  // MEMORY_AND_DISK, so memory pressure demotes blocks to executor
+  // disk rather than evicting work (lineage stays valid either way:
+  // a lost block recomputes). The trade vs the per-query one-shot
+  // checkpoints this replaced is bounded checkpoint STORAGE for
+  // registry-lifetime RESIDENCY; deployments where that residency is
+  // wrong (corpus rotation, memory-tight executors) bound it at the
+  // snapshot boundary with [[clearSharedPairCache]], and the bench's
+  // SPARK_GRAFT_ISOLATE=1 mode measures every query at zero residency.
   private[operators] val MaxSharedPairEntries = 24
   private final case class SharedEntry(
     plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -1268,6 +1301,10 @@ object DedupQueries {
     * returned shared relation remains in flight. */
   def clearSharedPairCache(): Unit = sharedCache.synchronized {
     dropAllShared()
+    // the bpe training memo lives outside this cache but shares its
+    // lifecycle contract (ADVICE r11): the snapshot boundary must
+    // cover every plan-keyed memo
+    AssemblyQueries.clearBpeShared()
   }
 
   /** Shared TF-pair statistics of q112/q117/q124: unordered

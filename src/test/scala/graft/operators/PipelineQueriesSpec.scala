@@ -666,6 +666,31 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got.map(_.getLong(3)).sum < got.map(_.getLong(2)).sum)
   }
 
+  test("r12 shared banding pass: source slices equal per-slice direct banding") {
+    // the r12 rewiring of q133/q137/q128 reads SLICES of one shared
+    // corpus banding relation; per-doc signatures are row-independent,
+    // so each slice must be bit-identical to banding that slice
+    // directly (the pre-r12 shape)
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val shared = DedupQueries.minhashBandedTokensShared(docs,
+      PipelineQueries.LshBands, PipelineQueries.LshRows)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[List[Any]] =
+      df.collect().map(_.toSeq.toList).toSeq.sortBy(_.mkString("|"))
+    for ((name, pred) <- Seq[(String, org.apache.spark.sql.Column)](
+        ("train", col("source") =!= "src0"),
+        ("eval", col("source") === "src0"),
+        ("old", length(col("source")) <= 4 && col("source") =!= "src0"),
+        ("new", length(col("source")) > 4))) {
+      val direct = DedupQueries.minhashBandedTokens(
+        docs.filter(pred).select(col("doc_id"), col("text")),
+        PipelineQueries.LshBands, PipelineQueries.LshRows)
+      assert(canon(shared.filter(pred).drop("source")) === canon(direct),
+        s"slice '$name' diverges from direct banding")
+    }
+    DedupQueries.clearSharedPairCache()
+  }
+
   test("q137 cross-corpus scrub: brute-subset exactness; salted path result-identical") {
     val d = "/root/testdata/sf0.001"
     val toks = graft.sources.Tables.documents(spark, d)
