@@ -79,6 +79,51 @@ object AnalysisBench {
     time("general delay curves") {
       graft.analyse.DelayAnalysis.generalDelayCurves(projected).count()
     }
+    // attribution probes (r12): split the dominant stage — how much is
+    // the vehicle self-join, how much the collect_list shuffle, how
+    // much the group-local curve build (the UDF)
+    val pairBase = graft.analyse.DelayAnalysis.stopPairRowsBase(projected)
+    time("stop-pair rows (self-join only)") { pairBase.count() }
+    time("stop-pair collect_list (join + agg, no curve build)") {
+      pairBase
+        .groupBy(col("route_id"), col("route_variant"),
+          col("start_idx"), col("end_idx"), col("event_type"))
+        .agg(collect_list(struct(col("time_slot_id"),
+          col("start_delay"), col("end_delay"))).as("ps"))
+        .select(sum(size(col("ps"))))
+        .count()
+    }
+    // pure-Scala probe: one median-sized group's rows, rebuilt many
+    // times driver-side — separates CurveBuilder cost from Spark-side
+    // Row decoding / GC
+    val oneGroup = pairBase
+      .groupBy(col("route_id"), col("route_variant"),
+        col("start_idx"), col("end_idx"), col("event_type"))
+      .agg(collect_list(struct(col("time_slot_id"),
+        col("start_delay"), col("end_delay"))).as("ps"))
+      .select(col("ps")).limit(1).collect()(0)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+      .map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2))).toSeq
+    println(s"[analysis-bench] sample group size: ${oneGroup.size}")
+    time("driver: buildPairCurveSets x 2000") {
+      var i = 0
+      while (i < 2000) {
+        graft.analyse.DelayAnalysis.buildPairCurveSets(oneGroup); i += 1
+      }
+    }
+    // NOTE (r12): this probe is deliberately fed a LIST-typed Seq (the
+    // .toSeq above builds one) — it found and now guards the curve
+    // builder's collection-genericity: the pre-r12 makeCurve indexed
+    // `sorted(i)`/`weights(i)` on the caller's Seq type, O(i) per
+    // access on a List (measured 65.8 s for 2000 builds of this
+    // 1738-row group; 1.1 s after the primitive-array rewrite).
+    val onePairs = oneGroup.map(r => (r._2, r._3))
+    time("driver: stopPairCurveSet(full group) x 2000") {
+      var i = 0
+      while (i < 2000) {
+        graft.curves.CurveBuilder.stopPairCurveSet(onePairs); i += 1
+      }
+    }
     time("stop-pair curve sets") {
       graft.analyse.DelayAnalysis.stopPairCurveSets(projected).count()
     }

@@ -178,7 +178,7 @@ object DelayAnalysis {
     * row per (vehicle, start, end, event) with its matched slot —
     * [[stopPairCurveSets]] shuffles THIS and splits slots group-locally,
     * halving shuffle volume vs exploding first. */
-  private def stopPairRowsBase(projected: DataFrame): DataFrame = {
+  private[graft] def stopPairRowsBase(projected: DataFrame): DataFrame = {
     val vehicleKey = Seq("route_id", "route_variant", "trip_id",
       "trip_start_date", "trip_start_time")
     val start = projected

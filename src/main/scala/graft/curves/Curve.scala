@@ -125,16 +125,35 @@ object Curve {
     * emits no point; first y forced to 0, last to 1. */
   def makeCurve(values: Seq[Float], focus: Option[Float]): Option[(Curve, Float)] = {
     if (values.isEmpty) return None
-    val sorted = values.sorted
-    val minD = sorted.head
-    val maxD = sorted.last
-    val weights = sorted.map(v => weight(v, focus, minD, maxD))
-    val sumW = weights.sum
+    // r12 (guide §1.2 step 2, per-task work): primitive arrays + while
+    // loops. The previous shape indexed `sorted(i)`/`weights(i)` on
+    // whatever Seq the caller passed — O(i) PER ACCESS on a List (an
+    // O(n²) trap for list-typed callers) and boxed Float everywhere.
+    // Arithmetic is UNCHANGED in value and order: Arrays.sort(float[])
+    // realizes the same total order as Ordering.Float.TotalOrdering
+    // (-0.0 < 0.0, NaN greatest — and no caller produces either), the
+    // weight sum accumulates left-to-right over the sorted order
+    // exactly as `weights.sum` did, and the emission loop is verbatim.
+    val sorted = new Array[Float](values.length)
+    var i = 0
+    values.foreach { v => sorted(i) = v; i += 1 }
+    java.util.Arrays.sort(sorted)
+    val minD = sorted(0)
+    val maxD = sorted(sorted.length - 1)
+    val weights = new Array[Float](sorted.length)
+    var sumW = 0.0f
+    i = 0
+    while (i < sorted.length) {
+      val w = weight(sorted(i), focus, minD, maxD)
+      weights(i) = w
+      sumW += w
+      i += 1
+    }
     val buf = Vector.newBuilder[(Float, Float)]
     var lastX = 0.0f
     var cum = 0.0f
     var n = 0
-    var i = 0
+    i = 0
     while (i < sorted.length) {
       cum += weights(i)
       if (sorted(i) != lastX) {

@@ -45,9 +45,49 @@ object CurveBuilder {
     // (`specific_curves.rs:372`), so its tie output is input-order-
     // dependent too; the full key costs nothing and makes ours
     // reproducible across partitionings.
-    val sorted = pairs.sortBy(identity)
-    val count = sorted.length
-    Curve.makeCurve(sorted.map(_._1), None).flatMap { case (initialCurve, _) =>
+    //
+    // r12 (guide §1.2 step 2): sort and slice over primitive parallel
+    // arrays instead of a Seq of boxed tuples — callers hand this
+    // whatever collection the aggregation produced, and a list-typed
+    // Seq made the downstream positional slicing O(n²). The sort key
+    // is encoded into one Long per pair via the standard IEEE
+    // order-preserving bit trick (sign-flip for non-negatives, full
+    // complement for negatives, applied to both float components):
+    // ascending unsigned-long order == lexicographic
+    // (TotalOrdering(start), TotalOrdering(end)) — the exact order
+    // `sortBy(identity)` realized. Delays are finite 12 s multiples
+    // (never NaN/-0.0), and the total orders agree on those anyway.
+    val count = pairs.length
+    def sortableBits(f: Float): Long = {
+      val b = java.lang.Float.floatToIntBits(f)
+      (if (b >= 0) b ^ 0x80000000 else ~b) & 0xFFFFFFFFL
+    }
+    val keys = new Array[Long](count)
+    val ks = new Array[Float](count)
+    val vs = new Array[Float](count)
+    var i = 0
+    pairs.foreach { p =>
+      keys(i) = (sortableBits(p._1) << 32) | sortableBits(p._2)
+      i += 1
+    }
+    // unsigned order over the encoded key: flip the top bit and use the
+    // JDK's signed primitive sort
+    i = 0
+    while (i < count) { keys(i) = keys(i) ^ Long.MinValue; i += 1 }
+    java.util.Arrays.sort(keys)
+    def unsortableBits(u: Long): Float = {
+      val b = (u & 0xFFFFFFFFL).toInt
+      java.lang.Float.intBitsToFloat(if (b < 0) b ^ 0x80000000 else ~b)
+    }
+    i = 0
+    while (i < count) {
+      val u = keys(i) ^ Long.MinValue
+      ks(i) = unsortableBits(u >>> 32)
+      vs(i) = unsortableBits(u)
+      i += 1
+    }
+    Curve.makeCurve(scala.collection.immutable.ArraySeq.unsafeWrapArray(ks),
+        None).flatMap { case (initialCurve, _) =>
       val markers = mutable.ArrayBuffer[Float](initialCurve.minX, initialCurve.minX)
       Curve.recurseMarkers(initialCurve, markers, initialCurve.minX, initialCurve.maxX, count.toFloat)
       markers += initialCurve.maxX
@@ -60,10 +100,14 @@ object CurveBuilder {
         val (lower, mid, upper) = (w(0), w(1), w(2))
         val minIndex = (count * initialCurve.yAtX(lower)).toInt
         val maxIndex = (count * initialCurve.yAtX(upper)).toInt
-        val slice = sorted.slice(minIndex, maxIndex).map(_._2)
-        sampleSize += slice.length
-        if (slice.length > 1) {
-          Curve.makeCurve(slice, Some(mid)).foreach { case (c0, _) =>
+        val lo = math.max(minIndex, 0)
+        val hi = math.min(maxIndex, count)
+        val sliceLen = math.max(hi - lo, 0)
+        sampleSize += sliceLen
+        if (sliceLen > 1) {
+          val slice = java.util.Arrays.copyOfRange(vs, lo, hi)
+          Curve.makeCurve(scala.collection.immutable.ArraySeq
+              .unsafeWrapArray(slice), Some(mid)).foreach { case (c0, _) =>
             val c = c0.simplify(0.001f)
             if (c.maxX >= c.minX + 13.0f) {
               curves += ((mid, c))

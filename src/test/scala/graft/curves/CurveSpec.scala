@@ -123,6 +123,95 @@ class CurveSpec extends AnyFunSuite with graft.GenSampling {
     assert(CurveBuilder.generalDelayCurve((1 to 20).map(_.toFloat)).isDefined)
   }
 
+  // ── r12 rewrite pins: the primitive-array makeCurve and the
+  // bit-trick pair sort must reproduce the pre-r12 reference shapes
+  // bit-for-bit (same total order, same float accumulation order) ──
+
+  /** The pre-r12 makeCurve, verbatim — the reference the array rewrite
+    * is pinned against. */
+  private def makeCurveReference(values: Seq[Float],
+                                 focus: Option[Float]): Option[(Curve, Float)] = {
+    if (values.isEmpty) return None
+    val sorted = values.sorted
+    val minD = sorted.head
+    val maxD = sorted.last
+    val weights = sorted.map(v => Curve.weight(v, focus, minD, maxD))
+    val sumW = weights.sum
+    val buf = Vector.newBuilder[(Float, Float)]
+    var lastX = 0.0f
+    var cum = 0.0f
+    var n = 0
+    var i = 0
+    while (i < sorted.length) {
+      cum += weights(i)
+      if (sorted(i) != lastX) {
+        buf += ((sorted(i), cum / sumW))
+        lastX = sorted(i)
+        n += 1
+      }
+      i += 1
+    }
+    val tups = buf.result()
+    if (n < 2) None
+    else Some((Curve(tups.updated(0, (tups.head._1, 0.0f))
+      .updated(n - 1, (tups.last._1, 1.0f))), sumW))
+  }
+
+  test("r12 pin: array makeCurve == reference on random rounded delays, both foci") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 200) {
+      val n = 1 + rng.nextInt(120)
+      val vals = List.fill(n)(((rng.nextInt(501) - 250) * 12).toFloat)
+      val focus = if (trial % 2 == 0) None else Some(vals.head)
+      val got = Curve.makeCurve(vals, focus)
+      val want = makeCurveReference(vals, focus)
+      assert(got == want, s"trial $trial n=$n focus=$focus")
+    }
+  }
+
+  test("r12 pin: bit-trick pair sort == sortBy(identity) incl. duplicates and 0.0") {
+    // exercises the encode/decode path inside stopPairCurveSet via the
+    // full build: a list-typed input with heavy duplicates, zeros and
+    // negatives must produce the identical curve set the tuple sort did
+    val rng = new scala.util.Random(13)
+    for (trial <- 0 until 50) {
+      val n = 25 + rng.nextInt(400)
+      val pairs = List.fill(n) {
+        val s = ((rng.nextInt(101) - 50) * 12).toFloat
+        (s, s + ((rng.nextInt(41) - 20) * 12).toFloat)
+      }
+      // reference: pre-r12 shape — Seq sort, positional slices
+      val sorted = pairs.sortBy(identity)
+      val count = sorted.length
+      val want = Curve.makeCurve(sorted.map(_._1), None).flatMap { case (ic, _) =>
+        val markers = scala.collection.mutable.ArrayBuffer[Float](ic.minX, ic.minX)
+        Curve.recurseMarkers(ic, markers, ic.minX, ic.maxX, count.toFloat)
+        markers += ic.maxX
+        markers += ic.maxX
+        var sampleSize = 0
+        val curves = Vector.newBuilder[(Float, Curve)]
+        var nCurves = 0
+        markers.iterator.sliding(3).withPartial(false).foreach { w =>
+          val (lower, mid, upper) = (w(0), w(1), w(2))
+          val minIndex = (count * ic.yAtX(lower)).toInt
+          val maxIndex = (count * ic.yAtX(upper)).toInt
+          val slice = sorted.slice(minIndex, maxIndex).map(_._2)
+          sampleSize += slice.length
+          if (slice.length > 1) {
+            Curve.makeCurve(slice, Some(mid)).foreach { case (c0, _) =>
+              val c = c0.simplify(0.001f)
+              if (c.maxX >= c.minX + 13.0f) { curves += ((mid, c)); nCurves += 1 }
+            }
+          }
+        }
+        if (nCurves == 0) None
+        else Some(CurveSetData(CurveSet(curves.result()),
+          graft.model.PrecisionType.Specific, sampleSize / nCurves))
+      }
+      assert(CurveBuilder.stopPairCurveSet(pairs) == want, s"trial $trial n=$n")
+    }
+  }
+
   // ── property tests ──
 
   private val valuesGen: Gen[List[Float]] =
