@@ -593,7 +593,16 @@ object DedupQueries {
                                                    rowsPerBand: Int): DataFrame =
     memoShared("mhband", documents, bands, rowsPerBand)(
       withTokenBands(documents.select(col("doc_id"), col("source"),
-        col("text")), bands, rowsPerBand, Seq("doc_id", "source")))
+        // `n` (r12): the VERIFIER's distinct-token count, carried so
+        // every banded-candidate consumer can run the exact LENGTH
+        // pre-filter (jac ≥ t ⇒ min(n₁,n₂) ≥ t·max(n₁,n₂), the
+        // prefixSimilarityJoin discipline) BEFORE the array-verify
+        // join. Computed from the same split the verifiers use — NOT
+        // from the hash array, whose collisions could under-count and
+        // over-prune. One extra long per doc inside the one-time
+        // shared banding pass.
+        size(array_distinct(tokens(col("text")))).as("n"),
+        col("text")), bands, rowsPerBand, Seq("doc_id", "source", "n")))
 
   /** THE per-row token-minhash banding — the single definition of the
     * hash chain (compiled [[graft.functions.TokenHashArray]] → 32

@@ -438,8 +438,16 @@ object PipelineQueries {
         documents, bands, rowsPerBand)
       val trB = bandedAll.filter(col("source") =!= "src0").drop("source")
       val evB = bandedAll.filter(col("source") === "src0").drop("source")
-        .withColumnRenamed("doc_id", "eval_id")
+        .withColumnRenamed("doc_id", "eval_id").withColumnRenamed("n", "ne")
+      // LENGTH pre-filter on band candidates (r12, exact — the
+      // prefixSimilarityJoin discipline): jac ≥ t ⇒ min(n₁,n₂) ≥
+      // t·max(n₁,n₂), epsilon-slack so a float-boundary pair can only
+      // be ADMITTED (verification decides); prunes candidate pairs
+      // before the array-verify join ever materializes their token
+      // arrays
       val cand = trB.join(broadcast(evB), bandKey)
+        .filter(least(col("n"), col("ne")).cast("double") + 1e-9 >=
+          greatest(col("n"), col("ne")).cast("double") * threshold)
         .select(col("doc_id"), col("eval_id")).distinct()
       val evToks = ev.select(col("doc_id").as("eval_id"),
         array_distinct(split(col("text"), " ")).as("et"))
@@ -555,8 +563,9 @@ object PipelineQueries {
     val bandedAll = DedupQueries.minhashBandedTokensShared(
       documents, bands, rowsPerBand)
     val oldB = bandedAll.filter(isOld).drop("source")
-      .withColumnRenamed("doc_id", "old_id")
+      .withColumnRenamed("doc_id", "old_id").withColumnRenamed("n", "no")
     val newB = bandedAll.filter(isNew).drop("source")
+      .withColumnRenamed("n", "nn")
     // heavy buckets are few by definition: a broadcastable key list,
     // counted over BOTH sides so a bucket is wholly light or wholly
     // heavy on each
@@ -569,17 +578,25 @@ object PipelineQueries {
     val oldF = oldB.join(broadcast(heavy), bandKey, "left")
     val newF = newB.join(broadcast(heavy), bandKey, "left")
     def side(df: org.apache.spark.sql.DataFrame, idCol: String,
-             heavyOnly: Boolean) =
+             nCol: String, heavyOnly: Boolean) =
       (if (heavyOnly) df.filter(col("__heavy").isNotNull)
        else df.filter(col("__heavy").isNull))
-        .select(bandKey.map(col) :+ col(idCol): _*)
-    val light = side(newF, "doc_id", heavyOnly = false)
-      .join(side(oldF, "old_id", heavyOnly = false), bandKey)
+        .select(bandKey.map(col) ++ Seq(col(idCol), col(nCol)): _*)
+    // LENGTH pre-filter on bucket candidates (r12, exact — jac ≥ t ⇒
+    // min(n₁,n₂) ≥ t·max(n₁,n₂), epsilon-slack admits boundary pairs
+    // for verification to decide): prunes cross-snapshot collisions
+    // before the verify join touches their token arrays
+    val lenOk = least(col("nn"), col("no")).cast("double") + lit(1e-9) >=
+      greatest(col("nn"), col("no")).cast("double") * lit(threshold)
+    val light = side(newF, "doc_id", "nn", heavyOnly = false)
+      .join(side(oldF, "old_id", "no", heavyOnly = false), bandKey)
+      .filter(lenOk)
     val heavyPairs = Salting.saltedJoin(
-      side(newF, "doc_id", heavyOnly = true),
-      side(oldF, "old_id", heavyOnly = true),
+      side(newF, "doc_id", "nn", heavyOnly = true),
+      side(oldF, "old_id", "no", heavyOnly = true),
       bandKey, scatterCols = Seq(col("doc_id")), salt = salt)
-    val cand = light.unionByName(heavyPairs)
+      .filter(lenOk)
+    val cand = light.unionByName(heavyPairs, allowMissingColumns = false)
       .select(col("doc_id"), col("old_id")).distinct()
     val toks = documents.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("t"))
@@ -925,9 +942,17 @@ object PipelineQueries {
     // pair happens to fall below t (an interleaved satellite) no longer
     // severs the cluster — the measured residual of the r10 rung.
     // Volume stays ≤ hops·(n−1) per bucket: linear, never C(n,2).
+    // LENGTH pre-filter on chain candidates (r12, exact — jac ≥ t ⇒
+    // min(n₁,n₂) ≥ t·max(n₁,n₂), epsilon slack): the banding relation
+    // carries the verifier's distinct-token count, so an incompatible
+    // chain mate is dropped before the verify join materializes its
+    // token arrays. Identical verified edge set by implication.
     val chainCand = (1 to chainHops).map(h => banded
         .withColumn("nxt", lead(col("doc_id"), h).over(w))
-        .filter(col("nxt").isNotNull)
+        .withColumn("nxtn", lead(col("n"), h).over(w))
+        .filter(col("nxt").isNotNull &&
+          (least(col("n"), col("nxtn")).cast("double") + lit(1e-9) >=
+            greatest(col("n"), col("nxtn")).cast("double") * lit(threshold)))
         // bucket-ordered ⇒ id1 < id2 by construction
         .select(col("doc_id").as("id1"), col("nxt").as("id2")))
       .reduce(_.unionByName(_)).distinct()

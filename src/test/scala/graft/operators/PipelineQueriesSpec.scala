@@ -685,9 +685,16 @@ class PipelineQueriesSpec extends SparkSpec {
       val direct = DedupQueries.minhashBandedTokens(
         docs.filter(pred).select(col("doc_id"), col("text")),
         PipelineQueries.LshBands, PipelineQueries.LshRows)
-      assert(canon(shared.filter(pred).drop("source")) === canon(direct),
+      assert(canon(shared.filter(pred).drop("source", "n")) === canon(direct),
         s"slice '$name' diverges from direct banding")
     }
+    // the carried `n` must be the VERIFIER's distinct-token count —
+    // the exactness of every length pre-filter depends on it
+    val nOk = shared.select(col("doc_id"), col("n")).distinct()
+      .join(docs.select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).as("vn")), Seq("doc_id"))
+      .filter(col("n") =!= col("vn")).count()
+    assert(nOk === 0L, "banded n diverges from the verifier token count")
     DedupQueries.clearSharedPairCache()
   }
 
